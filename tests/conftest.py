@@ -1,0 +1,22 @@
+"""Test config: force CPU backend with 8 virtual devices so multi-chip
+sharding paths compile/execute without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+SAMPLES_DIR = pathlib.Path("/root/reference/samples")
+
+
+@pytest.fixture(scope="session")
+def samples_dir():
+    return SAMPLES_DIR

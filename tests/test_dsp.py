@@ -1,0 +1,130 @@
+"""Golden tests for framing, STFT, dB conversion.
+
+Goldens from reference: src-tauri/src/core/spectrogram/stft.rs:173-196,
+src-tauri/src/core/dynamics/decibel.rs:257-301, core/utils.rs:165-175.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from thesia_tpu.dsp import (
+    SpecSetting,
+    perform_stft,
+    reflect_pad_1d,
+    stft_frame_count,
+)
+from thesia_tpu.dsp.decibel import (
+    amp_from_db,
+    db_from_amp,
+    db_from_amp_scalar,
+    db_from_power,
+    db_from_power_scalar,
+    power_from_db,
+)
+from thesia_tpu.dsp.spectrogram import SpectrogramAnalyzer
+from thesia_tpu.common.freqscale import FreqScale
+
+
+def test_reflect_pad():
+    # reference: core/utils.rs:170-174 (cyclic reflect)
+    x = np.array([1, 2, 3])
+    np.testing.assert_array_equal(
+        reflect_pad_1d(x, 3, 4), [2, 3, 2, 1, 2, 3, 2, 1, 2, 3]
+    )
+
+
+def test_spec_setting_framing():
+    s = SpecSetting()  # 40 ms, t_overlap 4
+    hop, win, n_fft = s.calc_framing_params(48000)
+    assert (hop, win, n_fft) == (480, 1920, 2048)
+    hop, win, n_fft = s.calc_framing_params(16000)
+    assert (hop, win, n_fft) == (160, 640, 1024)
+    hop, win, n_fft = s.calc_framing_params(22050)
+    # 220.5 rounds half-away-from-zero (rust f64::round), not banker's
+    assert (hop, win) == (221, 884)
+
+
+def test_stft_impulse_golden():
+    # reference: stft.rs:173-196
+    impulse = np.zeros(4, np.float32)
+    impulse[2] = 1.0
+    spec = perform_stft(impulse, 4, 2, 4)
+    expected = np.array(
+        [
+            [0, 0, 0],
+            [0.25, -0.25, 0.25],
+            [0.25, -0.25, 0.25],
+        ],
+        np.complex64,
+    )
+    assert spec.shape == (3, 3)
+    np.testing.assert_allclose(spec, expected, atol=1e-6)
+
+
+def test_stft_short_wav():
+    # reference: stft.rs:198-203 — len < win path must not crash
+    impulse = np.zeros(2, np.float32)
+    impulse[1] = 1.0
+    spec = perform_stft(impulse, 8, 6, 8)
+    assert spec.shape[0] == stft_frame_count(2, 8, 6) == 1
+
+
+def test_stft_frame_count_matches_reference_construction():
+    # front/mid/back construction: n = (len + 2*(win//2) - win)//hop + 1
+    for n, win, hop in [(4, 4, 2), (100, 8, 2), (1000, 64, 16), (2113529, 1920, 480)]:
+        assert stft_frame_count(n, win, hop) == (n + 2 * (win // 2) - win) // hop + 1
+
+
+def test_db_scalar_goldens():
+    # reference: decibel.rs:257-301
+    assert abs(db_from_amp_scalar(0.25) - (-12.0412)) < 1e-4
+    assert abs(db_from_power_scalar(0.25) - (-6.0206)) < 1e-4
+    assert db_from_amp_scalar(0.0) == -math.inf
+    assert db_from_power_scalar(0.0) == -math.inf
+    assert math.isnan(db_from_amp_scalar(-1.0))
+    assert math.isnan(db_from_power_scalar(math.nan))
+    assert abs(db_from_amp_scalar(1.0, ref_value=2.0) - (-6.0206)) < 1e-4
+
+
+def test_db_array_semantics():
+    amps = jnp.array([1.0, 0.5, 0.0, -1.0, jnp.nan])
+    out = np.asarray(db_from_amp(amps, 1.0, 1e-3))
+    assert abs(out[0]) < 1e-6
+    assert abs(out[1] + 6.0206) < 1e-3
+    assert abs(out[2] + 60.0) < 1e-4
+    assert math.isnan(out[3]) and math.isnan(out[4])
+
+    # round trips
+    assert abs(float(amp_from_db(jnp.float32(-12.0412))) - 0.25) < 1e-5
+    assert abs(float(power_from_db(jnp.float32(-6.0206))) - 0.25) < 1e-5
+
+
+def test_calc_spec_shapes_and_silence():
+    analyzer = SpectrogramAnalyzer(chunk_frames=64)
+    sr = 8000
+    s = SpecSetting()
+    hop, win, n_fft = s.calc_framing_params(sr)
+    wav = np.zeros(sr, np.float32)  # 1 s of silence
+    spec = np.asarray(analyzer.calc_spec(wav, sr, s))
+    assert spec.shape[0] == stft_frame_count(sr, win, hop)
+    assert np.all(np.isneginf(spec))  # silence -> exactly -inf everywhere
+
+    s_lin = SpecSetting(freq_scale=FreqScale.Linear)
+    spec_lin = np.asarray(analyzer.calc_spec(wav, sr, s_lin))
+    assert spec_lin.shape[1] == n_fft // 2 + 1
+
+
+def test_calc_spec_sine_peak():
+    # 1 kHz sine at sr 8000 -> linear spec should peak at bin k = 1000/ (sr/n_fft)
+    analyzer = SpectrogramAnalyzer(chunk_frames=128)
+    sr = 8000
+    s = SpecSetting(freq_scale=FreqScale.Linear)
+    hop, win, n_fft = s.calc_framing_params(sr)
+    t = np.arange(sr, dtype=np.float64) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    spec = np.asarray(analyzer.calc_spec(wav, sr, s))
+    mid = spec[spec.shape[0] // 2]
+    expected_bin = round(1000.0 / (sr / n_fft))
+    assert abs(int(np.argmax(mid)) - expected_bin) <= 1
