@@ -1,0 +1,78 @@
+"""Decode tests against the bundled reference samples corpus."""
+
+import numpy as np
+import pytest
+
+from thesia_tpu.io.decode import DecodeError, open_audio_file
+from thesia_tpu.io.wav import decode_wav, encode_wav_f32, encode_wav_s16
+
+
+@pytest.mark.parametrize(
+    "name,sr,codec",
+    [
+        ("sample_8k.wav", 8000, "wav - pcm_s16le"),
+        ("sample_16k.wav", 16000, "wav - pcm_s16le"),
+        ("sample_22k05.wav", 22050, "wav - pcm_s16le"),
+        ("sample_24k.wav", 24000, "wav - pcm_s16le"),
+        ("sample_44k1.wav", 44100, "wav - pcm_s16le"),
+        ("sample_24k_s24.wav", 24000, "wav - pcm_s24le"),
+    ],
+)
+def test_open_wav_samples(samples_dir, name, sr, codec):
+    path = samples_dir / name
+    if not path.exists():
+        pytest.skip(f"{name} missing from corpus snapshot")
+    wavs, info = open_audio_file(path)
+    assert info.sr == sr
+    assert info.name == codec
+    assert wavs.ndim == 2 and wavs.shape[0] >= 1 and wavs.shape[1] > 1000
+    assert np.abs(wavs).max() <= 1.0 + 1e-6
+
+
+def test_s16_quantization_convention(samples_dir):
+    # symphonia convention: s16 value v -> v / 32768 (reference golden uses
+    # -3.0517578e-5 = -1/32768, audio.rs:488-505)
+    path = samples_dir / "sample_16k.wav"
+    if not path.exists():
+        pytest.skip("missing")
+    wavs, _ = open_audio_file(path)
+    nonzero = wavs[0][wavs[0] != 0]
+    # every sample must be an exact multiple of 1/32768
+    assert np.all(np.abs(nonzero * 32768 - np.round(nonzero * 32768)) < 1e-4)
+
+
+def test_tone_sample(samples_dir):
+    path = samples_dir / "1kHz_1sec_sr24kHz.wav"
+    if not path.exists():
+        pytest.skip("missing")
+    wavs, info = open_audio_file(path)
+    assert info.sr == 24000
+    # dominant frequency must be 1 kHz
+    spec = np.abs(np.fft.rfft(wavs[0][:8192] * np.hanning(8192)))
+    peak_hz = np.argmax(spec) * 24000 / 8192
+    assert abs(peak_hz - 1000) < 30
+
+
+def test_invalid_audio_raises(samples_dir):
+    with pytest.raises(DecodeError):
+        open_audio_file(samples_dir / "invalid_audio.wav")
+
+
+def test_silence(samples_dir):
+    path = samples_dir / "silence.wav"
+    if not path.exists():
+        pytest.skip("missing")
+    wavs, _ = open_audio_file(path)
+    assert np.abs(wavs).max() == 0.0
+
+
+def test_wav_roundtrip_f32_s16():
+    rng = np.random.default_rng(0)
+    wavs = (rng.uniform(-1, 1, (2, 1000)) * 0.5).astype(np.float32)
+    out, sr, codec = decode_wav(encode_wav_f32(wavs, 44100))
+    assert sr == 44100 and codec == "pcm_f32le"
+    np.testing.assert_array_equal(out, wavs)
+
+    out16, sr16, codec16 = decode_wav(encode_wav_s16(wavs, 8000))
+    assert sr16 == 8000 and codec16 == "pcm_s16le"
+    np.testing.assert_allclose(out16, wavs, atol=1 / 32768)

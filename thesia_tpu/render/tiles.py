@@ -1,0 +1,275 @@
+"""Render-tile encoders + LRU tile cache — the viewer wire format.
+
+Binary layouts are byte-identical to the reference (reference:
+src-tauri/src/core/render_tiles.rs):
+
+waveform tile (:232-259): header 24 B = u64 revision, u32 bin_count,
+u32 samples_per_bin, u32 tile_index, u32 pad; then bin_count * 12 B of
+(min, max, mean) f32 LE.  A tile at `level` covers 1024 * 2^level samples.
+
+spectrogram tile (:281-352): header 40 B = u64 revision + u32 {width, height,
+level_x, level_y, tile_x, tile_y, origin_x, origin_y}; then RGBA8 rows
+emitted bottom-up (high frequencies first).  Tile = 512x512 core + 4 px
+gutter on interior edges, Lanczos3 crop-resized from the full-res u16 image,
+then mapped through the colormap LUT with index
+(v * (n_colors-1) + 32767) // 65535.
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+
+import numpy as np
+
+from .resize import lanczos3_crop_resize_u16
+
+WAVEFORM_TILE_BINS = 1024
+SPECTROGRAM_TILE_SIZE = 512
+SPECTROGRAM_TILE_GUTTER = 4
+DEFAULT_WAVEFORM_CACHE_BUDGET_BYTES = 32 * 1024 * 1024
+
+
+def waveform_bin_stats(wav: np.ndarray, start: int, end: int, spb: int):
+    """Vectorized per-bin (min, max, mean) over [start, end) with bin size spb.
+
+    reference: render_tiles.rs:249-279.
+    """
+    seg = np.asarray(wav[start:end], np.float32)
+    n = seg.shape[0]
+    n_bins = -(-n // spb)
+    pad = n_bins * spb - n
+    if pad:
+        seg = np.concatenate([seg, np.full(pad, np.nan, np.float32)])
+    seg = seg.reshape(n_bins, spb)
+    with np.errstate(invalid="ignore"):
+        mins = np.nanmin(seg, axis=1)
+        maxs = np.nanmax(seg, axis=1)
+        sums = np.nansum(seg, axis=1)
+    counts = np.minimum(np.arange(1, n_bins + 1) * spb, n) - np.arange(n_bins) * spb
+    means = sums / counts
+    return mins, maxs, means
+
+
+def encode_waveform_tile(wav: np.ndarray, revision: int, level: int, tile_index: int) -> bytes:
+    """reference: render_tiles.rs:232-259."""
+    spb = 1 << level if level < 63 else 2**63
+    tile_samples = WAVEFORM_TILE_BINS * spb
+    start = tile_index * tile_samples
+    end = min(len(wav), start + tile_samples)
+    bin_count = 0 if start >= end else -(-(end - start) // spb)
+
+    header = struct.pack(
+        "<QIIII", revision, bin_count, min(spb, 0xFFFFFFFF), tile_index, 0
+    )
+    if bin_count == 0:
+        return header
+    mins, maxs, means = waveform_bin_stats(wav, start, end, spb)
+    body = np.empty((bin_count, 3), "<f4")
+    body[:, 0] = mins
+    body[:, 1] = maxs
+    body[:, 2] = means
+    return header + body.tobytes()
+
+
+def encode_spectrogram_tile(
+    spectrogram: np.ndarray,
+    colormap_rgba: np.ndarray,
+    revision: int,
+    level_x: int,
+    level_y: int,
+    tile_x: int,
+    tile_y: int,
+) -> bytes:
+    """spectrogram: (H, W) u16 full-res image. reference: render_tiles.rs:281-352."""
+    scale_x = 1 << level_x
+    scale_y = 1 << level_y
+    src_h, src_w = spectrogram.shape
+    lod_width = -(-src_w // scale_x)
+    lod_height = -(-src_h // scale_y)
+    start_x = tile_x * SPECTROGRAM_TILE_SIZE
+    start_y = tile_y * SPECTROGRAM_TILE_SIZE
+    core_w = min(max(lod_width - start_x, 0), SPECTROGRAM_TILE_SIZE)
+    core_h = min(max(lod_height - start_y, 0), SPECTROGRAM_TILE_SIZE)
+    origin_x = max(start_x - SPECTROGRAM_TILE_GUTTER, 0)
+    origin_y = max(start_y - SPECTROGRAM_TILE_GUTTER, 0)
+    if core_w == 0 or core_h == 0:
+        width = height = 0
+    else:
+        width = min(lod_width, start_x + core_w + SPECTROGRAM_TILE_GUTTER) - origin_x
+        height = min(lod_height, start_y + core_h + SPECTROGRAM_TILE_GUTTER) - origin_y
+
+    header = struct.pack(
+        "<QIIIIIIII",
+        revision,
+        width,
+        height,
+        level_x,
+        level_y,
+        tile_x,
+        tile_y,
+        origin_x,
+        origin_y,
+    )
+    if width == 0 or height == 0:
+        return header
+
+    left = origin_x * src_w / lod_width
+    top = origin_y * src_h / lod_height
+    right = (origin_x + width) * src_w / lod_width
+    bottom = (origin_y + height) * src_h / lod_height
+    lod_pixels = lanczos3_crop_resize_u16(
+        spectrogram, (left, top, right, bottom), width, height
+    )
+
+    n_colors = colormap_rgba.shape[0]
+    if n_colors <= 1:
+        color_index = np.zeros_like(lod_pixels, np.int64)
+    else:
+        color_index = (lod_pixels.astype(np.int64) * (n_colors - 1) + 32767) // 65535
+    rgba = colormap_rgba[color_index]  # (h, w, 4)
+    return header + rgba[::-1].tobytes()  # rows bottom-up: high freq first
+
+
+def decode_waveform_tile(data: bytes):
+    """Client-side decode (tests + viewer): returns dict with header + bins."""
+    revision, bin_count, spb, tile_index, _ = struct.unpack_from("<QIIII", data, 0)
+    bins = np.frombuffer(data, "<f4", count=bin_count * 3, offset=24).reshape(-1, 3)
+    return {
+        "revision": revision,
+        "binCount": bin_count,
+        "samplesPerBin": spb,
+        "tileIndex": tile_index,
+        "bins": bins,
+    }
+
+
+def decode_spectrogram_tile(data: bytes):
+    (revision, w, h, lx, ly, tx, ty, ox, oy) = struct.unpack_from("<QIIIIIIII", data, 0)
+    rgba = np.frombuffer(data, np.uint8, count=w * h * 4, offset=40).reshape(h, w, 4)
+    return {
+        "revision": revision,
+        "width": w,
+        "height": h,
+        "levelX": lx,
+        "levelY": ly,
+        "tileX": tx,
+        "tileY": ty,
+        "originX": ox,
+        "originY": oy,
+        "rgba": rgba,
+    }
+
+
+class RenderTileCache:
+    """Byte-budgeted LRU of encoded waveform tiles + revision counters.
+
+    Waveform tiles are cached server-side; spectrogram tiles are encoded per
+    request (the client GPU cache holds them).  reference:
+    render_tiles.rs:51-230.
+    """
+
+    def __init__(self, budget_bytes: int = DEFAULT_WAVEFORM_CACHE_BUDGET_BYTES):
+        self._entries: dict[tuple, tuple[bytes, int]] = {}
+        self._bytes = 0
+        self._budget = budget_bytes
+        self._tick = 0
+        self.waveform_revision = 1
+        self.spectrogram_revision = 1
+        self.colormap_rgba = np.array(
+            [[0, 0, 0, 255], [255, 255, 255, 255]], np.uint8
+        )
+        self._lock = threading.Lock()
+
+    def set_colormap(self, colormap_rgba: np.ndarray) -> None:
+        colormap_rgba = np.asarray(colormap_rgba, np.uint8)
+        if colormap_rgba.ndim == 1:
+            colormap_rgba = colormap_rgba.reshape(-1, 4)
+        if colormap_rgba.shape[0] >= 1 and colormap_rgba.shape[1] == 4:
+            self.colormap_rgba = colormap_rgba
+        self.invalidate_spectrogram()
+
+    def invalidate_waveform(self) -> None:
+        with self._lock:
+            self.waveform_revision = max((self.waveform_revision + 1) & 0xFFFFFFFFFFFFFFFF, 1)
+            self._entries.clear()
+            self._bytes = 0
+
+    def invalidate_spectrogram(self) -> None:
+        self.spectrogram_revision = max((self.spectrogram_revision + 1) & 0xFFFFFFFFFFFFFFFF, 1)
+
+    def invalidate_all(self) -> None:
+        self.invalidate_waveform()
+        self.invalidate_spectrogram()
+
+    def metadata(
+        self,
+        sample_count: int,
+        sample_rate: int,
+        track_sec: float,
+        is_clipped: bool,
+        spectrogram_shape: tuple[int, int] | None,
+    ) -> dict:
+        """reference: render_tiles.rs:101-122. Shape is (H, W)."""
+        h, w = spectrogram_shape if spectrogram_shape else (0, 0)
+        return {
+            "waveformRevision": self.waveform_revision,
+            "spectrogramRevision": self.spectrogram_revision,
+            "sampleRate": sample_rate,
+            "sampleCount": sample_count,
+            "trackSec": track_sec,
+            "isClipped": is_clipped,
+            "spectrogramWidth": w,
+            "spectrogramHeight": h,
+            "waveformTileBins": WAVEFORM_TILE_BINS,
+            "spectrogramTileSize": SPECTROGRAM_TILE_SIZE,
+        }
+
+    def cached_waveform_tile(self, track_id: int, ch: int, level: int, tile_index: int):
+        with self._lock:
+            revision = self.waveform_revision
+            key = (track_id, ch, revision, level, tile_index)
+            entry = self._entries.get(key)
+            if entry is None:
+                return revision, None
+            self._tick += 1
+            self._entries[key] = (entry[0], self._tick)
+            return revision, entry[0]
+
+    def store_waveform_tile(
+        self, track_id: int, ch: int, revision: int, level: int, tile_index: int, data: bytes
+    ) -> None:
+        with self._lock:
+            if revision != self.waveform_revision:
+                return
+            key = (track_id, ch, revision, level, tile_index)
+            old = self._entries.get(key)
+            if old is not None:
+                self._bytes -= len(old[0])
+            self._tick += 1
+            self._entries[key] = (data, self._tick)
+            self._bytes += len(data)
+            while self._bytes > self._budget and self._entries:
+                lru_key = min(self._entries, key=lambda k: self._entries[k][1])
+                self._bytes -= len(self._entries.pop(lru_key)[0])
+
+    def spectrogram_tile(
+        self, spectrogram: np.ndarray, level_x: int, level_y: int, tile_x: int, tile_y: int
+    ) -> bytes:
+        return encode_spectrogram_tile(
+            spectrogram,
+            self.colormap_rgba,
+            self.spectrogram_revision,
+            level_x,
+            level_y,
+            tile_x,
+            tile_y,
+        )
+
+    @property
+    def entry_count(self) -> int:
+        return len(self._entries)
+
+    @property
+    def cached_bytes(self) -> int:
+        return self._bytes
