@@ -1,0 +1,84 @@
+"""Per-track audio statistics + guard-clipping statistics.
+
+reference: src-tauri/src/core/dynamics/stats.rs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ..dsp.decibel import db_from_amp_scalar, db_from_power_scalar
+from .loudness import integrated_lufs
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioStats:
+    """reference: stats.rs:16-42."""
+
+    global_lufs: float
+    rms_db: float
+    max_peak: float
+    max_peak_db: float
+
+
+def calc_stats(wavs: np.ndarray, sr: int) -> AudioStats:
+    """reference: stats.rs:56-86 (LUFS ‖ mean-square, then peak)."""
+    wavs = np.atleast_2d(np.asarray(wavs, np.float32))
+    global_lufs = integrated_lufs(wavs, sr)
+    n_elem = wavs.size
+    mean_squared = float(
+        np.float32(sum(float(np.dot(ch, ch)) for ch in wavs.astype(np.float32)) / n_elem)
+    )
+    rms_db = np.float32(db_from_power_scalar(mean_squared))
+    max_peak = float(np.abs(wavs).max()) if n_elem else 0.0
+    max_peak_db = np.float32(db_from_amp_scalar(max_peak))
+    return AudioStats(
+        global_lufs=global_lufs,
+        rms_db=float(rms_db),
+        max_peak=max_peak,
+        max_peak_db=float(max_peak_db),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class GuardClippingStats:
+    """reference: stats.rs:111-174."""
+
+    max_reduction_gain_db: float = 0.0
+    reduction_cnt: int = 0
+
+    def __str__(self) -> str:
+        if self.max_reduction_gain_db == 0.0:
+            return ""
+        if self.reduction_cnt == 0:
+            return f"{self.max_reduction_gain_db:.2f} dB"
+        return f"max {self.max_reduction_gain_db:.2f} dB, total {self.reduction_cnt} samples"
+
+    @classmethod
+    def from_wav_before_clip(cls, wav_before_clip: np.ndarray) -> "GuardClippingStats":
+        max_peak = float(np.abs(wav_before_clip).max()) if wav_before_clip.size else 0.0
+        if max_peak > 1.0:
+            recip = np.float32(1.0 / np.float32(max_peak))
+            return cls(
+                max_reduction_gain_db=float(np.float32(db_from_amp_scalar(float(recip)))),
+                reduction_cnt=int((np.abs(wav_before_clip) > 1.0).sum()),
+            )
+        return cls()
+
+    @classmethod
+    def from_global_gain(cls, gain: float) -> "GuardClippingStats":
+        return cls(
+            max_reduction_gain_db=float(np.float32(db_from_amp_scalar(gain))),
+            reduction_cnt=0,
+        )
+
+    @classmethod
+    def from_gain_seq(cls, gain_seq: np.ndarray) -> "GuardClippingStats":
+        mn = float(gain_seq.min()) if gain_seq.size else 1.0
+        return cls(
+            max_reduction_gain_db=float(np.float32(db_from_amp_scalar(mn))),
+            reduction_cnt=int((gain_seq != 1.0).sum()),
+        )
