@@ -1,0 +1,131 @@
+"""Engine integration tests over the bundled samples corpus.
+
+Mirrors reference: src-tauri/src/core/track.rs:460-500 and mod.rs:237-274.
+"""
+
+import numpy as np
+import pytest
+
+from thesia_tpu.dynamics import GuardClippingMode, NormalizeTarget
+from thesia_tpu.engine import AudioTrack, TrackList, TrackManager, unique_filenames
+
+
+@pytest.fixture()
+def corpus(samples_dir):
+    paths = {
+        "tone": samples_dir / "1kHz_1sec_sr24kHz.wav",
+        "8k": samples_dir / "sample_8k.wav",
+        "16k": samples_dir / "sample_16k.wav",
+    }
+    for p in paths.values():
+        if not p.exists():
+            pytest.skip("sample corpus incomplete")
+    return paths
+
+
+def test_tracklist_add_remove(corpus):
+    tl = TrackList()
+    added = tl.add_tracks([0, 2], [str(corpus["tone"]), str(corpus["8k"])])
+    assert sorted(added) == [0, 2]
+    assert tl.all_ids() == [0, 2]
+    assert tl.id_ch_tuples() == [(0, 0), (2, 0)]
+    assert tl.find_id_by_path(str(corpus["tone"])) == 0
+    assert tl.find_id_by_path(str(corpus["8k"])) == 2
+    assert tl.filename(0) == "1kHz_1sec_sr24kHz.wav"
+    assert tl.filename(2) == "sample_8k.wav"
+    assert tl.max_sr() == 24000
+    sec0, sec2 = tl[0].sec, tl[2].sec
+    assert abs(tl.max_sec - max(sec0, sec2)) < 1e-12
+
+    max_id, other_id = (0, 2) if sec0 >= sec2 else (2, 0)
+    removed = tl.remove_tracks([max_id])
+    assert removed == [(max_id, 0)]
+    assert not tl.has(max_id) and tl.has(other_id)
+    assert abs(tl.max_sec - tl[other_id].sec) < 1e-12
+    assert tl.max_sr() == tl[other_id].sr
+
+    removed = tl.remove_tracks([other_id])
+    assert removed == [(other_id, 0)]
+    assert tl.is_empty and tl.max_sec == 0.0 and tl.max_sr() == 0
+
+
+def test_add_invalid_path_skipped(corpus, samples_dir):
+    tl = TrackList()
+    added = tl.add_tracks(
+        [0, 1], [str(samples_dir / "invalid_audio.wav"), str(corpus["16k"])]
+    )
+    assert added == [1]
+
+
+def test_track_manager_pipeline(corpus):
+    tl = TrackList()
+    tm = TrackManager()
+    added = tl.add_tracks([0, 1], [str(corpus["tone"]), str(corpus["16k"])])
+    tm.add_tracks(tl, added)
+    assert len(tm.spec_imgs) == 0
+    updated, max_sr = tm.apply_track_list_changes(tl)
+    assert sorted(updated) == [0, 1]
+    assert max_sr == 24000
+    # the 1 kHz tone image must have energy (nonzero quantized pixels)
+    img = tm.get_spectrogram((0, 0))
+    assert img is not None and img.dtype == np.uint16
+    assert (img > 0).any()
+    assert tm.max_db <= 0.0 and tm.min_db >= tm.max_db - tm.db_range
+
+    removed = tl.remove_tracks([0])
+    tm.remove_tracks(tl, removed)
+    updated, _ = tm.apply_track_list_changes(tl)
+    assert updated == set() or updated == {1}  # only re-quantize if range moved
+
+
+def test_track_normalize_changes_peak(corpus):
+    track = AudioTrack(str(corpus["16k"]))
+    orig_peak = track.stats.max_peak
+    track.normalize(NormalizeTarget("PeakdB", -3.0), GuardClippingMode.Clip)
+    new_peak = track.audio.stats.max_peak
+    assert abs(new_peak - 10 ** (-3 / 20)) < 1e-3
+    # original untouched
+    assert track.original.stats.max_peak == orig_peak
+    # normalize off restores original
+    track.normalize(NormalizeTarget(), GuardClippingMode.Clip)
+    assert track.audio is track.original
+
+
+def test_common_normalize_applied_to_all(corpus):
+    tl = TrackList()
+    tl.add_tracks([0, 1], [str(corpus["tone"]), str(corpus["16k"])])
+    tl.set_common_normalize(NormalizeTarget("PeakdB", -6.0))
+    for track_id in tl.all_ids():
+        assert abs(tl[track_id].stats.max_peak - 10 ** (-6 / 20)) < 1e-3
+    tl.set_common_normalize(NormalizeTarget())
+    for track_id in tl.all_ids():
+        assert tl[track_id].audio is tl[track_id].original
+
+
+def test_unique_filenames():
+    paths = {
+        0: "/a/b/x.wav",
+        1: "/a/c/x.wav",
+        2: "/a/b/y.wav",
+    }
+    names = unique_filenames(paths)
+    assert names[2] == "y.wav"
+    assert names[0] == "b/x.wav"
+    assert names[1] == "c/x.wav"
+
+
+def test_spec_setting_recompute(corpus):
+    from thesia_tpu.dsp import SpecSetting
+    from thesia_tpu.common.freqscale import FreqScale
+
+    tl = TrackList()
+    tm = TrackManager()
+    added = tl.add_tracks([0], [str(corpus["tone"])])
+    tm.add_tracks(tl, added)
+    tm.apply_track_list_changes(tl)
+    h_mel = tm.get_spectrogram((0, 0)).shape
+
+    tm.set_setting(tl, SpecSetting(freq_scale=FreqScale.Linear))
+    h_lin = tm.get_spectrogram((0, 0)).shape
+    assert h_lin[0] > h_mel[0]  # linear has n_fft//2+1 rows >> n_mel rows
+    assert h_lin[1] == h_mel[1]  # same frame count

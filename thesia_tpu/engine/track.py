@@ -1,0 +1,256 @@
+"""AudioTrack + TrackList: decode, per-track normalize/guard state,
+sparse id-keyed track storage with max_sec/max_sr bookkeeping.
+
+reference: src-tauri/src/core/track.rs.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..dynamics.guard import GuardClippingMode
+from ..dynamics.normalize import NormalizeTarget, calc_normalize_gain
+from ..dsp.framing import SpecSetting, SrWinNfft
+from ..io.decode import AudioFormatInfo, open_audio_file
+from .audio import Audio
+from .utils import unique_filenames
+
+
+class AudioTrack:
+    """reference: track.rs:48-171."""
+
+    def __init__(self, path_str: str):
+        path = Path(path_str).resolve(strict=True)
+        wavs, format_info = open_audio_file(path)
+        self.format_info: AudioFormatInfo = format_info
+        self.path = path
+        self.original = Audio(wavs, format_info.sr)
+        self.audio = self.original
+
+    def reload(self) -> bool:
+        """Returns True if content changed. reference: track.rs:75-89."""
+        wavs, format_info = open_audio_file(self.path)
+        if (
+            wavs.shape == self.original.wavs.shape
+            and np.array_equal(wavs, self.original.wavs)
+            and format_info == self.format_info
+        ):
+            return False
+        self.format_info = format_info
+        self.original = Audio(wavs, format_info.sr)
+        self.audio = self.original
+        return True
+
+    # views
+    def channel(self, ch: int) -> np.ndarray:
+        return self.audio.channel(ch)
+
+    def channel_for_drawing(self, ch: int):
+        return self.audio.channel_for_drawing(ch)
+
+    def interleaved_samples(self) -> np.ndarray:
+        return self.audio.interleaved_samples()
+
+    @property
+    def sr(self) -> int:
+        return self.audio.sr
+
+    @property
+    def n_ch(self) -> int:
+        return self.audio.n_ch
+
+    @property
+    def sec(self) -> float:
+        return self.audio.sec
+
+    @property
+    def stats(self):
+        return self.audio.stats
+
+    def path_string(self) -> str:
+        return str(self.path)
+
+    def is_path_same(self, path: str) -> bool:
+        try:
+            return Path(path).resolve(strict=True) == self.path
+        except OSError:
+            return False
+
+    def guard_clipping_gain(self):
+        return self.audio.guard_clipping_gain()
+
+    def format_guard_clip_stats(self, mode: GuardClippingMode):
+        return self.audio.format_guard_clip_stats(mode)
+
+    # normalize (gain always computed from ORIGINAL stats,
+    # reference: track.rs:152-170)
+    def normalize(self, target: NormalizeTarget, guard_clipping_mode: GuardClippingMode):
+        gain = calc_normalize_gain(target, self.original.stats)
+        self.apply_gain(gain, guard_clipping_mode)
+
+    def apply_gain(self, gain: float, guard_clipping_mode: GuardClippingMode):
+        if not np.isfinite(gain) or gain == 1.0:
+            self.audio = self.original
+            return
+        original_wavs = self.original.wavs
+        mutated = Audio.__new__(Audio)
+        mutated.wavs = original_wavs
+        mutated.sr = self.original.sr
+        mutated.stats = self.original.stats
+        mutated.guard_clip_result = self.original.guard_clip_result
+        mutated.guard_clip_stats = list(self.original.guard_clip_stats)
+        mutated.mutate(
+            lambda wavs: (np.float32(gain) * original_wavs).astype(np.float32),
+            guard_clipping_mode,
+        )
+        self.audio = mutated
+
+
+class TrackList:
+    """reference: track.rs:189-437."""
+
+    def __init__(self):
+        self.max_sec = 0.0
+        self.common_normalize = NormalizeTarget()
+        self.common_guard_clipping = GuardClippingMode.ReduceGlobalLevel
+        self._tracks: dict[int, AudioTrack] = {}
+        self._filenames: dict[int, str] = {}
+        self._id_max_sec = 0
+
+    def add_tracks(self, id_list: list[int], path_list: list[str]) -> list[int]:
+        """Parallel decode; failed paths are silently skipped (caller diffs
+        ids to find errors). reference: track.rs:211-239."""
+
+        def load(args):
+            track_id, path = args
+            try:
+                track = AudioTrack(path)
+            except Exception:
+                return None
+            track.normalize(self.common_normalize, self.common_guard_clipping)
+            return (track_id, track)
+
+        if len(id_list) > 1 and (os.cpu_count() or 1) > 1:
+            with concurrent.futures.ThreadPoolExecutor() as pool:
+                results = list(pool.map(load, zip(id_list, path_list)))
+        else:
+            results = [load(x) for x in zip(id_list, path_list)]
+
+        added_ids = []
+        for res in results:
+            if res is None:
+                continue
+            track_id, track = res
+            if track.sec > self.max_sec:
+                self.max_sec = track.sec
+                self._id_max_sec = track_id
+            self._tracks[track_id] = track
+            added_ids.append(track_id)
+        self._update_filenames()
+        return added_ids
+
+    def reload_tracks(self, id_list: list[int]) -> tuple[list[int], list[int]]:
+        """(reloaded_ids, no_err_ids). reference: track.rs:241-276."""
+        reloaded, no_err = [], []
+        for track_id in id_list:
+            track = self._tracks.get(track_id)
+            if track is None:
+                raise KeyError(f"[reload_tracks] Wrong Track ID {track_id}")
+            try:
+                changed = track.reload()
+            except Exception:
+                continue
+            if changed:
+                track.normalize(self.common_normalize, self.common_guard_clipping)
+                if track.sec > self.max_sec:
+                    self.max_sec = track.sec
+                    self._id_max_sec = track_id
+                reloaded.append(track_id)
+            no_err.append(track_id)
+        return reloaded, no_err
+
+    def remove_tracks(self, id_list: list[int]) -> list[tuple[int, int]]:
+        removed_id_ch = []
+        need_update_max_sec = False
+        for track_id in id_list:
+            track = self._tracks.pop(track_id, None)
+            if track is None:
+                continue
+            removed_id_ch.extend((track_id, ch) for ch in range(track.n_ch))
+            if track_id == self._id_max_sec:
+                need_update_max_sec = True
+        if need_update_max_sec:
+            best = (0, 0.0)
+            for track_id, track in self._tracks.items():
+                if track.sec > best[1]:
+                    best = (track_id, track.sec)
+            self._id_max_sec, self.max_sec = best
+        self._update_filenames()
+        return removed_id_ch
+
+    def set_common_normalize(self, target: NormalizeTarget) -> None:
+        self.common_normalize = target
+        self._apply_normalize_guard_clipping()
+
+    def set_common_guard_clipping(self, mode: GuardClippingMode) -> None:
+        self.common_guard_clipping = mode
+        self._apply_normalize_guard_clipping()
+
+    def _apply_normalize_guard_clipping(self) -> None:
+        for track in self._tracks.values():
+            track.normalize(self.common_normalize, self.common_guard_clipping)
+
+    # -- queries -----------------------------------------------------------
+    def all_ids(self) -> list[int]:
+        return sorted(self._tracks)
+
+    def id_ch_tuples(self) -> list[tuple[int, int]]:
+        return self.id_ch_tuples_from(self.all_ids())
+
+    def id_ch_tuples_from(self, id_list) -> list[tuple[int, int]]:
+        out = []
+        for track_id in id_list:
+            track = self._tracks.get(track_id)
+            if track is not None:
+                out.extend((track_id, ch) for ch in range(track.n_ch))
+        return out
+
+    def max_sr(self) -> int:
+        return max((t.sr for t in self._tracks.values()), default=0)
+
+    def construct_sr_win_nfft_set(self, ids, setting: SpecSetting) -> set[SrWinNfft]:
+        return {setting.calc_sr_win_nfft(self[track_id].sr) for track_id in ids}
+
+    def construct_all_sr_win_nfft_set(self, setting: SpecSetting) -> set[SrWinNfft]:
+        return self.construct_sr_win_nfft_set(self.all_ids(), setting)
+
+    @property
+    def is_empty(self) -> bool:
+        return not self._tracks
+
+    def has(self, track_id: int) -> bool:
+        return track_id in self._tracks
+
+    def get(self, track_id: int) -> AudioTrack | None:
+        return self._tracks.get(track_id)
+
+    def __getitem__(self, track_id: int) -> AudioTrack:
+        return self._tracks[track_id]
+
+    def find_id_by_path(self, path: str) -> int | None:
+        for track_id in sorted(self._tracks):
+            if self._tracks[track_id].is_path_same(path):
+                return track_id
+        return None
+
+    def filename(self, track_id: int) -> str:
+        return self._filenames.get(track_id, "")
+
+    def _update_filenames(self) -> None:
+        self._filenames = unique_filenames(
+            {track_id: str(t.path) for track_id, t in self._tracks.items()}
+        )
