@@ -1,0 +1,115 @@
+"""Benchmark: batched STFT+mel+dB+raster throughput and viewport tile latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The north-star target (BASELINE.json) is >=100x realtime batched STFT+raster
+per chip on 48 kHz stereo, p50 viewport tile < 5 ms.  vs_baseline is the
+realtime factor divided by the 100x target.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+
+import numpy as np
+
+
+def synth_stereo(sr: int, seconds: float, seed: int = 0) -> np.ndarray:
+    """Deterministic music-like stereo test signal (sample_48k.wav is
+    LFS-missing from the snapshot)."""
+    rng = np.random.default_rng(seed)
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    sig = np.zeros((2, n), np.float32)
+    for f, a in [(110, 0.2), (220, 0.15), (440, 0.1), (880, 0.07), (3520, 0.02)]:
+        ph = rng.uniform(0, 2 * np.pi, 2)[:, None]
+        vib = np.sin(2 * np.pi * 0.5 * t) * 0.01
+        sig += (a * np.sin(2 * np.pi * f * (t + vib)[None, :] + ph)).astype(np.float32)
+    sig += rng.normal(0, 0.01, (2, n)).astype(np.float32)
+    env = (0.5 + 0.5 * np.sin(2 * np.pi * 0.25 * t)).astype(np.float32)
+    return sig * env[None, :]
+
+
+def bench_spec_throughput(seconds: float = 120.0, reps: int = 5):
+    import jax
+
+    from thesia_tpu.dsp.framing import SpecSetting
+    from thesia_tpu.dsp.spectrogram import SpectrogramAnalyzer
+    from thesia_tpu.dsp.stft import stft_frame_count
+
+    sr = 48000
+    wavs = synth_stereo(sr, seconds)
+    setting = SpecSetting()  # 40 ms, 4x overlap, mel
+    analyzer = SpectrogramAnalyzer()
+    hop, win, n_fft = setting.calc_framing_params(sr)
+
+    # warmup/compile
+    spec = analyzer.calc_spec(wavs[0], sr, setting)
+    spec.block_until_ready()
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        specs = [analyzer.calc_spec(ch, sr, setting) for ch in wavs]
+        for s in specs:
+            s.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    audio_seconds = seconds  # stereo track of `seconds` (both channels together)
+    realtime_factor = audio_seconds / best
+    n_frames = stft_frame_count(wavs.shape[1], win, hop)
+    frames_per_sec = 2 * n_frames / best
+    return realtime_factor, frames_per_sec, specs[0]
+
+
+def bench_tile_latency(spec_db, reps: int = 40):
+    from thesia_tpu.render import (
+        RenderTileCache,
+        default_colormap_rgba8,
+        convert_spectrogram_to_img,
+        encode_waveform_tile,
+    )
+
+    img = convert_spectrogram_to_img(np.asarray(spec_db), (0, 128), (-100.0, 0.0), 258)
+    cache = RenderTileCache()
+    cache.set_colormap(default_colormap_rgba8())
+
+    lat = []
+    for i in range(reps):
+        lx = (i % 3)
+        t0 = time.perf_counter()
+        cache.spectrogram_tile(img, lx, 0, (i // 3) % 4, 0)
+        lat.append((time.perf_counter() - t0) * 1000)
+    spec_p50 = statistics.median(lat)
+
+    wav = synth_stereo(48000, 20.0)[0]
+    wlat = []
+    for i in range(reps):
+        lvl = i % 6
+        t0 = time.perf_counter()
+        encode_waveform_tile(wav, 1, lvl, 0)
+        wlat.append((time.perf_counter() - t0) * 1000)
+    wav_p50 = statistics.median(wlat)
+    return spec_p50, wav_p50
+
+
+def main():
+    realtime_factor, frames_per_sec, spec = bench_spec_throughput()
+    spec_tile_p50, wav_tile_p50 = bench_tile_latency(spec)
+    result = {
+        "metric": "stft_mel_raster_realtime_factor_48k_stereo",
+        "value": round(realtime_factor, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(realtime_factor / 100.0, 3),
+        "stft_frames_per_sec": round(frames_per_sec),
+        "spec_tile_p50_ms": round(spec_tile_p50, 3),
+        "waveform_tile_p50_ms": round(wav_tile_p50, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

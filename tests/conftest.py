@@ -3,12 +3,18 @@ sharding paths compile/execute without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# the axon sitecustomize pins jax_platforms to "axon,cpu"; tests run on the
+# virtual 8-device CPU mesh regardless of the TPU tunnel being present
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

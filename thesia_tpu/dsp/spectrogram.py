@@ -78,9 +78,13 @@ class SpectrogramAnalyzer:
     """
 
     def __init__(self, chunk_frames: int = DEFAULT_CHUNK_FRAMES):
+        from ..runtime import device_warmup
+
+        device_warmup()
         self.chunk_frames = chunk_frames
         self._dft: dict[tuple[int, int], tuple[jax.Array, jax.Array]] = {}
         self._mel_fbs: dict[tuple[int, int], jax.Array] = {}
+        self._host_bufs: dict[int, np.ndarray] = {}
 
     # -- lifecycle ---------------------------------------------------------
     def prepare(self, params, freq_scale: FreqScale) -> None:
@@ -137,8 +141,11 @@ class SpectrogramAnalyzer:
         pad = win // 2
         host_padded = reflect_pad_1d(wav, pad, pad)
         bucket = wav_size_bucket(host_padded.shape[-1])
-        buf = np.zeros(bucket, np.float32)
+        buf = self._host_bufs.get(bucket)
+        if buf is None:
+            buf = self._host_bufs[bucket] = np.zeros(bucket, np.float32)
         buf[: host_padded.shape[-1]] = host_padded
+        buf[host_padded.shape[-1] :] = 0.0
         padded_dev = jnp.asarray(buf)
 
         cw, sw = self._dft_mats(win, n_fft)
