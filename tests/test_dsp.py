@@ -102,7 +102,7 @@ def test_db_array_semantics():
 
 
 def test_calc_spec_shapes_and_silence():
-    analyzer = SpectrogramAnalyzer(chunk_frames=64)
+    analyzer = SpectrogramAnalyzer()
     sr = 8000
     s = SpecSetting()
     hop, win, n_fft = s.calc_framing_params(sr)
@@ -118,7 +118,7 @@ def test_calc_spec_shapes_and_silence():
 
 def test_calc_spec_sine_peak():
     # 1 kHz sine at sr 8000 -> linear spec should peak at bin k = 1000/ (sr/n_fft)
-    analyzer = SpectrogramAnalyzer(chunk_frames=128)
+    analyzer = SpectrogramAnalyzer()
     sr = 8000
     s = SpecSetting(freq_scale=FreqScale.Linear)
     hop, win, n_fft = s.calc_framing_params(sr)
@@ -128,3 +128,36 @@ def test_calc_spec_sine_peak():
     mid = spec[spec.shape[0] // 2]
     expected_bin = round(1000.0 / (sr / n_fft))
     assert abs(int(np.argmax(mid)) - expected_bin) <= 1
+
+
+def test_calc_spec_matches_reference_stft():
+    """Fused device path == frame-by-frame STFT + dB (semantics parity)."""
+    analyzer = SpectrogramAnalyzer()
+    sr = 8000
+    s = SpecSetting(freq_scale=FreqScale.Linear)
+    hop, win, n_fft = s.calc_framing_params(sr)
+    rng = np.random.default_rng(0)
+    wav = rng.uniform(-1, 1, 3001).astype(np.float32)
+    got = np.asarray(analyzer.calc_spec(wav, sr, s))
+    stft = perform_stft(wav, win, hop, n_fft)
+    expected = 20.0 * np.log10(np.maximum(np.abs(stft), 1e-30))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-4)
+
+
+def test_calc_spec_multi_channels_and_cache():
+    analyzer = SpectrogramAnalyzer()
+    sr = 8000
+    s = SpecSetting()
+    rng = np.random.default_rng(1)
+    wavs = rng.uniform(-1, 1, (2, 9000)).astype(np.float32)
+    res = analyzer.calc_spec_multi(wavs, sr, s, cache_key="k", token=1)
+    per_ch0 = np.asarray(analyzer.calc_spec(wavs[0], sr, s))
+    per_ch1 = np.asarray(analyzer.calc_spec(wavs[1], sr, s))
+    multi = np.asarray(res.db_padded)[:, : res.n_frames]
+    np.testing.assert_allclose(multi[0], per_ch0, atol=1e-4)
+    np.testing.assert_allclose(multi[1], per_ch1, atol=1e-4)
+    mn, mx = res.min_max_db()
+    assert abs(mn - multi.min()) < 1e-4 and abs(mx - multi.max()) < 1e-4
+    # cached upload: same token reuses device buffer
+    assert analyzer._wav_cache["k"][2] == 1

@@ -1,17 +1,26 @@
-"""Fused spectrogram pipeline: frames -> real-DFT matmul -> |.| -> mel GEMM -> dB.
+"""Fused spectrogram pipeline: pad -> frames -> DFT GEMMs -> |.| -> mel -> dB.
 
 TPU-first rework of the reference analyzer (reference:
 src-tauri/src/core/spectrogram.rs:101-253).  The reference caches windows,
-rustfft plans and mel filterbanks per parameter set and runs per-frame FFTs on
-a rayon pool; here each parameter set compiles ONE fused XLA program that
-processes a fixed-size chunk of frames entirely on the MXU/VPU, and the host
-loops chunks (dispatch is async, so chunks pipeline on device).
+rustfft plans and mel filterbanks per parameter set and runs per-frame FFTs
+on a rayon pool; here each parameter set compiles ONE fused XLA program that
+processes a whole track (all channels batched) on the MXU/VPU.
 
-Compilation-stability design (interactive viewers can't afford recompiles):
-  * chunk of frames is a fixed static size; the frame start offset is dynamic
-  * the device-resident wav buffer is padded to a geometric size bucket, so a
-    given (win, hop, n_fft, n_mel, wav_bucket) tuple compiles exactly once
-  * out-of-range gathers clamp; trailing garbage frames are sliced off
+Hot-path design (interactive viewers can't afford recompiles or chatty
+host<->device traffic over the TPU tunnel):
+
+  * raw waveforms live in a device-side cache, uploaded once per track into
+    geometric size buckets -> settings changes never re-upload audio;
+  * reflect padding is applied on device with dynamic-update-slices (the
+    pad amount depends on the window, the track length is a dynamic scalar);
+  * frames come from `t_overlap` shifted strided slices (win == hop *
+    t_overlap by construction) -> no general gather anywhere;
+  * the real DFT is two MXU matmuls against window-folded cos/sin matrices
+    (windowing + center zero-padding folded into the matrix rows);
+  * masked min/max over valid frames are computed inside the same program,
+    so the global dB-range pass needs only two scalars per track;
+  * compilation is keyed on (bucket, pad, hop, t_overlap, F) only — every
+    track length reuses the same executable.
 """
 
 from __future__ import annotations
@@ -28,7 +37,6 @@ from ..common.windows import WindowType, calc_normalized_win
 from .framing import SpecSetting, SrWinNfft
 from .stft import make_dft_matrices, reflect_pad_1d, stft_frame_count
 
-DEFAULT_CHUNK_FRAMES = 2048
 _WAV_BUCKET_BASE = 1 << 16
 
 
@@ -39,67 +47,106 @@ def wav_size_bucket(n: int) -> int:
     return b
 
 
+@functools.partial(jax.jit, static_argnames=("pad", "bucket"))
+def _build_padded(raw, n, *, pad: int, bucket: int):
+    """(C, B) raw (valid first n samples) -> (C, B) reflect-padded signal.
+
+    padded[:, pad + i] = raw[:, i]; padded[:, :pad] / [pad+n : pad+n+pad]
+    are the reflections.  Requires n > pad (short tracks take the host path).
+    """
+    c = raw.shape[0]
+    head = jnp.flip(jax.lax.dynamic_slice(raw, (0, 1), (c, pad)), axis=1)
+    tail = jnp.flip(jax.lax.dynamic_slice(raw, (0, n - pad - 1), (c, pad)), axis=1)
+    out = jnp.zeros((c, bucket), raw.dtype)
+    # slice the update so DUS never clamps the start offset
+    out = jax.lax.dynamic_update_slice(out, raw[:, : bucket - pad], (0, pad))
+    out = jax.lax.dynamic_update_slice(out, head, (0, 0))
+    out = jax.lax.dynamic_update_slice(out, tail, (0, pad + n))
+    return out
+
+
 @functools.partial(
-    jax.jit, static_argnames=("chunk_frames", "win_length", "hop_length", "use_mel")
+    jax.jit, static_argnames=("hop_length", "t_overlap", "use_mel", "bucket", "pad")
 )
-def _spec_chunk(
-    padded_wav,
-    t0,
-    cw,
-    sw,
-    mel_fb,
-    *,
-    chunk_frames: int,
-    win_length: int,
-    hop_length: int,
-    use_mel: bool,
-):
-    """One chunk of the fused pipeline. Returns (chunk_frames, F) dB values."""
-    starts = t0 * hop_length + jnp.arange(chunk_frames, dtype=jnp.int32) * hop_length
-    idx = starts[:, None] + jnp.arange(win_length, dtype=jnp.int32)[None, :]
-    frames = jnp.take(padded_wav, idx, mode="clip")
-    re = jnp.dot(frames, cw, precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(frames, sw, precision=jax.lax.Precision.HIGHEST)
+def _spec_full(raw, n, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
+               use_mel: bool, bucket: int, pad: int):
+    """Whole-track fused pipeline.
+
+    raw: (C, bucket) with the first n samples valid.  Returns
+    (db (C, T_max, F), min_db scalar, max_db scalar) where frames beyond the
+    valid count hold garbage excluded from min/max.
+    """
+    win_length = hop_length * t_overlap
+    padded = _build_padded(raw, n, pad=pad, bucket=bucket)
+    c = padded.shape[0]
+    t_max = (bucket - win_length) // hop_length + 1
+    t_blocks = t_max + t_overlap - 1
+    blocks = padded[:, : t_blocks * hop_length].reshape(c, t_blocks, hop_length)
+    frames = jnp.concatenate(
+        [blocks[:, i : i + t_max] for i in range(t_overlap)], axis=2
+    )  # (C, T_max, win)
+    re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=jax.lax.Precision.HIGHEST)
     mag = jnp.sqrt(re * re + im * im)
     if use_mel:
-        out = jnp.dot(mag, mel_fb, precision=jax.lax.Precision.HIGHEST)
+        out = jnp.einsum("ctf,fm->ctm", mag, mel_fb, precision=jax.lax.Precision.HIGHEST)
     else:
         out = mag
-    # dB from amplitude with amin=0 (decibel.rs:212): 0 -> -inf, negatives
-    # cannot occur here (mag >= 0, mel_fb >= 0).
-    return 20.0 * jnp.where(out > 0, jnp.log10(jnp.where(out > 0, out, 1.0)), -jnp.inf)
+    # dB from amplitude with amin=0 (decibel.rs:212): 0 -> -inf exactly
+    db = 20.0 * jnp.where(out > 0, jnp.log10(jnp.where(out > 0, out, 1.0)), -jnp.inf)
+    n_frames = (n + 2 * pad - win_length) // hop_length + 1
+    mask = (jnp.arange(t_max, dtype=jnp.int32) < n_frames)[None, :, None]
+    min_db = jnp.min(jnp.where(mask, db, jnp.inf))
+    max_db = jnp.max(jnp.where(mask, db, -jnp.inf))
+    return db, min_db, max_db
+
+
+class SpecResult:
+    """Device-resident spectrogram with lazily-fetched bounds."""
+
+    __slots__ = ("db_padded", "n_frames", "n_freq", "_min", "_max")
+
+    def __init__(self, db_padded, n_frames: int, min_db, max_db):
+        self.db_padded = db_padded
+        self.n_frames = n_frames
+        self.n_freq = db_padded.shape[-1]
+        self._min = min_db
+        self._max = max_db
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n_frames, self.n_freq)
+
+    def min_max_db(self) -> tuple[float, float]:
+        return float(self._min), float(self._max)
+
+    def to_numpy(self) -> np.ndarray:
+        """(n_frames, F) host array (single bulk transfer, sliced on host)."""
+        return np.asarray(self.db_padded)[0 if self.db_padded.ndim == 3 else ...]
+
+    def channel_numpy(self, ch: int) -> np.ndarray:
+        return np.asarray(self.db_padded[ch])[: self.n_frames]
 
 
 class SpectrogramAnalyzer:
-    """Caches per-parameter device constants and compiled pipelines.
+    """Caches device constants, compiled pipelines, and device-resident
+    waveforms.  reference lifecycle: spectrogram.rs:101-185."""
 
-    reference: src-tauri/src/core/spectrogram.rs:101-185 (prepare/retain
-    lifecycle), :187-212 (calc_spec semantics).
-    """
-
-    def __init__(self, chunk_frames: int = DEFAULT_CHUNK_FRAMES):
+    def __init__(self):
         from ..runtime import device_warmup
 
         device_warmup()
-        self.chunk_frames = chunk_frames
         self._dft: dict[tuple[int, int], tuple[jax.Array, jax.Array]] = {}
         self._mel_fbs: dict[tuple[int, int], jax.Array] = {}
-        self._host_bufs: dict[int, np.ndarray] = {}
+        self._wav_cache: dict[object, tuple[jax.Array, int]] = {}
 
     # -- lifecycle ---------------------------------------------------------
     def prepare(self, params, freq_scale: FreqScale) -> None:
         for p in params:
-            key = (p.win_length, p.n_fft)
-            if key not in self._dft:
-                window = calc_normalized_win(WindowType.Hann, p.win_length, p.n_fft)
-                n_pad_left = (p.n_fft - p.win_length) // 2
-                cw, sw = make_dft_matrices(window, p.n_fft, n_pad_left)
-                self._dft[key] = (jnp.asarray(cw), jnp.asarray(sw))
+            self._dft_mats(p.win_length, p.n_fft)
         if freq_scale is FreqScale.Mel:
             for p in params:
-                key = (p.sr, p.n_fft)
-                if key not in self._mel_fbs:
-                    self._mel_fbs[key] = jnp.asarray(calc_mel_fb_default(p.sr, p.n_fft))
+                self.mel_fb(p.sr, p.n_fft)
         else:
             self._mel_fbs.clear()
 
@@ -111,6 +158,12 @@ class SpectrogramAnalyzer:
             self._mel_fbs = {k: v for k, v in self._mel_fbs.items() if k in keep_sn}
         else:
             self._mel_fbs.clear()
+
+    def drop_wav(self, cache_key) -> None:
+        self._wav_cache.pop(cache_key, None)
+
+    def clear_wav_cache(self) -> None:
+        self._wav_cache.clear()
 
     def mel_fb(self, sr: int, n_fft: int) -> jax.Array:
         key = (sr, n_fft)
@@ -127,50 +180,88 @@ class SpectrogramAnalyzer:
             self._dft[key] = (jnp.asarray(cw), jnp.asarray(sw))
         return self._dft[key]
 
+    def _device_wav(self, wavs: np.ndarray, cache_key, token=None) -> tuple[jax.Array, int]:
+        """(C, bucket) device array + valid length; uploaded once per
+        (cache_key, token) — the token (e.g. id(audio)) invalidates the cached
+        upload when the track's samples change."""
+        if cache_key is not None:
+            hit = self._wav_cache.get(cache_key)
+            if hit is not None and hit[2] == token:
+                return hit[0], hit[1]
+        wavs = np.atleast_2d(np.asarray(wavs, np.float32))
+        n = wavs.shape[-1]
+        bucket = wav_size_bucket(n)
+        buf = np.zeros((wavs.shape[0], bucket), np.float32)
+        buf[:, :n] = wavs
+        dev = jnp.asarray(buf)
+        if cache_key is not None:
+            self._wav_cache[cache_key] = (dev, n, token)
+        return dev, n
+
     # -- compute -----------------------------------------------------------
-    def calc_spec(self, wav: np.ndarray, sr: int, setting: SpecSetting) -> jax.Array:
-        """dB spectrogram (n_frames, F); F = n_fft//2+1 (linear) or n_mel.
-
-        Returns a device array; convert with np.asarray for host use.
-        reference: src-tauri/src/core/spectrogram.rs:187-212.
-        """
+    def calc_spec_multi(
+        self, wavs: np.ndarray, sr: int, setting: SpecSetting, cache_key=None, token=None
+    ) -> SpecResult:
+        """All channels at once: (C, n) -> SpecResult with (C, T_max, F)."""
         hop, win, n_fft = setting.calc_framing_params(sr)
-        wav = np.asarray(wav, np.float32)
-        n = wav.shape[-1]
-        n_frames = stft_frame_count(n, win, hop)
+        wavs = np.atleast_2d(np.asarray(wavs, np.float32))
+        n = wavs.shape[-1]
         pad = win // 2
-        host_padded = reflect_pad_1d(wav, pad, pad)
-        bucket = wav_size_bucket(host_padded.shape[-1])
-        buf = self._host_bufs.get(bucket)
-        if buf is None:
-            buf = self._host_bufs[bucket] = np.zeros(bucket, np.float32)
-        buf[: host_padded.shape[-1]] = host_padded
-        buf[host_padded.shape[-1] :] = 0.0
-        padded_dev = jnp.asarray(buf)
-
-        cw, sw = self._dft_mats(win, n_fft)
+        n_frames = stft_frame_count(n, win, hop)
         use_mel = setting.freq_scale is FreqScale.Mel
+        cw, sw = self._dft_mats(win, n_fft)
         mel = self.mel_fb(sr, n_fft) if use_mel else jnp.zeros((1, 1), jnp.float32)
 
-        chunks = []
-        t0 = 0
-        while t0 < n_frames:
-            chunks.append(
-                _spec_chunk(
-                    padded_dev,
-                    jnp.int32(t0),
-                    cw,
-                    sw,
-                    mel,
-                    chunk_frames=self.chunk_frames,
-                    win_length=win,
-                    hop_length=hop,
-                    use_mel=use_mel,
-                )
-            )
-            t0 += self.chunk_frames
-        if not chunks:
-            f = mel.shape[1] if use_mel else n_fft // 2 + 1
-            return jnp.zeros((0, f), jnp.float32)
-        out = jnp.concatenate(chunks, axis=0)[:n_frames]
-        return out
+        if n <= pad + 1 or n < win:
+            # short-track path: host reflect-pad (cyclic) + same device math
+            return self._calc_short(wavs, hop, win, pad, cw, sw, mel, use_mel, n_frames)
+
+        raw_dev, n_dev = self._device_wav(wavs, cache_key, token)
+        bucket = raw_dev.shape[-1]
+        # padded signal needs room: pad + n + pad <= bucket
+        if pad + n_dev + pad > bucket:
+            bucket2 = wav_size_bucket(n_dev + 2 * pad)
+            buf = np.zeros((wavs.shape[0], bucket2), np.float32)
+            buf[:, :n_dev] = wavs
+            raw_dev = jnp.asarray(buf)
+            if cache_key is not None:
+                self._wav_cache[cache_key] = (raw_dev, n_dev, token)
+            bucket = bucket2
+        db, mn, mx = _spec_full(
+            raw_dev,
+            jnp.int32(n_dev),
+            cw,
+            sw,
+            mel,
+            hop_length=hop,
+            t_overlap=win // hop,
+            use_mel=use_mel,
+            bucket=bucket,
+            pad=pad,
+        )
+        return SpecResult(db, n_frames, mn, mx)
+
+    def _calc_short(self, wavs, hop, win, pad, cw, sw, mel, use_mel, n_frames):
+        padded = reflect_pad_1d(wavs, pad, pad)
+        t_overlap = win // hop
+        need = (max(n_frames - 1, 0)) * hop + win
+        if padded.shape[-1] < need:
+            padded = np.pad(padded, ((0, 0), (0, need - padded.shape[-1])))
+        frames = np.stack(
+            [padded[:, t * hop : t * hop + win] for t in range(max(n_frames, 1))], axis=1
+        ).astype(np.float32)
+        re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=jax.lax.Precision.HIGHEST)
+        im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=jax.lax.Precision.HIGHEST)
+        mag = jnp.sqrt(re * re + im * im)
+        out = (
+            jnp.einsum("ctf,fm->ctm", mag, mel, precision=jax.lax.Precision.HIGHEST)
+            if use_mel
+            else mag
+        )
+        db = 20.0 * jnp.where(out > 0, jnp.log10(jnp.where(out > 0, out, 1.0)), -jnp.inf)
+        return SpecResult(db, n_frames, jnp.min(db), jnp.max(db))
+
+    def calc_spec(self, wav: np.ndarray, sr: int, setting: SpecSetting, cache_key=None):
+        """Single-channel compatibility wrapper -> (n_frames, F) device array."""
+        res = self.calc_spec_multi(np.atleast_2d(wav), sr, setting, cache_key)
+        return res.db_padded[0, : res.n_frames]

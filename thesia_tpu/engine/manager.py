@@ -32,8 +32,10 @@ class TrackManager:
         self.db_range = 100.0
         self.colormap_length = 258
         self.spec_analyzer = SpectrogramAnalyzer()
-        self.specs: dict[IdCh, jnp.ndarray] = {}  # dB spectrograms (T, F), device
+        # per-track SpecResult covering all channels (device-resident)
+        self.specs: dict[int, object] = {}
         self.spec_imgs: dict[IdCh, np.ndarray] = {}  # u16 images (H, T)
+        self._spec_n_ch: dict[int, int] = {}
         self._no_spec_img_ids: set[int] = set()
 
     # -- lifecycle mirrors of the reference API ----------------------------
@@ -47,8 +49,10 @@ class TrackManager:
 
     def remove_tracks(self, tracklist: TrackList, removed_id_ch: list[IdCh]) -> None:
         for tup in removed_id_ch:
-            self.specs.pop(tup, None)
             self.spec_imgs.pop(tup, None)
+            self.specs.pop(tup[0], None)
+            self._spec_n_ch.pop(tup[0], None)
+            self.spec_analyzer.drop_wav(tup[0])
         self.spec_analyzer.retain(
             tracklist.construct_all_sr_win_nfft_set(self.setting), self.setting.freq_scale
         )
@@ -84,20 +88,24 @@ class TrackManager:
         if params is None:
             params = tracklist.construct_all_sr_win_nfft_set(self.setting)
         self.spec_analyzer.prepare(params, self.setting.freq_scale)
-        for track_id, ch in id_ch_tuples:
+        for track_id in sorted({t for t, _ in id_ch_tuples}):
             track = tracklist[track_id]
-            self.specs[(track_id, ch)] = self.spec_analyzer.calc_spec(
-                track.channel(ch), track.sr, self.setting
+            self.specs[track_id] = self.spec_analyzer.calc_spec_multi(
+                track.audio.wavs,
+                track.sr,
+                self.setting,
+                cache_key=track_id,
+                token=id(track.audio),
             )
+            self._spec_n_ch[track_id] = track.n_ch
 
     def _update_spec_imgs(self, tracklist: TrackList, force_update_all: bool) -> set[int]:
         """reference: mod.rs:168-230."""
         gmin, gmax = math.inf, -math.inf
-        for spec in self.specs.values():
-            if spec.size == 0:
+        for res in self.specs.values():
+            if res.n_frames == 0:
                 continue
-            smin = float(jnp.min(spec))
-            smax = float(jnp.max(spec))
+            smin, smax = res.min_max_db()
             gmin = min(gmin, smin)
             gmax = max(gmax, smax)
         gmax = min(gmax, 0.0)
@@ -125,14 +133,20 @@ class TrackManager:
         if ids_need_update:
             if need_update_all:
                 self.spec_imgs.clear()
-            for (track_id, ch), spec in self.specs.items():
+            for track_id, res in self.specs.items():
                 if track_id not in ids_need_update:
                     continue
                 sr = tracklist[track_id].sr
                 i_freq_range = self.setting.freq_scale.hz_range_to_idx(
-                    (0.0, self.max_sr / 2.0), sr, spec.shape[1]
+                    (0.0, self.max_sr / 2.0), sr, res.n_freq
                 )
-                self.spec_imgs[(track_id, ch)] = convert_spectrogram_to_img(
-                    np.asarray(spec), i_freq_range, (self.min_db, self.max_db), self.colormap_length
-                )
+                # one bulk transfer for all channels, sliced on host
+                host = np.asarray(res.db_padded)[:, : res.n_frames]
+                for ch in range(self._spec_n_ch.get(track_id, host.shape[0])):
+                    self.spec_imgs[(track_id, ch)] = convert_spectrogram_to_img(
+                        host[ch],
+                        i_freq_range,
+                        (self.min_db, self.max_db),
+                        self.colormap_length,
+                    )
         return ids_need_update
