@@ -81,9 +81,22 @@ class PerfectLimiter:
     def calc_gain_seq(self, wavs: np.ndarray) -> np.ndarray:
         """Gain sequence (latency-compensated), f64, shape (n_samples,).
 
-        wavs: (n_ch, n_samples).
+        wavs: (n_ch, n_samples).  Prefers the native streaming implementation
+        (bit-faithful fma/f64 sequencing); falls back to the vectorized
+        numpy formulation (same values to ~1e-9).
         """
         wavs = np.atleast_2d(np.asarray(wavs))
+        from .. import native
+
+        if native.available():
+            return native.limiter_gain_seq(
+                wavs.astype(np.float32),
+                self.sr,
+                self.threshold,
+                self.attack * 1000.0 / self.sr,
+                (self.hold_length - self.attack) * 1000.0 / self.sr,
+                self.release_samples * 1000.0 / self.sr,
+            )
         v = np.abs(wavs.astype(np.float64)).max(axis=0)
         # trailing `attack` zero frames for latency compensation -> raw gain 1
         v = np.concatenate([v, np.zeros(self.attack)])

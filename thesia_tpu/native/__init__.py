@@ -1,0 +1,182 @@
+"""Native extension loader: builds thesia_native.so on first use (g++ -O3),
+caches next to the source, exposes ctypes bindings.
+
+Everything here has a pure-Python fallback; `available()` reports whether the
+native path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "thesia_native.cpp")
+_SO = os.path.join(_HERE, "libthesia_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "-o", _SO, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        need_build = not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        )
+        if need_build and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+
+        c = ctypes
+        lib.lanczos3_crop_resize_u16.argtypes = [
+            c.POINTER(c.c_uint16), c.c_int, c.c_int,
+            c.c_double, c.c_double, c.c_double, c.c_double,
+            c.c_int, c.c_int, c.POINTER(c.c_uint16),
+        ]
+        lib.spectrogram_tile_rgba.argtypes = [
+            c.POINTER(c.c_uint16), c.c_int, c.c_int,
+            c.c_double, c.c_double, c.c_double, c.c_double,
+            c.c_int, c.c_int, c.POINTER(c.c_uint8), c.c_int,
+            c.POINTER(c.c_uint8),
+        ]
+        lib.waveform_bin_stats.argtypes = [
+            c.POINTER(c.c_float), c.c_int64, c.c_int64, c.c_int64, c.c_int64,
+            c.POINTER(c.c_float),
+        ]
+        lib.limiter_gain_seq.argtypes = [
+            c.POINTER(c.c_float), c.c_int64, c.c_int64, c.c_uint32,
+            c.c_double, c.c_double, c.c_double, c.c_double,
+            c.POINTER(c.c_double),
+        ]
+        lib.limiter_apply.argtypes = [
+            c.POINTER(c.c_float), c.c_int64, c.c_int64, c.POINTER(c.c_double),
+        ]
+        lib.flac_decode.argtypes = [
+            c.POINTER(c.c_uint8), c.c_size_t, c.POINTER(c.POINTER(c.c_float)),
+            c.POINTER(c.c_uint32), c.POINTER(c.c_uint32),
+            c.POINTER(c.c_uint64), c.POINTER(c.c_uint32),
+        ]
+        lib.flac_decode.restype = c.c_int
+        lib.thesia_free.argtypes = [c.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def lanczos3_crop_resize_u16(src: np.ndarray, crop, dst_w: int, dst_h: int):
+    lib = _load()
+    assert lib is not None
+    src = np.ascontiguousarray(src, np.uint16)
+    dst = np.empty((dst_h, dst_w), np.uint16)
+    left, top, right, bottom = crop
+    lib.lanczos3_crop_resize_u16(
+        _ptr(src, ctypes.c_uint16), src.shape[0], src.shape[1],
+        left, top, right, bottom, dst_w, dst_h, _ptr(dst, ctypes.c_uint16),
+    )
+    return dst
+
+
+def spectrogram_tile_rgba(
+    spec: np.ndarray, crop, width: int, height: int, colormap_rgba: np.ndarray
+) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    spec = np.ascontiguousarray(spec, np.uint16)
+    cm = np.ascontiguousarray(colormap_rgba, np.uint8)
+    out = np.empty(height * width * 4, np.uint8)
+    left, top, right, bottom = crop
+    lib.spectrogram_tile_rgba(
+        _ptr(spec, ctypes.c_uint16), spec.shape[0], spec.shape[1],
+        left, top, right, bottom, width, height,
+        _ptr(cm, ctypes.c_uint8), cm.shape[0], _ptr(out, ctypes.c_uint8),
+    )
+    return out
+
+
+def waveform_bin_stats(wav: np.ndarray, start: int, end: int, spb: int, bin_count: int):
+    lib = _load()
+    assert lib is not None
+    wav = np.ascontiguousarray(wav, np.float32)
+    out = np.empty((bin_count, 3), np.float32)
+    lib.waveform_bin_stats(
+        _ptr(wav, ctypes.c_float), start, end, spb, bin_count, _ptr(out, ctypes.c_float)
+    )
+    return out
+
+
+def limiter_gain_seq(
+    wavs: np.ndarray, sr: int, threshold=1.0, attack_ms=5.0, hold_ms=15.0, release_ms=40.0
+) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    wavs = np.ascontiguousarray(np.atleast_2d(wavs), np.float32)
+    n_ch, n = wavs.shape
+    out = np.empty(n, np.float64)
+    lib.limiter_gain_seq(
+        _ptr(wavs, ctypes.c_float), n_ch, n, sr,
+        threshold, attack_ms, hold_ms, release_ms, _ptr(out, ctypes.c_double),
+    )
+    return out
+
+
+def limiter_apply(wavs: np.ndarray, gain: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    wavs = np.ascontiguousarray(np.atleast_2d(wavs), np.float32)
+    gain = np.ascontiguousarray(gain, np.float64)
+    lib.limiter_apply(_ptr(wavs, ctypes.c_float), wavs.shape[0], wavs.shape[1], _ptr(gain, ctypes.c_double))
+    return wavs
+
+
+def flac_decode(data: bytes):
+    """-> (planar f32 (n_ch, n), sr, bits). Raises ValueError on failure."""
+    lib = _load()
+    assert lib is not None
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out = ctypes.POINTER(ctypes.c_float)()
+    sr = ctypes.c_uint32()
+    n_ch = ctypes.c_uint32()
+    n = ctypes.c_uint64()
+    bps = ctypes.c_uint32()
+    rc = lib.flac_decode(
+        ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.byref(out), ctypes.byref(sr), ctypes.byref(n_ch),
+        ctypes.byref(n), ctypes.byref(bps),
+    )
+    if rc != 0:
+        raise ValueError(f"flac decode failed (code {rc})")
+    count = n.value * n_ch.value
+    arr = np.ctypeslib.as_array(out, shape=(count,)).reshape(n_ch.value, n.value).copy()
+    lib.thesia_free(out)
+    return arr, sr.value, bps.value

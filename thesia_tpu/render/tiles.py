@@ -64,6 +64,15 @@ def encode_waveform_tile(wav: np.ndarray, revision: int, level: int, tile_index:
     )
     if bin_count == 0:
         return header
+
+    from .. import native
+
+    if native.available():
+        body = native.waveform_bin_stats(
+            np.ascontiguousarray(wav, np.float32), start, end, spb, bin_count
+        ).astype("<f4")
+        return header + body.tobytes()
+
     mins, maxs, means = waveform_bin_stats(wav, start, end, spb)
     body = np.empty((bin_count, 3), "<f4")
     body[:, 0] = mins
@@ -118,10 +127,19 @@ def encode_spectrogram_tile(
     top = origin_y * src_h / lod_height
     right = (origin_x + width) * src_w / lod_width
     bottom = (origin_y + height) * src_h / lod_height
+
+    from .. import native
+
+    if native.available():
+        rgba_bytes = native.spectrogram_tile_rgba(
+            spectrogram, (left, top, right, bottom), width, height,
+            np.ascontiguousarray(colormap_rgba),
+        )
+        return header + rgba_bytes.tobytes()
+
     lod_pixels = lanczos3_crop_resize_u16(
         spectrogram, (left, top, right, bottom), width, height
     )
-
     n_colors = colormap_rgba.shape[0]
     if n_colors <= 1:
         color_index = np.zeros_like(lod_pixels, np.int64)
