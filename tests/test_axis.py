@@ -1,0 +1,197 @@
+"""Axis marker golden tests.
+
+Goldens from reference: src-wasm/src/axis.rs:656-845.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from thesia_tpu.axis import (
+    calc_amp_axis_markers,
+    calc_db_axis_markers,
+    calc_freq_axis_markers,
+    calc_time_axis_markers,
+    format_frequency_axis_tooltip,
+    format_linear_axis_tooltip,
+    format_number_label,
+    format_time_axis_tooltip,
+    freq_label_to_hz,
+    sec_to_label,
+    time_label_to_sec,
+)
+from thesia_tpu.common.freqscale import FreqScale
+from thesia_tpu.common.melscale import MIN_LOG_MEL, hz_to_mel
+
+I32_MIN = -2147483648
+
+
+def assert_axis_eq(got, expected):
+    assert len(got) == len(expected), f"{got} vs {expected}"
+    for (y0, s0), (y1, s1) in zip(got, expected):
+        assert abs(y0 - y1) < 2e-7, f"{got} vs {expected}"
+        assert s0 == s1, f"{got} vs {expected}"
+
+
+def test_sec_to_label_floor():
+    assert sec_to_label(1.999) == "00:00:01.999"
+    assert sec_to_label(1.9991) == "00:00:01.999"
+    assert sec_to_label(1.9999) == "00:00:01.999"
+    assert sec_to_label(2.0 - 2.220446049250313e-16) == "00:00:01.999"
+    assert sec_to_label(2.0) == "00:00:02.000"
+
+
+def test_time_axis():
+    assert_axis_eq(
+        calc_time_axis_markers(1.999, 2.0015, 0.0005, 1, 59.0),
+        [
+            (-0.2, "1.998"),
+            (0.0, "1.999"),
+            (0.2, "1.999"),
+            (0.4, "2"),
+            (0.6, "2"),
+            (0.8, "2.001"),
+            (I32_MIN, "ss.xxx"),
+        ],
+    )
+    assert_axis_eq(
+        calc_time_axis_markers(1.999, 2.001, 0.001, 1, 60.0),
+        [
+            (-0.5, "00:01.998"),
+            (0.0, "00:01.999"),
+            (0.5, "00:02"),
+            (I32_MIN, "mm:ss.xxx"),
+        ],
+    )
+
+
+def mel(hz):
+    return float(hz_to_mel(np.float32(hz)))
+
+
+def test_freq_axis():
+    assert_axis_eq(
+        calc_freq_axis_markers((0.0, 12000.0), FreqScale.Linear, 2, 2),
+        [(1.0, "0"), (0.0, "12k")],
+    )
+    assert_axis_eq(
+        calc_freq_axis_markers((0.0, 12000.0), FreqScale.Linear, 8, 8),
+        [
+            (1.0, "0"),
+            (5 / 6, "2k"),
+            (4 / 6, "4k"),
+            (3 / 6, "6k"),
+            (2 / 6, "8k"),
+            (1 / 6, "10k"),
+            (0.0, "12k"),
+        ],
+    )
+    assert_axis_eq(
+        calc_freq_axis_markers((0.0, 12000.0), FreqScale.Linear, 24, 24)[:3],
+        [(1.0, "0"), (11 / 12, "1k"), (10 / 12, "2k")],
+    )
+    assert_axis_eq(
+        calc_freq_axis_markers((0.0, 12000.0), FreqScale.Linear, 25, 25)[:3],
+        [(1.0, "0"), (23 / 24, "500"), (22 / 24, "1k")],
+    )
+    assert_axis_eq(
+        calc_freq_axis_markers((0.0, 11025.0), FreqScale.Linear, 24, 24)[20:],
+        [
+            (1.0 - 10000.0 / 11025.0, "10k"),
+            (1.0 - 10500.0 / 11025.0, "10.5k"),
+            (0.0, "11.025k"),
+        ],
+    )
+    assert_axis_eq(
+        calc_freq_axis_markers((0.0, 12000.0), FreqScale.Mel, 2, 2),
+        [(1.0, "0"), (0.0, "12k")],
+    )
+    assert_axis_eq(
+        calc_freq_axis_markers((0.0, 12000.0), FreqScale.Mel, 3, 3),
+        [(1.0, "0"), (1.0 - MIN_LOG_MEL / mel(12000), "1k"), (0.0, "12k")],
+    )
+    assert_axis_eq(
+        calc_freq_axis_markers((0.0, 1500.0), FreqScale.Mel, 4, 4),
+        [
+            (1.0, "0"),
+            (1.0 - mel(500) / mel(1500), "500"),
+            (1.0 - MIN_LOG_MEL / mel(1500), "1k"),
+            (0.0, "1.5k"),
+        ],
+    )
+    assert_axis_eq(
+        calc_freq_axis_markers((0.0, 12000.0), FreqScale.Mel, 8, 8),
+        [
+            (1.0, "0"),
+            (1.0 - mel(500) / mel(12000), "500"),
+            (1.0 - MIN_LOG_MEL / mel(12000), "1k"),
+            (1.0 - mel(2000) / mel(12000), "2k"),
+            (1.0 - mel(4000) / mel(12000), "4k"),
+            (1.0 - mel(8000) / mel(12000), "8k"),
+            (0.0, "12k"),
+        ],
+    )
+    assert_axis_eq(
+        calc_freq_axis_markers((0.0, 48000.0), FreqScale.Mel, 6, 6),
+        [
+            (1.0, "0"),
+            (1.0 - MIN_LOG_MEL / mel(48000), "1k"),
+            (1.0 - mel(4000) / mel(48000), "4k"),
+            (1.0 - mel(16000) / mel(48000), "16k"),
+            (0.0, "48k"),
+        ],
+    )
+
+
+def test_db_axis():
+    assert_axis_eq(
+        calc_db_axis_markers(2, 2, (-100.0, 0.0)), [(0.0, "0"), (1.0, "-100")]
+    )
+    assert_axis_eq(
+        calc_db_axis_markers(3, 3, (-12.0, 0.0)),
+        [(0.0, "0"), (-5.0 / -12.0, "-5"), (-10.0 / -12.0, "-10")],
+    )
+    assert_axis_eq(
+        calc_db_axis_markers(3, 3, (-2.0, -1.1)),
+        [((-1.5 + 1.1) / (-2.0 + 1.1), "-1.5"), (1.0, "-2.0")],
+    )
+    assert_axis_eq(calc_db_axis_markers(2, 2, (-math.inf, -math.inf)), [(1.0, "-∞")])
+    assert_axis_eq(calc_db_axis_markers(2, 2, (-360.0, -360.0)), [(1.0, "-360")])
+
+
+def test_amp_axis():
+    assert_axis_eq(
+        calc_amp_axis_markers(5, 3, (-1.0, 1.0)),
+        [(0.0, "1.0"), (0.25, "0.5"), (0.5, "0"), (0.75, "-0.5"), (1.0, "-1.0")],
+    )
+
+
+def test_label_parsing():
+    assert abs(time_label_to_sec("2.125") - 2.125) < 1e-12
+    assert abs(time_label_to_sec("1:02.5") - 62.5) < 1e-12
+    assert abs(time_label_to_sec("01:02:03.25") - 3723.25) < 1e-12
+    with pytest.raises(ValueError):
+        time_label_to_sec("1:2:3:4")
+
+    assert freq_label_to_hz("500") == 500.0
+    assert freq_label_to_hz("1k") == 1000.0
+    assert freq_label_to_hz("1K5") == 1500.0
+    assert freq_label_to_hz("10.5k") == 10500.0
+    for bad in ("k1", "-1", "1kK"):
+        with pytest.raises(ValueError):
+            freq_label_to_hz(bad)
+
+
+def test_tooltips():
+    assert format_time_axis_tooltip(62.125, "mm:ss.xxx") == "01:02.125"
+    assert format_time_axis_tooltip(2.0, "ss.xxx") == "2.000"
+    assert format_time_axis_tooltip(2.1, "ss.xx") == "2.10"
+    assert format_frequency_axis_tooltip(12345.0, 10.0) == "12.35k"
+    assert format_frequency_axis_tooltip(440.25, 0.1) == "440.2"
+    assert format_linear_axis_tooltip(0.0012, 0.0001, 0.001, 9) == "1.2e-3"
+    assert format_linear_axis_tooltip(1.234, 0.01, 0.1, 9) == "1.23"
+    assert format_linear_axis_tooltip(-math.inf, 1.0, math.nan, 9) == "-∞"
+    assert format_number_label(-12.345, 2) == "-12.35"
+    assert format_number_label(0.0, 2) == "0.00"
+    assert format_number_label(-math.inf, 2) == "-∞"

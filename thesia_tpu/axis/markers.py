@@ -1,0 +1,467 @@
+"""Axis tick/label computation for time, frequency, amplitude and dB axes.
+
+Port of the reference's WASM axis module semantics (reference:
+src-wasm/src/axis.rs) — the viewer calls these over the service API instead
+of a WASM module.  Markers are (position, label) pairs; position is a 0..1
+fraction along the axis (time axis: fraction of the visible range; the final
+element is a sentinel (i32::MIN, format_display)).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..common.freqscale import FreqScale
+from ..common.melscale import MEL_DIFF_2K_1K, MIN_LOG_MEL, hz_to_mel, mel_to_hz
+
+POSSIBLE_TEN_UNITS = [10, 20, 50, 100]
+I32_MIN = -2147483648
+
+
+# ---------------------------------------------------------------------------
+# Rust-compatible float formatting helpers
+
+
+def _rust_display_f32(value: float) -> str:
+    """Rust's `{}` for f32: shortest decimal that round-trips f32;
+    integer-valued floats print without a decimal point."""
+    v32 = np.float32(value)
+    if np.isnan(v32):
+        return "NaN"
+    if np.isinf(v32):
+        return "inf" if v32 > 0 else "-inf"
+    # shortest positional decimal that round-trips f32 (Rust Display never
+    # switches to scientific notation)
+    s = np.format_float_positional(v32, unique=True, trim="-")
+    if s.endswith("."):
+        s = s[:-1]
+    return s
+
+
+def _rust_exp_format(value: float, precision: int | None) -> str:
+    """Rust `{:e}` / `{:.*e}`: mantissa 'e' exponent, exponent unpadded and
+    unsigned when positive."""
+    if value == 0.0:
+        mant, exp = 0.0, 0
+    else:
+        exp = math.floor(math.log10(abs(value)))
+        mant = value / 10.0**exp
+        # correct boundary drift
+        if abs(mant) >= 10.0:
+            mant /= 10.0
+            exp += 1
+        elif abs(mant) < 1.0:
+            mant *= 10.0
+            exp -= 1
+    if precision is None:
+        m = _rust_display_f32(mant)
+    else:
+        m = f"{mant:.{precision}f}"
+    return f"{m}e{exp}"
+
+
+def _format_non_finite(value: float) -> str:
+    if value == math.inf:
+        return "+∞"
+    if value == -math.inf:
+        return "-∞"
+    return "nan"
+
+
+def _uses_scientific(exponent: int, unit_exponent: int | None) -> bool:
+    return exponent <= -3 or (
+        exponent > 3 and (unit_exponent is None or unit_exponent > 0)
+    )
+
+
+def format_ticklabel(value: float, unit_exponent: int | None = None) -> str:
+    """reference: axis.rs:497-523."""
+    if value == 0.0:
+        return "0"
+    if not math.isfinite(value):
+        return _format_non_finite(value)
+    exponent = math.floor(math.log10(abs(value)))
+    if unit_exponent is not None:
+        rounded = (
+            _round_half_away(value * 10.0 ** (-unit_exponent)) * 10.0**unit_exponent
+        )
+        n_effs = max(exponent - unit_exponent, 0)
+        if _uses_scientific(exponent, unit_exponent):
+            return _rust_exp_format(rounded, n_effs)
+        return f"{rounded:.{max(-unit_exponent, 0)}f}"
+    if _uses_scientific(exponent, None):
+        return _rust_exp_format(float(np.float32(value)), None)
+    return _rust_display_f32(value)
+
+
+def _round_half_away(x: float) -> float:
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Time axis
+
+
+def _format_hms(sec_u32: int, milli: int, hms_format: str, milli_format: str) -> str:
+    h = sec_u32 // 3600
+    m = sec_u32 // 60 % 60
+    s = sec_u32 % 60
+    if hms_format == "%H:%M:%S":
+        out = f"{h:02}:{m:02}:{s:02}"
+    elif hms_format == "%M:%S":
+        out = f"{m:02}:{s:02}"
+    else:
+        out = f"{s:02}"
+    if milli_format:
+        out += f".{milli:03}"
+    return out
+
+
+def calc_time_axis_markers(
+    start_sec: float, end_sec: float, tick_unit: float, label_interval: int, max_sec: float
+) -> list[tuple[float, str]]:
+    """reference: axis.rs:36-107."""
+    assert start_sec <= end_sec and label_interval > 0
+    first_unit = max(math.ceil(start_sec / tick_unit) - label_interval, 0)
+    last_unit = math.ceil(end_sec / tick_unit)
+    label_unit = tick_unit * label_interval
+    if max_sec > 3599.0:
+        hms_format, hms_display = "%H:%M:%S", "hh:mm:ss"
+    elif max_sec > 59.0:
+        hms_format, hms_display = "%M:%S", "mm:ss"
+    else:
+        hms_format, hms_display = "%S", "ss"
+    if label_unit > 0.999:
+        milli_format, milli_display, n_mod = "", "", 1
+    else:
+        milli_format = "%.3f"
+        if label_unit > 0.099:
+            n_mod, milli_display = 100, ".x"
+        elif label_unit > 0.009:
+            n_mod, milli_display = 10, ".xx"
+        else:
+            n_mod, milli_display = 1, ".xxx"
+
+    out: list[tuple[float, str]] = []
+    for unit in range(first_unit, last_unit):
+        sec = unit * tick_unit
+        x = float(np.float32((sec - start_sec) / (end_sec - start_sec)))
+        if unit % label_interval > 0:
+            out.append((x, ""))
+            continue
+        sec_floor = int(math.floor(sec))
+        milli = int(math.floor(sec * 1000.0)) - sec_floor * 1000
+        sec_u32 = sec_floor + milli // 1000
+        milli = milli - milli // 1000 * 1000
+        milli_q = 0 if not milli_format else milli // n_mod * n_mod
+        s = _format_hms(sec_u32, milli_q, hms_format, milli_format)
+        if hms_format == "%S" and sec_u32 < 10:
+            s = s.replace("0", "", 1)
+        if milli_format:
+            s = s.rstrip("0").rstrip(".")
+        out.append((x, s))
+    out.append((float(np.float32(I32_MIN)), hms_display + milli_display))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Frequency axis
+
+
+def hz_to_label(freq: float) -> str:
+    """reference: axis.rs:362-379."""
+    freq = max(_round_half_away(float(freq)), 0.0)
+    freq_int = int(freq)
+    if freq >= 1000.0:
+        if freq_int % 1000 == 0:
+            return f"{freq_int // 1000}k"
+        if freq_int % 100 == 0:
+            return f"{freq / 1000.0:.1f}k"
+        if freq_int % 10 == 0:
+            return f"{freq / 1000.0:.2f}k"
+        return f"{freq / 1000.0:.3f}k"
+    return f"{freq_int}"
+
+
+def freq_label_to_hz(label: str) -> float:
+    """Accepts '500', '1k', '1K5', '10.5k'. reference: axis.rs:390-413."""
+    label = label.strip()
+    low_up = label.lower()
+    if (
+        label.startswith(("k", "-k", "K", "-K", "."))
+        or ("k" in label and "K" in label)
+    ):
+        raise ValueError(f"invalid frequency label: {label}")
+    if label.endswith(("k", "K")):
+        value = float(label[:-1]) * 1000.0
+    elif ("k" in label or "K" in label) and "." not in label:
+        value = float(label.replace("k", ".").replace("K", ".")) * 1000.0
+    else:
+        value = float(label)
+    if not value >= 0.0:
+        raise ValueError(f"negative frequency: {label}")
+    return value
+
+
+def _coarse_band(fine_band: float) -> float:
+    if fine_band <= 100.0:
+        return 100.0
+    if fine_band <= 200.0:
+        return 200.0
+    if fine_band <= 500.0:
+        return 500.0
+    return math.ceil(fine_band / 1000.0) * 1000.0
+
+
+def calc_freq_axis_markers(
+    hz_range: tuple[float, float],
+    freq_scale: FreqScale,
+    max_num_ticks: int,
+    max_num_labels: int,
+    max_track_hz: float | None = None,
+) -> list[tuple[float, str]]:
+    """reference: axis.rs:132-218."""
+    if max_track_hz is not None:
+        hz_range = (hz_range[0], min(hz_range[1], max_track_hz))
+    assert hz_range[0] < hz_range[1]
+    result: list[tuple[float, str]] = [(1.0, hz_to_label(hz_range[0]))]
+
+    if max_num_ticks >= 3:
+        if freq_scale is FreqScale.Mel and hz_range[1] > 1000.0:
+            min_mel = float(hz_to_mel(np.float32(hz_range[0])))
+            max_mel = float(hz_to_mel(np.float32(hz_range[1])))
+            mel_interval = max_mel - min_mel
+            mel_to_pos = lambda m: float(np.float32((max_mel - m) / mel_interval))
+            mel_1k = float(MIN_LOG_MEL)
+            fine_band_mel = mel_interval / (max_num_ticks - 1.0)
+            if hz_range[0] < 1000.0:
+                fine_band = float(mel_to_hz(np.float32(fine_band_mel)))
+                if max_num_ticks >= 4 and fine_band_mel <= mel_1k / 2.0:
+                    band = _coarse_band(fine_band)
+                    freq = band
+                    max_minus_band = 1000.0 - fine_band * 0.66
+                    while freq < max_minus_band:
+                        if freq > hz_range[0] + fine_band * 0.66:
+                            result.append(
+                                (mel_to_pos(float(hz_to_mel(np.float32(freq)))), hz_to_label(freq))
+                            )
+                        freq += band
+                if hz_range[0] > fine_band * 0.33 and 1000.0 <= hz_range[0] + fine_band * 0.66:
+                    result.pop()
+                result.append((mel_to_pos(mel_1k), hz_to_label(1000.0)))
+            if max_num_ticks - len(result) > 1:
+                ratio_step = 2 ** int(max(math.ceil(fine_band_mel / MEL_DIFF_2K_1K), 1.0))
+                freq = ratio_step * 1000.0
+                mel_f = float(hz_to_mel(np.float32(freq)))
+                max_mel_minus_band = max_mel - fine_band_mel * 0.66
+                while mel_f < max_mel_minus_band:
+                    if mel_f > min_mel + fine_band_mel * 0.66:
+                        result.append((mel_to_pos(mel_f), hz_to_label(freq)))
+                    freq *= ratio_step
+                    mel_f = float(hz_to_mel(np.float32(freq)))
+        else:
+            hz_interval = hz_range[1] - hz_range[0]
+            fine_band = hz_interval / (max_num_ticks - 1.0)
+            band = _coarse_band(fine_band)
+            freq = band
+            while freq < hz_range[1] - fine_band * 0.66:
+                if freq > hz_range[0] + fine_band * 0.66:
+                    result.append(
+                        (float(np.float32((hz_range[1] - freq) / hz_interval)), hz_to_label(freq))
+                    )
+                freq += band
+
+    result.append((0.0, hz_to_label(hz_range[1])))
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Linear / amp / dB axes
+
+
+def _calc_linear_axis(lo: float, hi: float, max_num_ticks: int) -> list[tuple[float, str]]:
+    """reference: axis.rs:451-480."""
+    if max_num_ticks == 2 or lo == -math.inf or hi == math.inf:
+        return [(0.0, format_ticklabel(hi)), (1.0, format_ticklabel(lo))]
+    raw_unit = (hi - lo) / (max_num_ticks - 1)
+    unit_exponent = math.floor(math.log10(raw_unit))
+    chosen = None
+    for x in POSSIBLE_TEN_UNITS:
+        unit = float(np.float32(x * 10.0 ** (unit_exponent - 1)))
+        min_i = math.ceil(np.float32(lo) / np.float32(unit))
+        max_i = math.floor(np.float32(hi) / np.float32(unit))
+        if max_i + 1 - min_i <= max_num_ticks:
+            chosen = (x, unit, min_i, max_i)
+            break
+    ten_unit, unit, min_i, max_i = chosen
+    if ten_unit == 100:
+        unit_exponent += 1
+    out = []
+    for i in range(max_i, min_i - 1, -1):
+        value = float(np.float32(i * np.float32(unit)))
+        y_ratio = float(np.float32((hi - value) / (hi - lo)))
+        out.append((y_ratio, format_ticklabel(value, unit_exponent)))
+    return out
+
+
+def _omit_labels(markers, max_num_labels: int):
+    """reference: axis.rs:482-495."""
+    n = len(markers)
+    n_mod = -(-n // max_num_labels)
+    out = []
+    for i, (y, s) in enumerate(markers):
+        if (i % n_mod == 0 and (n - 1 - i) >= n_mod) or i == n - 1:
+            out.append((y, s))
+        else:
+            out.append((y, ""))
+    return out
+
+
+def calc_amp_axis_markers(
+    max_num_ticks: int, max_num_labels: int, amp_range: tuple[float, float]
+) -> list[tuple[float, str]]:
+    """Symmetric around 0. reference: axis.rs:239-284."""
+    assert amp_range[1] > amp_range[0]
+    assert max_num_ticks >= 3
+    if not math.isclose(amp_range[0], -amp_range[1], abs_tol=1.2e-7):
+        raise NotImplementedError("amp axis must be symmetric")
+    if max_num_ticks % 2 != 1:
+        raise NotImplementedError("amp axis needs an odd tick count")
+    n_ticks_half = (max_num_ticks - 1) // 2
+    half_to_amp0 = _calc_linear_axis(0.0, amp_range[1], n_ticks_half + 1)
+    half_from_amp0 = _omit_labels(list(reversed(half_to_amp0)), max_num_labels)
+    positive = [(y / 2.0, s) for y, s in reversed(half_from_amp0)]
+    negative = [
+        (1.0 - y / 2.0, f"-{s}" if s else "") for y, s in half_from_amp0[1:]
+    ]
+    return positive + negative
+
+
+def calc_db_axis_markers(
+    max_num_ticks: int, max_num_labels: int, db_range: tuple[float, float]
+) -> list[tuple[float, str]]:
+    """reference: axis.rs:307-322."""
+    if math.isnan(db_range[0]) or math.isnan(db_range[1]):
+        return []
+    if db_range[0] == db_range[1]:
+        return [(1.0, format_ticklabel(db_range[1]))]
+    assert max_num_ticks >= 2
+    axis = _calc_linear_axis(db_range[0], db_range[1], max_num_ticks)
+    return _omit_labels(axis, max_num_labels)
+
+
+# ---------------------------------------------------------------------------
+# Label/position converters & tooltips
+
+
+def sec_to_label(sec: float) -> str:
+    """Floor-to-ms HH:MM:SS.mmm. reference: axis.rs:325-335."""
+    sec_floor = int(math.floor(sec))
+    milli = int(math.floor(sec * 1000.0 - sec_floor * 1000))
+    sec_u32 = sec_floor + milli // 1000
+    milli = milli - milli // 1000 * 1000
+    h, m, s = sec_u32 // 3600, sec_u32 // 60 % 60, sec_u32 % 60
+    return f"{h:02}:{m:02}:{s:02}.{milli:03}"
+
+
+def time_label_to_sec(label: str) -> float:
+    """[hh:][mm:]ss.fff. reference: axis.rs:342-360."""
+    parts = label.strip().split(":")[::-1]
+    if len(parts) > 3:
+        raise ValueError(f"invalid time label: {label}")
+    total = float(parts[0])
+    for i, p in enumerate(parts[1:], start=1):
+        total += int(p) * 60.0**i
+    return total
+
+
+def freq_pos_to_hz(
+    freq_scale: FreqScale, y: float, height: int, hz_range: tuple[float, float],
+    max_track_hz: float,
+) -> float:
+    assert height >= 1
+    hz_range = (hz_range[0], min(hz_range[1], max_track_hz))
+    rel = 1.0 - y / height
+    return freq_scale.relative_freq_to_hz(rel, hz_range)
+
+
+def freq_hz_to_pos(
+    freq_scale: FreqScale, hz: float, height: int, hz_range: tuple[float, float],
+    max_track_hz: float,
+) -> float:
+    assert height >= 1
+    hz_range = (hz_range[0], min(hz_range[1], max_track_hz))
+    rel = freq_scale.hz_to_relative_freq(hz, hz_range)
+    return (1.0 - rel) * height
+
+
+def _fraction_digits_for_resolution(resolution: float, max_fraction_digits: int) -> int:
+    if not math.isfinite(resolution) or resolution <= 0.0:
+        return 0
+    return min(max(math.ceil(-math.log10(resolution)), 0), max_fraction_digits)
+
+
+def _normalize_tooltip_zero(value: float, fraction_digits: int) -> float:
+    return 0.0 if abs(value) < 0.5 * 10.0 ** (-fraction_digits) else value
+
+
+def format_linear_axis_tooltip(
+    value: float, resolution: float, tick_unit: float, max_fraction_digits: int
+) -> str:
+    """reference: axis.rs:563-592."""
+    fraction_digits = _fraction_digits_for_resolution(resolution, max_fraction_digits)
+    value = _normalize_tooltip_zero(value, fraction_digits)
+    if value == 0.0 or not math.isfinite(value):
+        return format_ticklabel(value)
+    value_exponent = math.floor(math.log10(abs(value)))
+    tick_unit_exponent = (
+        math.floor(math.log10(tick_unit))
+        if math.isfinite(tick_unit) and tick_unit > 0.0
+        else None
+    )
+    if _uses_scientific(value_exponent, tick_unit_exponent):
+        if math.isfinite(resolution) and resolution > 0.0:
+            resolution_exponent = math.floor(math.log10(resolution))
+        else:
+            resolution_exponent = value_exponent
+        sig = min(max(value_exponent - resolution_exponent, 0), max_fraction_digits)
+        return _rust_exp_format(value, sig)
+    return f"{value:.{fraction_digits}f}"
+
+
+def format_frequency_axis_tooltip(hz: float, resolution_hz: float) -> str:
+    """reference: axis.rs:594-606."""
+    use_kilo = _round_half_away(hz) >= 1000.0
+    scale = 1000.0 if use_kilo else 1.0
+    fraction_digits = _fraction_digits_for_resolution(resolution_hz / scale, 6)
+    value = _normalize_tooltip_zero(hz / scale, fraction_digits)
+    return f"{value:.{fraction_digits}f}" + ("k" if use_kilo else "")
+
+
+def format_time_axis_tooltip(sec: float, format_display: str) -> str:
+    """reference: axis.rs:608-634."""
+    fraction_digits = (
+        len(format_display.split(".", 1)[1]) if "." in format_display else 0
+    )
+    scale = 10**fraction_digits
+    rounded_units = int(_round_half_away(max(sec, 0.0) * scale))
+    whole_sec = rounded_units // scale
+    fraction = rounded_units - whole_sec * scale
+    seconds = whole_sec % 60
+    minutes = whole_sec // 60 % 60
+    hours = whole_sec // 3600
+    fraction_label = f".{fraction:0{fraction_digits}}" if fraction_digits else ""
+    if format_display.startswith("hh:"):
+        return f"{hours:02}:{minutes:02}:{seconds:02}{fraction_label}"
+    if format_display.startswith("mm:"):
+        total_minutes = whole_sec // 60
+        return f"{total_minutes:02}:{seconds:02}{fraction_label}"
+    return f"{seconds}{fraction_label}"
+
+
+def format_number_label(value: float, fraction_digits: int) -> str:
+    if math.isfinite(value):
+        return f"{value:.{fraction_digits}f}"
+    return _format_non_finite(value)
