@@ -1,0 +1,170 @@
+"""End-to-end session tests: the full command surface over real samples.
+
+Mirrors the reference call stacks (SURVEY §3.2, §3.3): add tracks -> specs ->
+images -> tiles; settings changes invalidate revisions.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from thesia_tpu.engine.session import EngineSession, json_number, parse_id_ch_str
+from thesia_tpu.render import decode_spectrogram_tile, decode_waveform_tile, default_colormap_rgba8
+
+
+@pytest.fixture()
+def session(tmp_path, samples_dir):
+    if not (samples_dir / "sample_16k.wav").exists():
+        pytest.skip("sample corpus incomplete")
+    s = EngineSession(settings_dir=tmp_path)
+    s.init(default_colormap_rgba8())
+    return s
+
+
+def test_json_number():
+    assert json_number(float("inf")) == {"type": "Infinity"}
+    assert json_number(float("-inf")) == {"type": "NegInfinity"}
+    assert json_number(float("nan")) == {"type": "NaN"}
+    assert json_number(1.5) == {"type": "Finite", "value": 1.5}
+
+
+def test_id_ch_parsing():
+    assert parse_id_ch_str("3_1") == (3, 1)
+    with pytest.raises(ValueError):
+        parse_id_ch_str("3")
+
+
+def test_full_pipeline(session, samples_dir):
+    added = session.add_tracks([0, 1], [
+        str(samples_dir / "sample_16k.wav"),
+        str(samples_dir / "1kHz_1sec_sr24kHz.wav"),
+    ])
+    assert added == [0, 1]
+    refreshed = session.apply_track_list_changes()
+    assert set(refreshed) == {"0_0", "1_0"}
+
+    md = session.get_audio_render_metadata("0_0")
+    assert md is not None
+    assert md["sampleRate"] == 16000
+    assert md["spectrogramWidth"] > 0 and md["spectrogramHeight"] > 0
+
+    # waveform tile decodes with the expected header
+    data = session.get_waveform_tile("0_0", 4, 0)
+    tile = decode_waveform_tile(data)
+    assert tile["revision"] == md["waveformRevision"]
+    assert tile["samplesPerBin"] == 16
+    assert tile["binCount"] > 0
+    # second fetch is served from the cache, identical bytes
+    assert session.get_waveform_tile("0_0", 4, 0) == data
+
+    # spectrogram tile
+    sdata = session.get_spectrogram_tile("0_0", 0, 0, 0, 0)
+    stile = decode_spectrogram_tile(sdata)
+    assert stile["revision"] == md["spectrogramRevision"]
+    assert stile["width"] > 0 and stile["height"] > 0
+    assert stile["rgba"].shape[2] == 4
+
+    # getters
+    assert session.get_sample_rate(0) == 16000
+    assert session.get_channel_counts(0) == 1
+    assert session.get_length_sec(0) > 0
+    assert session.get_max_track_hz() == 12000.0
+    assert session.get_format_info(0)["name"] == "wav - pcm_s16le"
+    assert session.get_file_name(0) == "sample_16k.wav"
+    assert session.get_max_db()["type"] in ("Finite", "NegInfinity")
+    lufs = session.get_global_lufs(1)
+    assert lufs["type"] == "Finite" and -40 < lufs["value"] < 0
+    assert session.find_id_by_path(str(samples_dir / "sample_16k.wav")) == 0
+    assert session.find_id_by_path("/nonexistent.wav") == -1
+
+
+def test_spec_setting_invalidates_revision(session, samples_dir):
+    session.add_tracks([0], [str(samples_dir / "sample_16k.wav")])
+    session.apply_track_list_changes()
+    md0 = session.get_audio_render_metadata("0_0")
+    session.set_spec_setting({"winMillisec": 20.0, "tOverlap": 2, "fOverlap": 1, "freqScale": "Linear"})
+    md1 = session.get_audio_render_metadata("0_0")
+    assert md1["spectrogramRevision"] > md0["spectrogramRevision"]
+    assert md1["spectrogramHeight"] != md0["spectrogramHeight"]
+    assert session.get_spec_setting()["freqScale"] == "Linear"
+
+
+def test_db_range_roundtrip(session, samples_dir):
+    session.add_tracks([0], [str(samples_dir / "sample_16k.wav")])
+    session.apply_track_list_changes()
+    assert session.get_db_range() == 100.0
+    session.set_db_range(60.0)
+    assert session.get_db_range() == 60.0
+    assert session.tm.min_db >= session.tm.max_db - 60.0
+
+
+def test_normalize_and_guard_commands(session, samples_dir):
+    session.add_tracks([0], [str(samples_dir / "sample_16k.wav")])
+    session.apply_track_list_changes()
+    session.set_common_normalize({"type": "PeakdB", "target": -3.0})
+    assert session.get_common_normalize() == {"type": "PeakdB", "target": -3.0}
+    peak_db = session.get_max_peak_db(0)
+    assert abs(peak_db["value"] + 3.0) < 0.1
+    session.set_common_guard_clipping("Limiter")
+    assert session.get_common_guard_clipping() == "Limiter"
+    session.set_common_normalize({"type": "Off"})
+    stats = session.get_guard_clip_stats(0)
+    assert isinstance(stats, list)
+
+
+def test_remove_and_error_paths(session, samples_dir):
+    session.add_tracks([0], [str(samples_dir / "sample_16k.wav")])
+    session.apply_track_list_changes()
+    session.remove_tracks([0])
+    assert session.get_audio_render_metadata("0_0") is None
+    with pytest.raises(KeyError):
+        session.get_waveform_tile("0_0", 0, 0)
+    with pytest.raises(KeyError):
+        session.get_spectrogram_tile("0_0", 0, 0, 0, 0)
+    # add_tracks with an invalid file -> skipped, errored id not in result
+    added = session.add_tracks([5, 6], [
+        str(samples_dir / "invalid_audio.wav"),
+        str(samples_dir / "sample_16k.wav"),
+    ])
+    assert added == [6]
+
+
+def test_player_commands(session, samples_dir):
+    session.add_tracks([0], [str(samples_dir / "1kHz_1sec_sr24kHz.wav")])
+    session.apply_track_list_changes()
+    events = []
+    session.add_listener(lambda name, p: events.append((name, p)))
+    session.set_track_player(0, 0.25)
+    st = session.player.state()
+    assert st["trackId"] == 0
+    assert abs(st["positionSec"] - 0.25) < 1e-6
+    session.resume_player()
+    assert session.player.state()["isPlaying"]
+    session.pause_player()
+    assert not session.player.state()["isPlaying"]
+    session.seek_player(0.5)
+    assert abs(session.player.state()["positionSec"] - 0.5) < 1e-6
+    session.set_volume_db(-6.0)
+    assert abs(session.player.playback.volume - 10 ** (-6 / 20)) < 1e-6
+    assert any(n == "player-state-changed" for n, _ in events)
+
+
+def test_settings_persistence(tmp_path, samples_dir):
+    if not (samples_dir / "sample_16k.wav").exists():
+        pytest.skip("sample corpus incomplete")
+    s1 = EngineSession(settings_dir=tmp_path)
+    s1.init(default_colormap_rgba8())
+    s1.set_user_settings({"dBRange": 80.0, "blend": 0.7})
+    s2 = EngineSession(settings_dir=tmp_path)
+    out = s2.init(default_colormap_rgba8())
+    assert out["userSettings"]["dBRange"] == 80.0
+    assert out["userSettings"]["blend"] == 0.7
+    assert out["constants"]["PLAY_JUMP_SEC"] == 1.0
+
+
+def test_open_files_dialog_path(tmp_path):
+    s = EngineSession(settings_dir=tmp_path)
+    assert s.get_open_files_dialog_path() == ""
+    s.set_open_files_dialog_path("/music")
+    assert s.get_open_files_dialog_path() == "/music"

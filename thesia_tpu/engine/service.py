@@ -1,0 +1,192 @@
+"""HTTP/WebSocket service exposing the EngineSession command surface.
+
+Transport analogue of the reference's Tauri IPC (reference:
+src-tauri/src/lib.rs:759-816 command registry): JSON commands via
+POST /api/<command>, binary tiles as application/octet-stream, backend
+events (player-state-changed, menu events) over WebSocket /events.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+
+import numpy as np
+from aiohttp import WSMsgType, web
+
+from .session import EngineSession
+
+BINARY_COMMANDS = {"get_waveform_tile", "get_spectrogram_tile"}
+
+# command name -> (method name, [arg names in order])
+COMMANDS = {
+    "is_dev": ("is_dev", []),
+    "init": ("init", ["colormapRgba"]),
+    "set_user_settings": ("set_user_settings", ["userSettings"]),
+    "get_open_files_dialog_path": ("get_open_files_dialog_path", []),
+    "set_open_files_dialog_path": ("set_open_files_dialog_path", ["path"]),
+    "add_tracks": ("add_tracks", ["trackIds", "paths"]),
+    "reload_tracks": ("reload_tracks", ["trackIds"]),
+    "remove_tracks": ("remove_tracks", ["trackIds"]),
+    "apply_track_list_changes": ("apply_track_list_changes", []),
+    "find_id_by_path": ("find_id_by_path", ["path"]),
+    "get_dB_range": ("get_db_range", []),
+    "set_dB_range": ("set_db_range", ["dBRange"]),
+    "get_spec_setting": ("get_spec_setting", []),
+    "set_spec_setting": ("set_spec_setting", ["specSetting"]),
+    "get_common_guard_clipping": ("get_common_guard_clipping", []),
+    "set_common_guard_clipping": ("set_common_guard_clipping", ["mode"]),
+    "get_common_normalize": ("get_common_normalize", []),
+    "set_common_normalize": ("set_common_normalize", ["target"]),
+    "get_audio_render_metadata": ("get_audio_render_metadata", ["idChStr"]),
+    "get_waveform_tile": ("get_waveform_tile", ["idChStr", "level", "tileIndex"]),
+    "get_spectrogram_tile": (
+        "get_spectrogram_tile",
+        ["idChStr", "levelX", "levelY", "tileX", "tileY"],
+    ),
+    "get_limiter_gain": ("get_limiter_gain", ["trackId"]),
+    "get_max_dB": ("get_max_db", []),
+    "get_min_dB": ("get_min_db", []),
+    "get_max_track_hz": ("get_max_track_hz", []),
+    "get_longest_track_length_sec": ("get_longest_track_length_sec", []),
+    "get_channel_counts": ("get_channel_counts", ["trackId"]),
+    "get_length_sec": ("get_length_sec", ["trackId"]),
+    "get_sample_rate": ("get_sample_rate", ["trackId"]),
+    "get_format_info": ("get_format_info", ["trackId"]),
+    "get_global_lufs": ("get_global_lufs", ["trackId"]),
+    "get_rms_dB": ("get_rms_db", ["trackId"]),
+    "get_max_peak_dB": ("get_max_peak_db", ["trackId"]),
+    "get_guard_clip_stats": ("get_guard_clip_stats", ["trackId"]),
+    "get_path": ("get_path", ["trackId"]),
+    "get_file_name": ("get_file_name", ["trackId"]),
+    "set_volume_dB": ("set_volume_db", ["volumeDB"]),
+    "set_track_player": ("set_track_player", ["trackId", "sec"]),
+    "seek_player": ("seek_player", ["sec"]),
+    "pause_player": ("pause_player", []),
+    "resume_player": ("resume_player", []),
+}
+
+OPTIONAL_ARGS = {"sec"}
+
+
+class EngineService:
+    def __init__(self, session: EngineSession | None = None, viewer_dir: str | None = None):
+        self.session = session or EngineSession()
+        self.viewer_dir = viewer_dir
+        self._ws_clients: set[web.WebSocketResponse] = set()
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self.session.add_listener(self._on_event)
+
+    # -- events ------------------------------------------------------------
+    def _on_event(self, name: str, payload) -> None:
+        if self._loop is None or not self._ws_clients:
+            return
+        msg = json.dumps({"event": name, "payload": payload})
+        for ws in list(self._ws_clients):
+            self._loop.call_soon_threadsafe(asyncio.ensure_future, ws.send_str(msg))
+
+    # -- handlers ----------------------------------------------------------
+    async def handle_command(self, request: web.Request) -> web.StreamResponse:
+        name = request.match_info["command"]
+        spec = COMMANDS.get(name)
+        if spec is None:
+            return web.json_response({"error": f"unknown command {name}"}, status=404)
+        method_name, arg_names = spec
+        try:
+            body = await request.json() if request.can_read_body else {}
+        except json.JSONDecodeError:
+            body = {}
+        args = []
+        for a in arg_names:
+            if a in body:
+                args.append(body[a])
+            elif a in OPTIONAL_ARGS:
+                args.append(None)
+            else:
+                return web.json_response(
+                    {"error": f"missing argument {a} for {name}"}, status=400
+                )
+        method = getattr(self.session, method_name)
+        try:
+            result = await asyncio.get_event_loop().run_in_executor(
+                None, lambda: method(*args)
+            )
+        except (KeyError, ValueError, AssertionError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+        if name in BINARY_COMMANDS:
+            return web.Response(body=result, content_type="application/octet-stream")
+        return web.json_response({"result": _jsonable(result)})
+
+    async def handle_events_ws(self, request: web.Request) -> web.WebSocketResponse:
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        self._ws_clients.add(ws)
+        try:
+            async for msg in ws:
+                if msg.type in (WSMsgType.CLOSE, WSMsgType.ERROR):
+                    break
+        finally:
+            self._ws_clients.discard(ws)
+        return ws
+
+    async def handle_player_tick(self, _request: web.Request) -> web.Response:
+        self.session.player.tick()
+        return web.json_response({"result": self.session.player.state()})
+
+    # -- app ---------------------------------------------------------------
+    def make_app(self) -> web.Application:
+        app = web.Application(client_max_size=64 * 1024 * 1024)
+        app.router.add_post("/api/{command}", self.handle_command)
+        app.router.add_get("/events", self.handle_events_ws)
+        app.router.add_get("/player/state", self.handle_player_tick)
+        if self.viewer_dir:
+            app.router.add_static("/", self.viewer_dir, show_index=True)
+        return app
+
+    async def _player_loop(self):
+        while True:
+            await asyncio.sleep(0.02)  # reference tick: 20 ms (player.rs:23)
+            self.session.player.tick()
+
+    def run(self, host: str = "127.0.0.1", port: int = 8707) -> None:
+        async def main():
+            self._loop = asyncio.get_event_loop()
+            runner = web.AppRunner(self.make_app())
+            await runner.setup()
+            site = web.TCPSite(runner, host, port)
+            await site.start()
+            print(f"thesia_tpu engine listening on http://{host}:{port}")
+            asyncio.ensure_future(self._player_loop())
+            while True:
+                await asyncio.sleep(3600)
+
+        asyncio.run(main())
+
+
+def _jsonable(x):
+    if isinstance(x, np.ndarray):
+        return x.tolist()
+    if isinstance(x, (np.integer,)):
+        return int(x)
+    if isinstance(x, (np.floating,)):
+        return float(x)
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    if isinstance(x, dict):
+        return {k: _jsonable(v) for k, v in x.items()}
+    return x
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description="thesia_tpu engine service")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8707)
+    p.add_argument("--viewer-dir", default=None)
+    args = p.parse_args()
+    EngineService(viewer_dir=args.viewer_dir).run(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

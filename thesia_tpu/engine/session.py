@@ -1,0 +1,411 @@
+"""EngineSession: the full backend command surface.
+
+In-process equivalent of the reference's Tauri command layer (reference:
+src-tauri/src/lib.rs:46-560, 41 commands).  Write commands are serialized
+through a single-threaded executor (== the reference's write-lock worker,
+interface.rs:12-56); reads run on the caller thread against the same state.
+
+Payload conventions match the reference wire format: camelCase JSON,
+JsonNumber-tagged non-finite floats (interface.rs:103-130), "id_ch" strings
+(interface.rs:132-146), binary tile Responses.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import json
+import math
+import os
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..common.freqscale import FreqScale
+from ..dsp.framing import SpecSetting
+from ..dynamics.guard import GuardClippingMode
+from ..dynamics.normalize import NormalizeTarget
+from ..player.player import PLAY_BIG_JUMP_SEC, PLAY_JUMP_SEC, Player
+from ..render.tiles import RenderTileCache, encode_waveform_tile
+from .manager import TrackManager
+from .track import TrackList
+
+OPEN_FILES_DIALOG_PATH_KEY = "openFilesDialogPath"
+
+
+def json_number(value: float) -> dict:
+    """Tagged float serialization. reference: interface.rs:103-130."""
+    if value == math.inf:
+        return {"type": "Infinity"}
+    if value == -math.inf:
+        return {"type": "NegInfinity"}
+    if isinstance(value, float) and math.isnan(value):
+        return {"type": "NaN"}
+    return {"type": "Finite", "value": float(value)}
+
+
+def format_id_ch(track_id: int, ch: int) -> str:
+    return f"{track_id}_{ch}"
+
+
+def parse_id_ch_str(id_ch_str: str) -> tuple[int, int]:
+    parts = id_ch_str.split("_")
+    if len(parts) < 2:
+        raise ValueError('The array element should be "{unsigned_int}_{unsigned_int}".')
+    return int(parts[0]), int(parts[1])
+
+
+class EngineSession:
+    def __init__(self, settings_dir: str | os.PathLike | None = None):
+        self.tracklist = TrackList()
+        self.tm = TrackManager()
+        self.tile_cache = RenderTileCache()
+        self.spec_setting = SpecSetting()
+        self.blend = 0.5
+        self._settings_dir = Path(
+            settings_dir or os.environ.get("THESIA_TPU_CONFIG", "~/.thesia_tpu")
+        ).expanduser()
+        self._write_worker = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="write-lock-worker"
+        )
+        self._lock = threading.RLock()
+        self._listeners: list = []
+        self.player = Player(self._player_get_track, self._emit_player_state)
+
+    # -- events ------------------------------------------------------------
+    def add_listener(self, fn) -> None:
+        """fn(event_name: str, payload) called for backend events."""
+        self._listeners.append(fn)
+
+    def _emit(self, name: str, payload) -> None:
+        for fn in list(self._listeners):
+            try:
+                fn(name, payload)
+            except Exception:
+                pass
+
+    def _emit_player_state(self, event: dict) -> None:
+        self._emit("player-state-changed", event)
+
+    def _player_get_track(self, track_id: int):
+        track = self.tracklist.get(track_id)
+        if track is None:
+            return None
+        return (
+            track.interleaved_samples(),
+            track.n_ch,
+            track.sr,
+            track.sec,
+        )
+
+    # -- write serialization ----------------------------------------------
+    def _write(self, fn):
+        """Run fn on the write worker and wait (== spawn_write_lock_task)."""
+        return self._write_worker.submit(fn).result()
+
+    # -- settings persistence (reference: lib.rs:100-178) ------------------
+    def _store_path(self, name: str) -> Path:
+        self._settings_dir.mkdir(parents=True, exist_ok=True)
+        return self._settings_dir / name
+
+    def _load_store(self, name: str) -> dict:
+        try:
+            with open(self._store_path(name)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _save_store(self, name: str, data: dict) -> None:
+        with open(self._store_path(name), "w") as f:
+            json.dump(data, f)
+
+    # ======================================================================
+    # lifecycle / settings
+    def is_dev(self) -> bool:
+        return bool(os.environ.get("THESIA_TPU_DEV"))
+
+    def init(self, colormap_rgba) -> dict:
+        """reference: lib.rs:46-98."""
+        colormap_rgba = np.asarray(colormap_rgba, np.uint8).reshape(-1)
+        stored = self._load_store("settings.json")
+
+        def work():
+            if not self.tracklist.is_empty:
+                self.tracklist = TrackList()
+                self.tm = TrackManager()
+            self.tm.set_colormap_length(self.tracklist, len(colormap_rgba) // 4)
+            if "specSetting" in stored:
+                self.tm.set_setting(self.tracklist, SpecSetting.from_json(stored["specSetting"]))
+            if "dBRange" in stored:
+                self.tm.set_db_range(self.tracklist, float(stored["dBRange"]))
+            if "commonGuardClipping" in stored:
+                self.tracklist.set_common_guard_clipping(
+                    GuardClippingMode(stored["commonGuardClipping"])
+                )
+            if "commonNormalize" in stored:
+                self.tracklist.set_common_normalize(
+                    NormalizeTarget.from_json(stored["commonNormalize"])
+                )
+            return {
+                "specSetting": self.tm.setting.to_json(),
+                "blend": float(stored.get("blend", 0.5)),
+                "dBRange": self.tm.db_range,
+                "commonGuardClipping": self.tracklist.common_guard_clipping.value,
+                "commonNormalize": self.tracklist.common_normalize.to_json(),
+            }
+
+        user_settings = self._write(work)
+        self.tile_cache.invalidate_all()
+        self.tile_cache.set_colormap(colormap_rgba.reshape(-1, 4))
+        self.spec_setting = SpecSetting.from_json(user_settings["specSetting"])
+        self.blend = user_settings["blend"]
+        self._save_store("settings.json", user_settings)
+        return {
+            "constants": {
+                "PLAY_JUMP_SEC": PLAY_JUMP_SEC,
+                "PLAY_BIG_JUMP_SEC": PLAY_BIG_JUMP_SEC,
+            },
+            "userSettings": user_settings,
+        }
+
+    def set_user_settings(self, user_settings: dict) -> None:
+        """Persist a partial settings update. reference: lib.rs:100-149."""
+        stored = self._load_store("settings.json")
+        allowed = {"specSetting", "blend", "dBRange", "commonGuardClipping", "commonNormalize"}
+        for k, v in user_settings.items():
+            if k in allowed and v is not None:
+                stored[k] = v
+        self._save_store("settings.json", stored)
+
+    def get_open_files_dialog_path(self) -> str:
+        return self._load_store("paths.json").get(OPEN_FILES_DIALOG_PATH_KEY, "")
+
+    def set_open_files_dialog_path(self, path: str) -> None:
+        store = self._load_store("paths.json")
+        store[OPEN_FILES_DIALOG_PATH_KEY] = path
+        self._save_store("paths.json", store)
+
+    # ======================================================================
+    # track CRUD
+    def add_tracks(self, track_ids: list[int], paths: list[str]) -> list[int]:
+        assert track_ids and len(track_ids) == len(paths)
+
+        def work():
+            added = self.tracklist.add_tracks(list(track_ids), list(paths))
+            self.tm.add_tracks(self.tracklist, added)
+            self.tile_cache.invalidate_all()
+            return added
+
+        return self._write(work)
+
+    def reload_tracks(self, track_ids: list[int]) -> list[int]:
+        assert track_ids
+
+        def work():
+            reloaded, no_err = self.tracklist.reload_tracks(list(track_ids))
+            self.tm.reload_tracks(self.tracklist, reloaded)
+            if reloaded:
+                self.tile_cache.invalidate_all()
+            return no_err
+
+        return self._write(work)
+
+    def remove_tracks(self, track_ids: list[int]) -> None:
+        assert track_ids
+
+        def work():
+            removed = self.tracklist.remove_tracks(list(track_ids))
+            self.tile_cache.invalidate_all()
+            self.tm.remove_tracks(self.tracklist, removed)
+
+        self._write(work)
+
+    def apply_track_list_changes(self) -> list[str]:
+        def work():
+            updated_ids, sr = self.tm.apply_track_list_changes(self.tracklist)
+            return self.tracklist.id_ch_tuples_from(sorted(updated_ids)), sr
+
+        id_ch_tuples, sr = self._write(work)
+        if id_ch_tuples:
+            self.tile_cache.invalidate_spectrogram()
+        self.player.set_sr(sr)
+        return [format_id_ch(i, c) for i, c in id_ch_tuples]
+
+    def find_id_by_path(self, path: str) -> int:
+        found = self.tracklist.find_id_by_path(path)
+        return -1 if found is None else found
+
+    # ======================================================================
+    # spectrogram parameters
+    def get_db_range(self) -> float:
+        return self.tm.db_range
+
+    def set_db_range(self, db_range: float) -> None:
+        assert db_range > 0.0
+        self._write(lambda: self.tm.set_db_range(self.tracklist, float(db_range)))
+        self.tile_cache.invalidate_spectrogram()
+
+    def get_spec_setting(self) -> dict:
+        return self.spec_setting.to_json()
+
+    def set_spec_setting(self, spec_setting: dict | SpecSetting) -> None:
+        if isinstance(spec_setting, dict):
+            spec_setting = SpecSetting.from_json(spec_setting)
+        assert spec_setting.win_ms > 0.0
+        assert spec_setting.t_overlap >= 1 and spec_setting.f_overlap >= 1
+        self.spec_setting = spec_setting
+        self._write(lambda: self.tm.set_setting(self.tracklist, spec_setting))
+        self.tile_cache.invalidate_spectrogram()
+
+    def get_common_guard_clipping(self) -> str:
+        return self.tracklist.common_guard_clipping.value
+
+    def set_common_guard_clipping(self, mode: str | GuardClippingMode) -> None:
+        mode = GuardClippingMode(mode)
+
+        def work():
+            self.tracklist.set_common_guard_clipping(mode)
+            self.tm.update_all_specs_imgs(self.tracklist)
+
+        self._write(work)
+        self.tile_cache.invalidate_all()
+        self.player.set_track(None, None)
+
+    def get_common_normalize(self) -> dict:
+        return self.tracklist.common_normalize.to_json()
+
+    def set_common_normalize(self, target: dict | NormalizeTarget) -> None:
+        if isinstance(target, dict):
+            target = NormalizeTarget.from_json(target)
+
+        def work():
+            self.tracklist.set_common_normalize(target)
+            self.tm.update_all_specs_imgs(self.tracklist)
+
+        self._write(work)
+        self.tile_cache.invalidate_all()
+        self.player.set_track(None, None)
+
+    # ======================================================================
+    # render
+    def get_audio_render_metadata(self, id_ch_str: str) -> dict | None:
+        track_id, ch = parse_id_ch_str(id_ch_str)
+        track = self.tracklist.get(track_id)
+        if track is None:
+            return None
+        wav, is_clipped = track.channel_for_drawing(ch)
+        img = self.tm.get_spectrogram((track_id, ch))
+        shape = tuple(img.shape) if img is not None else None
+        return self.tile_cache.metadata(len(wav), track.sr, track.sec, is_clipped, shape)
+
+    def get_waveform_tile(self, id_ch_str: str, level: int, tile_index: int) -> bytes:
+        track_id, ch = parse_id_ch_str(id_ch_str)
+        track = self.tracklist.get(track_id)
+        if track is None:
+            raise KeyError(f"Track {track_id} does not exist")
+        wav, _ = track.channel_for_drawing(ch)
+        revision, cached = self.tile_cache.cached_waveform_tile(track_id, ch, level, tile_index)
+        if cached is not None:
+            return cached
+        data = encode_waveform_tile(wav, revision, level, tile_index)
+        self.tile_cache.store_waveform_tile(track_id, ch, revision, level, tile_index, data)
+        return data
+
+    def get_spectrogram_tile(
+        self, id_ch_str: str, level_x: int, level_y: int, tile_x: int, tile_y: int
+    ) -> bytes:
+        track_id, ch = parse_id_ch_str(id_ch_str)
+        img = self.tm.get_spectrogram((track_id, ch))
+        if img is None:
+            raise KeyError(f"Spectrogram {id_ch_str} does not exist")
+        return self.tile_cache.spectrogram_tile(img, level_x, level_y, tile_x, tile_y)
+
+    def get_limiter_gain(self, track_id: int) -> list[float] | None:
+        track = self.tracklist.get(track_id)
+        if track is None:
+            return None
+        gain = track.guard_clipping_gain()
+        return None if gain is None else np.asarray(gain).reshape(-1).tolist()
+
+    # ======================================================================
+    # per-track / global getters
+    def get_max_db(self) -> dict:
+        return json_number(self.tm.max_db)
+
+    def get_min_db(self) -> dict:
+        return json_number(self.tm.min_db)
+
+    def get_max_track_hz(self) -> float:
+        return self.tm.max_sr / 2.0
+
+    def get_longest_track_length_sec(self) -> float:
+        return self.tracklist.max_sec
+
+    def get_channel_counts(self, track_id: int) -> int:
+        track = self.tracklist.get(track_id)
+        return 0 if track is None else track.n_ch
+
+    def get_length_sec(self, track_id: int) -> float:
+        track = self.tracklist.get(track_id)
+        return 0.0 if track is None else track.sec
+
+    def get_sample_rate(self, track_id: int) -> int:
+        track = self.tracklist.get(track_id)
+        return 0 if track is None else track.sr
+
+    def get_format_info(self, track_id: int) -> dict:
+        track = self.tracklist.get(track_id)
+        if track is None:
+            return {"name": "", "sr": 0, "bitDepth": "", "bitrate": ""}
+        return track.format_info.to_json()
+
+    def get_global_lufs(self, track_id: int) -> dict:
+        track = self.tracklist.get(track_id)
+        return json_number(-math.inf if track is None else track.stats.global_lufs)
+
+    def get_rms_db(self, track_id: int) -> dict:
+        track = self.tracklist.get(track_id)
+        return json_number(-math.inf if track is None else track.stats.rms_db)
+
+    def get_max_peak_db(self, track_id: int) -> dict:
+        track = self.tracklist.get(track_id)
+        return json_number(-math.inf if track is None else track.stats.max_peak_db)
+
+    def get_guard_clip_stats(self, track_id: int) -> list:
+        """reference: lib.rs:492-507."""
+        mode = self.tracklist.common_guard_clipping
+        prefix = mode.display()
+        track = self.tracklist.get(track_id)
+        if track is None:
+            return []
+        return [
+            [ch, f"{prefix} by {stat}"]
+            for ch, stat in track.format_guard_clip_stats(mode)
+        ]
+
+    def get_path(self, track_id: int) -> str:
+        track = self.tracklist.get(track_id)
+        return "" if track is None else track.path_string()
+
+    def get_file_name(self, track_id: int) -> str:
+        return self.tracklist.filename(track_id)
+
+    # ======================================================================
+    # player
+    def set_volume_db(self, volume_db: float) -> None:
+        self.player.set_volume_db(volume_db)
+
+    def set_track_player(self, track_id: int, sec: float | None = None) -> None:
+        if self.tracklist.has(track_id):
+            self.player.max_sec = self.tracklist.max_sec
+            self.player.set_track(track_id, sec)
+
+    def seek_player(self, sec: float) -> None:
+        self.player.max_sec = self.tracklist.max_sec
+        self.player.seek(sec)
+
+    def pause_player(self) -> None:
+        self.player.pause()
+
+    def resume_player(self) -> None:
+        self.player.resume()

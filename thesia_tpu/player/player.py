@@ -1,0 +1,179 @@
+"""Playback state machine.
+
+reference: src-tauri/src/player.rs + player/state.rs.  The audio-device layer
+is abstracted behind OutputSink; in headless/server deployments the
+WallClockSink advances the play position in real time without hardware (the
+UI extrapolates position from emitted anchors either way, reference:
+src/hooks/usePlayer.ts:44-52).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..dsp.decibel import amp_from_db
+
+PLAY_JUMP_SEC = 1.0
+PLAY_BIG_JUMP_SEC = 5.0
+
+
+@dataclasses.dataclass
+class PlaybackData:
+    """reference: player/state.rs:42-67."""
+
+    track_id: Optional[int] = None
+    samples: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.float32)
+    )
+    input_channels: int = 0
+    sample_rate: int = 0
+    position_frame: float = 0.0
+    cursor_version: int = 0
+    volume: float = 1.0
+    is_playing: bool = False
+
+    @property
+    def total_frames(self) -> int:
+        if self.input_channels == 0:
+            return 0
+        return len(self.samples) // self.input_channels
+
+    def position_sec(self) -> float:
+        """reference: player/state.rs:150-157."""
+        if len(self.samples) == 0 or self.input_channels == 0 or self.sample_rate == 0:
+            return 0.0
+        clamped = min(max(self.position_frame, 0.0), float(self.total_frames))
+        return clamped / self.sample_rate
+
+
+class WallClockSink:
+    """Advances the playhead in real time without an audio device."""
+
+    def advance(self, playback: PlaybackData, anchor: float) -> tuple[float, bool]:
+        """Returns (new position_frame, reached_end)."""
+        now = time.monotonic()
+        elapsed = now - anchor
+        pos = playback.position_frame + elapsed * playback.sample_rate
+        total = float(playback.total_frames)
+        if pos >= total:
+            return total, True
+        return pos, False
+
+
+class Player:
+    """Single-track player; commands mirror PlayerCommand (player.rs:29-45)."""
+
+    def __init__(self, get_track: Callable, emit: Callable[[dict], None] | None = None):
+        """get_track(track_id) -> None | (interleaved f32, n_ch, sr, sec);
+        emit(state_event_dict) publishes 'player-state-changed'."""
+        self._get_track = get_track
+        self._emit = emit or (lambda e: None)
+        self.playback = PlaybackData()
+        self.max_sec = 0.0
+        self.requested_sr = 0
+        self.error = ""
+        self._sink = WallClockSink()
+        self._anchor = time.monotonic()
+        self._last_event: dict | None = None
+
+    # -- internal ----------------------------------------------------------
+    def _sync_position(self) -> None:
+        if self.playback.is_playing:
+            pos, ended = self._sink.advance(self.playback, self._anchor)
+            self.playback.position_frame = pos
+            if ended:
+                self.playback.is_playing = False
+        self._anchor = time.monotonic()
+
+    def _snapshot(self) -> dict:
+        return {
+            "isPlaying": self.playback.is_playing,
+            "positionSec": self.playback.position_sec(),
+            "eventTimeMs": int(time.time() * 1000),
+            "trackId": self.playback.track_id,
+            "err": self.error,
+        }
+
+    def _emit_state(self) -> None:
+        event = self._snapshot()
+        self._last_event = event
+        self._emit(event)
+
+    # -- commands (reference: player.rs:68-120) ----------------------------
+    def set_volume_db(self, volume_db: float) -> None:
+        self.playback.volume = float(amp_from_db(np.float64(volume_db)))
+
+    def set_sr(self, sr: int) -> None:
+        self.requested_sr = sr
+
+    def set_track(self, track_id: Optional[int], start_sec: Optional[float]) -> None:
+        """reference: state.rs:190-236 + player.rs:96-104."""
+        self._sync_position()
+        current_pos = self.playback.position_sec()
+        is_playing = self.playback.is_playing
+        start = start_sec if start_sec is not None else current_pos
+        target_id = track_id if track_id is not None else self.playback.track_id
+        loaded = self._get_track(target_id) if target_id is not None else None
+        p = self.playback
+        if loaded is not None:
+            samples, n_ch, sr, max_sec = loaded
+            start = min(max(start, 0.0), max(max_sec, 0.0))
+            p.track_id = target_id
+            p.samples = np.asarray(samples, np.float32)
+            p.input_channels = n_ch
+            p.sample_rate = sr
+            p.position_frame = start * sr
+            p.cursor_version += 1
+            p.is_playing = is_playing
+        else:
+            p.track_id = None
+            p.samples = np.zeros(0, np.float32)
+            p.input_channels = 0
+            p.sample_rate = 0
+            p.position_frame = 0.0
+            p.cursor_version += 1
+            p.is_playing = False
+        self._anchor = time.monotonic()
+        self._emit_state()
+
+    def seek(self, sec: float) -> None:
+        """reference: state.rs:238-254."""
+        self._sync_position()
+        p = self.playback
+        sec = min(max(sec, 0.0), max(self.max_sec, 0.0))
+        if p.sample_rate == 0 or p.input_channels == 0 or len(p.samples) == 0:
+            p.position_frame = 0.0
+            return
+        sec = min(sec, p.total_frames / p.sample_rate)
+        p.position_frame = sec * p.sample_rate
+        p.cursor_version += 1
+        self._anchor = time.monotonic()
+        self._emit_state()
+
+    def pause(self) -> None:
+        self._sync_position()
+        self.playback.is_playing = False
+        self._emit_state()
+
+    def resume(self) -> None:
+        self._sync_position()
+        if self.playback.track_id is not None and len(self.playback.samples) > 0:
+            self.playback.is_playing = True
+            self._anchor = time.monotonic()
+        self._emit_state()
+
+    def tick(self) -> None:
+        """Periodic poll (reference main loop, 20 ms): advances position and
+        emits on track end."""
+        was_playing = self.playback.is_playing
+        self._sync_position()
+        if was_playing and not self.playback.is_playing:
+            self._emit_state()  # track ended
+
+    def state(self) -> dict:
+        self._sync_position()
+        return self._snapshot()
