@@ -12,9 +12,14 @@ from __future__ import annotations
 
 import json
 import statistics
+import sys
 import time
 
 import numpy as np
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def synth_stereo(sr: int, seconds: float, seed: int = 0) -> np.ndarray:
@@ -33,7 +38,7 @@ def synth_stereo(sr: int, seconds: float, seed: int = 0) -> np.ndarray:
     return sig * env[None, :]
 
 
-def bench_spec_throughput(seconds: float = 120.0, reps: int = 5):
+def bench_spec_throughput(seconds: float = 60.0, reps: int = 3):
     import jax
 
     from thesia_tpu.dsp.framing import SpecSetting
@@ -41,10 +46,13 @@ def bench_spec_throughput(seconds: float = 120.0, reps: int = 5):
     from thesia_tpu.dsp.stft import stft_frame_count
 
     sr = 48000
+    _progress("synthesizing test signal")
     wavs = synth_stereo(sr, seconds)
     setting = SpecSetting()  # 40 ms, 4x overlap, mel
+    _progress("device warmup + analyzer init")
     analyzer = SpectrogramAnalyzer()
     hop, win, n_fft = setting.calc_framing_params(sr)
+    _progress("compiling fused pipeline")
 
     # warmup/compile (also uploads the track to the device wav cache — the
     # steady-state recompute path starts from device-resident samples, as
@@ -67,6 +75,7 @@ def bench_spec_throughput(seconds: float = 120.0, reps: int = 5):
 
 
 def bench_tile_latency(spec_db, reps: int = 40):
+    _progress("tile latency")
     from thesia_tpu.render import (
         RenderTileCache,
         default_colormap_rgba8,
