@@ -135,7 +135,7 @@ class SpectrogramAnalyzer:
     def __init__(self):
         from ..runtime import device_warmup
 
-        device_warmup()
+        device_warmup(background=True)
         self._dft: dict[tuple[int, int], tuple[jax.Array, jax.Array]] = {}
         self._mel_fbs: dict[tuple[int, int], jax.Array] = {}
         self._wav_cache: dict[object, tuple[jax.Array, int]] = {}
@@ -203,6 +203,9 @@ class SpectrogramAnalyzer:
         self, wavs: np.ndarray, sr: int, setting: SpecSetting, cache_key=None, token=None
     ) -> SpecResult:
         """All channels at once: (C, n) -> SpecResult with (C, T_max, F)."""
+        from ..runtime import device_warmup
+
+        device_warmup()  # join the startup warmup before any transfers
         hop, win, n_fft = setting.calc_framing_params(sr)
         wavs = np.atleast_2d(np.asarray(wavs, np.float32))
         n = wavs.shape[-1]

@@ -14,6 +14,7 @@ import json
 import numpy as np
 from aiohttp import WSMsgType, web
 
+from .axis_api import AXIS_COMMANDS, AxisApi
 from .session import EngineSession
 
 BINARY_COMMANDS = {"get_waveform_tile", "get_spectrogram_tile"}
@@ -69,10 +70,30 @@ COMMANDS = {
 OPTIONAL_ARGS = {"sec"}
 
 
+class MiscApi:
+    """Viewer-support commands that exist client-side in the reference."""
+
+    def get_default_colormap(self) -> list:
+        from ..render.colormap import default_colormap_rgba8
+
+        return default_colormap_rgba8().reshape(-1).tolist()
+
+
+MISC_COMMANDS = {"get_default_colormap": ("get_default_colormap", [])}
+
+
 class EngineService:
-    def __init__(self, session: EngineSession | None = None, viewer_dir: str | None = None):
+    def __init__(
+        self,
+        session: EngineSession | None = None,
+        viewer_dir: str | None = None,
+        media_dirs: list[str] | None = None,
+    ):
         self.session = session or EngineSession()
+        self.axis = AxisApi()
+        self.misc = MiscApi()
         self.viewer_dir = viewer_dir
+        self.media_dirs = media_dirs or []
         self._ws_clients: set[web.WebSocketResponse] = set()
         self._loop: asyncio.AbstractEventLoop | None = None
         self.session.add_listener(self._on_event)
@@ -88,7 +109,14 @@ class EngineService:
     # -- handlers ----------------------------------------------------------
     async def handle_command(self, request: web.Request) -> web.StreamResponse:
         name = request.match_info["command"]
+        target = self.session
         spec = COMMANDS.get(name)
+        if spec is None:
+            spec = AXIS_COMMANDS.get(name)
+            target = self.axis
+        if spec is None:
+            spec = MISC_COMMANDS.get(name)
+            target = self.misc
         if spec is None:
             return web.json_response({"error": f"unknown command {name}"}, status=404)
         method_name, arg_names = spec
@@ -106,7 +134,7 @@ class EngineService:
                 return web.json_response(
                     {"error": f"missing argument {a} for {name}"}, status=400
                 )
-        method = getattr(self.session, method_name)
+        method = getattr(target, method_name)
         try:
             result = await asyncio.get_event_loop().run_in_executor(
                 None, lambda: method(*args)
@@ -133,15 +161,59 @@ class EngineService:
         self.session.player.tick()
         return web.json_response({"result": self.session.player.state()})
 
+    async def handle_upload(self, request: web.Request) -> web.Response:
+        """Accept an uploaded audio file, store it, return its server path."""
+        import tempfile
+        from pathlib import Path
+
+        reader = await request.multipart()
+        field = await reader.next()
+        if field is None or field.name != "file":
+            return web.json_response({"error": "expected multipart field 'file'"}, status=400)
+        filename = Path(field.filename or "upload.bin").name
+        updir = Path(tempfile.gettempdir()) / "thesia_tpu_uploads"
+        updir.mkdir(exist_ok=True)
+        dest = updir / filename
+        with open(dest, "wb") as f:
+            while True:
+                chunk = await field.read_chunk()
+                if not chunk:
+                    break
+                f.write(chunk)
+        return web.json_response({"result": str(dest)})
+
+    async def handle_list_media(self, request: web.Request) -> web.Response:
+        """List audio files in the configured media directories."""
+        from pathlib import Path
+
+        exts = {".wav", ".flac", ".mp3", ".m4a", ".aac", ".ogg", ".oga", ".opus"}
+        out = []
+        for d in self.media_dirs:
+            p = Path(d)
+            if not p.is_dir():
+                continue
+            for f in sorted(p.rglob("*")):
+                if f.is_file() and (f.suffix.lower() in exts or f.suffix == ""):
+                    out.append(str(f))
+        return web.json_response({"result": out})
+
     # -- app ---------------------------------------------------------------
     def make_app(self) -> web.Application:
-        app = web.Application(client_max_size=64 * 1024 * 1024)
+        app = web.Application(client_max_size=256 * 1024 * 1024)
         app.router.add_post("/api/{command}", self.handle_command)
         app.router.add_get("/events", self.handle_events_ws)
         app.router.add_get("/player/state", self.handle_player_tick)
+        app.router.add_post("/upload", self.handle_upload)
+        app.router.add_get("/media", self.handle_list_media)
         if self.viewer_dir:
+            app.router.add_get("/", self._index)
             app.router.add_static("/", self.viewer_dir, show_index=True)
         return app
+
+    async def _index(self, _request: web.Request) -> web.FileResponse:
+        import os
+
+        return web.FileResponse(os.path.join(self.viewer_dir, "index.html"))
 
     async def _player_loop(self):
         while True:
@@ -179,13 +251,16 @@ def _jsonable(x):
 
 def main():
     import argparse
+    import os
 
+    default_viewer = os.path.join(os.path.dirname(os.path.dirname(__file__)), "viewer")
     p = argparse.ArgumentParser(description="thesia_tpu engine service")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8707)
-    p.add_argument("--viewer-dir", default=None)
+    p.add_argument("--viewer-dir", default=default_viewer)
+    p.add_argument("--media-dir", action="append", default=[], help="directory listed in the viewer's server-media dropdown")
     args = p.parse_args()
-    EngineService(viewer_dir=args.viewer_dir).run(args.host, args.port)
+    EngineService(viewer_dir=args.viewer_dir, media_dirs=args.media_dir).run(args.host, args.port)
 
 
 if __name__ == "__main__":

@@ -2,24 +2,40 @@
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
-_warmed = False
+_lock = threading.Lock()
+_thread: threading.Thread | None = None
+_done = False
 
 
-def device_warmup() -> None:
+def _do_warmup() -> None:
+    global _done
+    import jax.numpy as jnp
+
+    np.asarray(jnp.arange(8, dtype=jnp.float32) * 2.0)
+    _done = True
+
+
+def device_warmup(background: bool = False) -> None:
     """One-time device<->host transfer warmup.
 
     On the axon-tunneled TPU backend the first device->host copy in a process
     pays a large one-time setup cost (minutes for a 2-D array, ~10 s for a
-    1-D array; afterwards every transfer is fast).  Doing a tiny 1-D round
-    trip up front absorbs it at engine startup instead of on the first
-    user-visible spectrogram fetch.  No-op cost on CPU backends.
+    1-D array; afterwards every transfer is fast).  A tiny 1-D round trip
+    absorbs it.  With background=True the warmup runs on a daemon thread
+    (service startup); a later foreground call joins it before first use.
+    No-op cost on CPU backends.
     """
-    global _warmed
-    if _warmed:
-        return
-    import jax.numpy as jnp
-
-    np.asarray(jnp.arange(8, dtype=jnp.float32) * 2.0)
-    _warmed = True
+    global _thread
+    with _lock:
+        if _done:
+            return
+        if _thread is None:
+            _thread = threading.Thread(target=_do_warmup, daemon=True, name="device-warmup")
+            _thread.start()
+        t = _thread
+    if not background:
+        t.join()

@@ -1,0 +1,112 @@
+// Backend command client + binary tile decoders.
+// Mirrors the reference's src/api/backend-wrapper.ts (41 commands + decoders);
+// binary layouts: waveform 24 B header + 12 B/bin, spectrogram 40 B header +
+// RGBA rows (high frequencies first).
+
+async function call(command, args = {}) {
+  const r = await fetch(`/api/${command}`, {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify(args),
+  });
+  if (!r.ok) throw new Error(`${command}: ${(await r.json()).error || r.status}`);
+  return (await r.json()).result;
+}
+
+async function callBinary(command, args = {}) {
+  const r = await fetch(`/api/${command}`, {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify(args),
+  });
+  if (!r.ok) throw new Error(`${command}: ${r.status}`);
+  return await r.arrayBuffer();
+}
+
+export function decodeWaveformTile(buf) {
+  const dv = new DataView(buf);
+  const revision = dv.getBigUint64(0, true);
+  const binCount = dv.getUint32(8, true);
+  const samplesPerBin = dv.getUint32(12, true);
+  const tileIndex = dv.getUint32(16, true);
+  const bins = new Float32Array(buf, 24, binCount * 3);
+  return { revision, binCount, samplesPerBin, tileIndex, bins };
+}
+
+export function decodeSpectrogramTile(buf) {
+  const dv = new DataView(buf);
+  return {
+    revision: dv.getBigUint64(0, true),
+    width: dv.getUint32(8, true),
+    height: dv.getUint32(12, true),
+    levelX: dv.getUint32(16, true),
+    levelY: dv.getUint32(20, true),
+    tileX: dv.getUint32(24, true),
+    tileY: dv.getUint32(28, true),
+    originX: dv.getUint32(32, true),
+    originY: dv.getUint32(36, true),
+    rgba: new Uint8ClampedArray(buf, 40),
+  };
+}
+
+export function jsonNumber(x) {
+  if (!x || typeof x !== "object") return x;
+  switch (x.type) {
+    case "Finite": return x.value;
+    case "Infinity": return Infinity;
+    case "NegInfinity": return -Infinity;
+    default: return NaN;
+  }
+}
+
+export const api = {
+  init: (colormapRgba) => call("init", { colormapRgba }),
+  addTracks: (trackIds, paths) => call("add_tracks", { trackIds, paths }),
+  reloadTracks: (trackIds) => call("reload_tracks", { trackIds }),
+  removeTracks: (trackIds) => call("remove_tracks", { trackIds }),
+  applyTrackListChanges: () => call("apply_track_list_changes"),
+  findIdByPath: (path) => call("find_id_by_path", { path }),
+  getSpecSetting: () => call("get_spec_setting"),
+  setSpecSetting: (specSetting) => call("set_spec_setting", { specSetting }),
+  getDbRange: () => call("get_dB_range"),
+  setDbRange: (dBRange) => call("set_dB_range", { dBRange }),
+  setCommonNormalize: (target) => call("set_common_normalize", { target }),
+  setCommonGuardClipping: (mode) => call("set_common_guard_clipping", { mode }),
+  getMetadata: (idChStr) => call("get_audio_render_metadata", { idChStr }),
+  getWaveformTile: (idChStr, level, tileIndex) =>
+    callBinary("get_waveform_tile", { idChStr, level, tileIndex }).then(decodeWaveformTile),
+  getSpectrogramTile: (idChStr, levelX, levelY, tileX, tileY) =>
+    callBinary("get_spectrogram_tile", { idChStr, levelX, levelY, tileX, tileY })
+      .then(decodeSpectrogramTile),
+  getLimiterGain: (trackId) => call("get_limiter_gain", { trackId }),
+  getMaxTrackHz: () => call("get_max_track_hz"),
+  getLongestSec: () => call("get_longest_track_length_sec"),
+  getChannelCounts: (trackId) => call("get_channel_counts", { trackId }),
+  getLengthSec: (trackId) => call("get_length_sec", { trackId }),
+  getSampleRate: (trackId) => call("get_sample_rate", { trackId }),
+  getFormatInfo: (trackId) => call("get_format_info", { trackId }),
+  getGlobalLufs: (trackId) => call("get_global_lufs", { trackId }).then(jsonNumber),
+  getRmsDb: (trackId) => call("get_rms_dB", { trackId }).then(jsonNumber),
+  getMaxPeakDb: (trackId) => call("get_max_peak_dB", { trackId }).then(jsonNumber),
+  getGuardClipStats: (trackId) => call("get_guard_clip_stats", { trackId }),
+  getFileName: (trackId) => call("get_file_name", { trackId }),
+  setVolumeDb: (volumeDB) => call("set_volume_dB", { volumeDB }),
+  setTrackPlayer: (trackId, sec) => call("set_track_player", { trackId, sec }),
+  seekPlayer: (sec) => call("seek_player", { sec }),
+  pausePlayer: () => call("pause_player"),
+  resumePlayer: () => call("resume_player"),
+  playerState: () => fetch("/player/state").then((r) => r.json()).then((j) => j.result),
+  calcTimeAxisMarkers: (startSec, endSec, tickUnit, labelInterval, maxSec) =>
+    call("calc_time_axis_markers", { startSec, endSec, tickUnit, labelInterval, maxSec }),
+  calcFreqAxisMarkers: (hzRangeMin, hzRangeMax, freqScale, maxNumTicks, maxNumLabels, maxTrackHz) =>
+    call("calc_freq_axis_markers",
+      { hzRangeMin, hzRangeMax, freqScale, maxNumTicks, maxNumLabels, maxTrackHz }),
+  secondsToLabel: (sec) => call("seconds_to_label", { sec }),
+  listMedia: () => fetch("/media").then((r) => r.json()).then((j) => j.result),
+  upload: async (file) => {
+    const fd = new FormData();
+    fd.append("file", file);
+    const r = await fetch("/upload", { method: "POST", body: fd });
+    return (await r.json()).result;
+  },
+};
