@@ -1,0 +1,153 @@
+"""Player subsystem tests: mixing rules, resampler quality, state machine.
+
+Mixing goldens mirror reference: src-tauri/src/player/stream.rs:662-746,
+state machine reference: player/state.rs:268-326.
+"""
+
+import numpy as np
+import pytest
+
+from thesia_tpu.player.mixing import render_block, source_sample_for_output
+from thesia_tpu.player.player import PlaybackData, Player
+from thesia_tpu.player.resampler import StreamResampler
+
+
+def test_mono_to_stereo():
+    samples = np.array([0.1, 0.2, 0.3], np.float32)  # mono
+    assert source_sample_for_output(samples, 1, 1, 0, 2) == np.float32(0.2)
+    assert source_sample_for_output(samples, 1, 1, 1, 2) == np.float32(0.2)
+
+
+def test_stereo_to_mono_averages():
+    samples = np.array([0.2, 0.4, 0.6, 0.8], np.float32)  # 2 frames stereo
+    out = source_sample_for_output(samples, 2, 0, 0, 1)
+    assert abs(out - 0.3) < 1e-7
+
+
+def test_stereo_to_multichannel_wraps():
+    samples = np.array([0.1, 0.9], np.float32)
+    assert source_sample_for_output(samples, 2, 0, 0, 4) == np.float32(0.1)
+    assert source_sample_for_output(samples, 2, 1 - 1, 1, 4) == np.float32(0.9)
+    assert source_sample_for_output(samples, 2, 0, 2, 4) == np.float32(0.1)
+    assert source_sample_for_output(samples, 2, 0, 3, 4) == np.float32(0.9)
+
+
+def test_out_of_range_is_silence():
+    samples = np.array([0.5], np.float32)
+    assert source_sample_for_output(samples, 1, 5, 0, 2) == 0.0
+    assert source_sample_for_output(samples, 0, 0, 0, 2) == 0.0
+
+
+def test_render_block_matches_scalar_path():
+    rng = np.random.default_rng(0)
+    samples = rng.uniform(-1, 1, 3 * 7).astype(np.float32)  # 7 frames of 3ch
+    block = render_block(samples, 3, 2, 8, 2, volume=0.5)
+    assert block.shape == (8, 2)
+    for f in range(8):
+        for oc in range(2):
+            exp = source_sample_for_output(samples, 3, 2 + f, oc, 2) * 0.5
+            assert abs(block[f, oc] - np.float32(exp)) < 1e-6
+
+
+def test_resampler_tone_quality():
+    sr_in, sr_out = 44100, 48000
+    t = np.arange(sr_in) / sr_in
+    tone = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)[None, :]
+    rs = StreamResampler(sr_in, sr_out, 1)
+    chunks = [rs.process(tone[:, i : i + 4096]) for i in range(0, sr_in, 4096)]
+    out = np.concatenate(chunks, axis=1)[0]
+    # rate correct within 1%
+    assert abs(len(out) - sr_out) < sr_out * 0.01
+    # dominant frequency still 1 kHz; SNR decent
+    mid = out[len(out) // 4 : len(out) // 4 + 8192]
+    spec = np.abs(np.fft.rfft(mid * np.hanning(len(mid))))
+    peak_hz = np.argmax(spec) * sr_out / len(mid)
+    assert abs(peak_hz - 1000.0) < 15
+    signal_bin = int(np.argmax(spec))
+    noise = np.concatenate([spec[: signal_bin - 8], spec[signal_bin + 9 :]])
+    snr_db = 20 * np.log10(spec[signal_bin] / max(noise.max(), 1e-12))
+    assert snr_db > 40
+
+
+def test_resampler_downsample():
+    sr_in, sr_out = 48000, 8000
+    t = np.arange(sr_in // 2) / sr_in
+    tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)[None, :]
+    rs = StreamResampler(sr_in, sr_out, 1)
+    out = rs.process(tone)[0]
+    assert abs(len(out) - sr_out // 2) < sr_out * 0.02
+    mid = out[500 : 500 + 2048]
+    spec = np.abs(np.fft.rfft(mid * np.hanning(len(mid))))
+    peak_hz = np.argmax(spec) * sr_out / len(mid)
+    assert abs(peak_hz - 440.0) < 10
+
+
+# ---------------------------------------------------------------------------
+# state machine
+
+
+def _tracks(store):
+    def get_track(track_id):
+        return store.get(track_id)
+
+    return get_track
+
+
+def test_player_set_track_seek_pause_resume():
+    sr = 1000
+    samples = np.zeros(2 * sr, np.float32)  # 2 s mono track (interleaved)
+    store = {7: (samples, 1, sr, 2.0)}
+    events = []
+    p = Player(_tracks(store), events.append)
+    p.max_sec = 2.0
+
+    p.set_track(7, 0.5)
+    assert p.playback.track_id == 7
+    assert abs(p.playback.position_sec() - 0.5) < 1e-9
+    assert not p.playback.is_playing
+
+    p.resume()
+    assert p.playback.is_playing
+    p.pause()
+    assert not p.playback.is_playing
+
+    p.seek(5.0)  # clamps to max_sec then track length
+    assert abs(p.playback.position_sec() - 2.0) < 1e-9
+    p.seek(-1.0)
+    assert p.playback.position_sec() == 0.0
+
+    # unknown track clears state (reference: state.rs:222-233)
+    p.set_track(99, None)
+    assert p.playback.track_id is None and not p.playback.is_playing
+    assert len(events) >= 4
+
+
+def test_player_position_advances_and_ends():
+    import time
+
+    sr = 100000
+    samples = np.zeros(sr // 100, np.float32)  # 10 ms track
+    store = {0: (samples, 1, sr, 0.01)}
+    p = Player(_tracks(store))
+    p.max_sec = 0.01
+    p.set_track(0, 0.0)
+    p.resume()
+    time.sleep(0.05)
+    p.tick()
+    assert not p.playback.is_playing  # reached end
+    assert abs(p.playback.position_sec() - 0.01) < 1e-9
+
+
+def test_position_sec_clamps():
+    pd = PlaybackData(
+        samples=np.zeros(6, np.float32), input_channels=2, sample_rate=3, position_frame=100.0
+    )
+    assert pd.position_sec() == 1.0  # 3 frames / 3 Hz
+    pd2 = PlaybackData()
+    assert pd2.position_sec() == 0.0
+
+
+def test_volume_db():
+    p = Player(lambda _: None)
+    p.set_volume_db(-6.0)
+    assert abs(p.playback.volume - 10 ** (-6 / 20)) < 1e-6
