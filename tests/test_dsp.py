@@ -161,3 +161,28 @@ def test_calc_spec_multi_channels_and_cache():
     assert abs(mn - multi.min()) < 1e-4 and abs(mx - multi.max()) < 1e-4
     # cached upload: same token reuses device buffer
     assert analyzer._wav_cache["k"][2] == 1
+
+
+def test_pallas_spec_kernel_parity():
+    """Pallas fused kernel == XLA path (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from thesia_tpu.dsp.pallas_spec import spec_db_pallas
+    from thesia_tpu.parallel.sharding import batched_spec_db
+
+    rng = np.random.default_rng(0)
+    T, win, F, M = 96, 320, 257, 80
+    frames = rng.uniform(-0.1, 0.1, (T, win)).astype(np.float32)
+    cw = (rng.uniform(-1, 1, (win, F)) * 0.01).astype(np.float32)
+    sw = (rng.uniform(-1, 1, (win, F)) * 0.01).astype(np.float32)
+    mel = np.abs(rng.uniform(0, 1, (F, M))).astype(np.float32)
+    got = np.asarray(
+        spec_db_pallas(
+            jnp.asarray(frames), jnp.asarray(cw), jnp.asarray(sw), jnp.asarray(mel),
+            interpret=True,
+        )
+    )
+    exp = np.asarray(
+        batched_spec_db(jnp.asarray(frames)[None], jnp.asarray(cw), jnp.asarray(sw), jnp.asarray(mel))
+    )[0]
+    np.testing.assert_allclose(got, exp, atol=1e-4)

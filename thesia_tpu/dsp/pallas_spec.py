@@ -1,0 +1,92 @@
+"""Pallas TPU kernel: fused spectrogram tail (DFT GEMMs -> |.| -> mel -> dB).
+
+One kernel computes, per (frame-tile, freq-block) grid step:
+    re = frames @ cw_block      (MXU)
+    im = frames @ sw_block      (MXU)
+    mag = sqrt(re^2 + im^2)     (VPU)
+    out += mag @ mel_block      (MXU, accumulated in the revisited out tile)
+and applies 20*log10 (with exact -inf at 0) on the last freq block.  The
+magnitude nonlinearity between the two GEMMs is what XLA cannot fuse into a
+single pass over VMEM; here the intermediate (T_TILE, F_BLOCK) magnitude
+never touches HBM.
+
+Freq padding is safe by construction: zero-padded cw/sw columns produce
+mag = 0 and zero-padded mel rows contribute nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_TILE = 128
+F_BLOCK = 256  # cw/sw blocks are double-buffered; 512 blows the 16 MB VMEM budget
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(frames_ref, cw_ref, sw_ref, mel_ref, out_ref):
+    f = pl.program_id(1)
+    n_f = pl.num_programs(1)
+    frames = frames_ref[:]
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, cw_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(frames, sw_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    mag = jnp.sqrt(re * re + im * im)
+    part = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32, precision=hi)
+
+    @pl.when(f == 0)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(f > 0)
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+    @pl.when(f == n_f - 1)
+    def _():
+        acc = out_ref[:]
+        out_ref[:] = 20.0 * jnp.where(
+            acc > 0, jnp.log10(jnp.where(acc > 0, acc, 1.0)), -jnp.inf
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spec_db_pallas(frames, cw, sw, mel_fb, *, interpret: bool = False):
+    """frames (T, win) f32, cw/sw (win, F), mel (F, M) -> dB (T, M).
+
+    Pads T to T_TILE, F to F_BLOCK, M to 128 internally.
+    """
+    t, win = frames.shape
+    f = cw.shape[1]
+    m = mel_fb.shape[1]
+    t_pad = _round_up(max(t, 1), T_TILE)
+    f_pad = _round_up(f, F_BLOCK)
+    m_pad = _round_up(m, 128)
+    frames_p = jnp.pad(frames, ((0, t_pad - t), (0, 0)))
+    cw_p = jnp.pad(cw, ((0, 0), (0, f_pad - f)))
+    sw_p = jnp.pad(sw, ((0, 0), (0, f_pad - f)))
+    mel_p = jnp.pad(mel_fb, ((0, f_pad - f), (0, m_pad - m)))
+
+    grid = (t_pad // T_TILE, f_pad // F_BLOCK)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T_TILE, win), lambda i, j: (i, 0)),
+            pl.BlockSpec((win, F_BLOCK), lambda i, j: (0, j)),
+            pl.BlockSpec((win, F_BLOCK), lambda i, j: (0, j)),
+            pl.BlockSpec((F_BLOCK, m_pad), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((T_TILE, m_pad), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((t_pad, m_pad), jnp.float32),
+        interpret=interpret,
+    )(frames_p, cw_p, sw_p, mel_p)
+    return out[:t, :m]

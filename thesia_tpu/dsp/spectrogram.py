@@ -66,10 +66,11 @@ def _build_padded(raw, n, *, pad: int, bucket: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hop_length", "t_overlap", "use_mel", "bucket", "pad")
+    jax.jit,
+    static_argnames=("hop_length", "t_overlap", "use_mel", "bucket", "pad", "use_pallas"),
 )
 def _spec_full(raw, n, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
-               use_mel: bool, bucket: int, pad: int):
+               use_mel: bool, bucket: int, pad: int, use_pallas: bool = False):
     """Whole-track fused pipeline.
 
     raw: (C, bucket) with the first n samples valid.  Returns
@@ -85,15 +86,24 @@ def _spec_full(raw, n, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
     frames = jnp.concatenate(
         [blocks[:, i : i + t_max] for i in range(t_overlap)], axis=2
     )  # (C, T_max, win)
-    re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=jax.lax.Precision.HIGHEST)
-    im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=jax.lax.Precision.HIGHEST)
-    mag = jnp.sqrt(re * re + im * im)
-    if use_mel:
-        out = jnp.einsum("ctf,fm->ctm", mag, mel_fb, precision=jax.lax.Precision.HIGHEST)
+    if use_pallas and use_mel:
+        from .pallas_spec import spec_db_pallas
+
+        db = spec_db_pallas(
+            frames.reshape(c * t_max, -1), cw, sw, mel_fb
+        ).reshape(c, t_max, -1)
     else:
-        out = mag
-    # dB from amplitude with amin=0 (decibel.rs:212): 0 -> -inf exactly
-    db = 20.0 * jnp.where(out > 0, jnp.log10(jnp.where(out > 0, out, 1.0)), -jnp.inf)
+        re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=jax.lax.Precision.HIGHEST)
+        im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=jax.lax.Precision.HIGHEST)
+        mag = jnp.sqrt(re * re + im * im)
+        if use_mel:
+            out = jnp.einsum(
+                "ctf,fm->ctm", mag, mel_fb, precision=jax.lax.Precision.HIGHEST
+            )
+        else:
+            out = mag
+        # dB from amplitude with amin=0 (decibel.rs:212): 0 -> -inf exactly
+        db = 20.0 * jnp.where(out > 0, jnp.log10(jnp.where(out > 0, out, 1.0)), -jnp.inf)
     n_frames = (n + 2 * pad - win_length) // hop_length + 1
     mask = (jnp.arange(t_max, dtype=jnp.int32) < n_frames)[None, :, None]
     min_db = jnp.min(jnp.where(mask, db, jnp.inf))
@@ -230,6 +240,8 @@ class SpectrogramAnalyzer:
             if cache_key is not None:
                 self._wav_cache[cache_key] = (raw_dev, n_dev, token)
             bucket = bucket2
+        import os
+
         db, mn, mx = _spec_full(
             raw_dev,
             jnp.int32(n_dev),
@@ -241,6 +253,7 @@ class SpectrogramAnalyzer:
             use_mel=use_mel,
             bucket=bucket,
             pad=pad,
+            use_pallas=bool(os.environ.get("THESIA_PALLAS")),
         )
         return SpecResult(db, n_frames, mn, mx)
 
