@@ -1,0 +1,70 @@
+"""Native C++ extension tests: FLAC decode, limiter parity, resize parity."""
+
+import numpy as np
+import pytest
+
+from thesia_tpu import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native ext unavailable")
+
+
+def test_flac_bit_exact_vs_wav(samples_dir):
+    flac_path = samples_dir / "sample_44k1.flac"
+    wav_path = samples_dir / "sample_44k1.wav"
+    if not (flac_path.exists() and wav_path.exists()):
+        pytest.skip("corpus incomplete")
+    from thesia_tpu.io.decode import open_audio_file
+
+    fw, finfo = open_audio_file(flac_path)
+    ww, winfo = open_audio_file(wav_path)
+    assert finfo.sr == winfo.sr == 44100
+    assert fw.shape == ww.shape
+    np.testing.assert_array_equal(fw, ww)
+
+
+def test_native_limiter_matches_python_streaming():
+    from thesia_tpu.dynamics.envelope import BoxStackFilter, PeakHold
+
+    rng = np.random.default_rng(2)
+    sr = 2000
+    wav = (rng.uniform(-1, 1, 900) * 2.5).astype(np.float32)
+    gain = native.limiter_gain_seq(wav[None, :], sr, 1.0, 5.0, 15.0, 40.0)
+    # streaming python reference
+    attack = round(5.0 * sr / 1000)
+    hold = round(20.0 * sr / 1000)
+    release = 40.0 * sr / 1000
+    ph = PeakHold(sr, 20.0)
+    stack = BoxStackFilter(attack, 3)
+    stack.reset(1.0)
+    y = 1.0
+    slew = 1.0 / (release + 1.0)
+    eps = np.finfo(np.float64).eps
+    out = []
+    vs = list(np.abs(wav.astype(np.float64))) + [0.0] * attack
+    for v in vs:
+        raw = 1.0 / (v + eps) if v > 1.0 else 1.0
+        held = -ph.step(-raw)
+        y = min(held, y + (held - y) * slew)
+        out.append(min(stack.step(y), 1.0))
+    exp = np.array(out[attack:])
+    np.testing.assert_allclose(gain, exp, rtol=1e-12, atol=1e-12)
+
+
+def test_native_resize_matches_python():
+    from thesia_tpu.render.resize import lanczos3_crop_resize_u16 as py_resize
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 65536, (64, 200)).astype(np.uint16)
+    crop = (10.25, 3.5, 150.75, 60.0)
+    got = native.lanczos3_crop_resize_u16(src, crop, 70, 28)
+    exp = py_resize(src, crop, 70, 28)
+    # identical algorithm; allow ±1 count for accumulation-order rounding
+    assert np.abs(got.astype(int) - exp.astype(int)).max() <= 1
+    assert (got == exp).mean() > 0.99
+
+
+def test_native_waveform_bins():
+    wav = (np.arange(64) - 32.0).astype(np.float32)
+    out = native.waveform_bin_stats(wav, 0, 64, 64, 1)
+    np.testing.assert_allclose(out[0], [-32.0, 31.0, -0.5])
