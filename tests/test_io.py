@@ -76,3 +76,38 @@ def test_wav_roundtrip_f32_s16():
     out16, sr16, codec16 = decode_wav(encode_wav_s16(wavs, 8000))
     assert sr16 == 8000 and codec16 == "pcm_s16le"
     np.testing.assert_allclose(out16, wavs, atol=1 / 32768)
+
+
+def test_compressed_codecs_via_ffmpeg(samples_dir):
+    from thesia_tpu.native import ffmpeg
+
+    if not ffmpeg.available():
+        pytest.skip("ffmpeg libraries unavailable")
+    cases = [
+        ("sample_44k1.mp3", "mp3"),
+        ("sample_44k1-aac.m4a", "isomp4 - aac"),
+        ("sample_44k1-alac.m4a", "isomp4 - alac"),
+    ]
+    for fname, expected_name in cases:
+        path = samples_dir / fname
+        if not path.exists():
+            continue
+        wavs, info = open_audio_file(path)
+        assert info.name == expected_name
+        assert info.sr == 44100
+        assert wavs.shape[1] > 1_000_000
+
+
+def test_alac_lossless_vs_wav(samples_dir):
+    from thesia_tpu.native import ffmpeg
+
+    if not ffmpeg.available():
+        pytest.skip("ffmpeg libraries unavailable")
+    alac = samples_dir / "sample_44k1-alac.m4a"
+    wav = samples_dir / "sample_44k1.wav"
+    if not (alac.exists() and wav.exists()):
+        pytest.skip("corpus incomplete")
+    aw, _ = open_audio_file(alac)
+    ww, _ = open_audio_file(wav)
+    n = min(aw.shape[1], ww.shape[1])
+    np.testing.assert_array_equal(aw[:, :n], ww[:, :n])

@@ -80,4 +80,41 @@ def open_audio_file(path: str | os.PathLike) -> tuple[np.ndarray, AudioFormatInf
         except FlacError as e:
             raise DecodeError(str(e)) from e
         return wavs, AudioFormatInfo(name="flac", sr=sr, bit_depth=f"{bits} bit")
-    raise DecodeError(f"unsupported or invalid audio format ({kind})")
+    return _open_via_ffmpeg(path)
+
+
+_FORMAT_NAME_MAP = {
+    "mov,mp4,m4a,3gp,3g2,mj2": "isomp4",
+    "matroska,webm": "mkv",
+    "wav": "wav",
+}
+_CODEC_NAME_MAP = {"mp3float": "mp3", "pcm_s16le": "pcm_s16le"}
+
+
+def _open_via_ffmpeg(path) -> tuple[np.ndarray, AudioFormatInfo]:
+    """Decode via the system ffmpeg libraries (mp3/aac/alac/vorbis/opus/...),
+    with AudioFormatInfo naming that mirrors the reference
+    (audio.rs:195-260)."""
+    from ..native import ffmpeg
+
+    if not ffmpeg.available():
+        raise DecodeError("unsupported audio format (ffmpeg decoder unavailable)")
+    try:
+        wavs, info = ffmpeg.decode(str(path))
+    except ValueError as e:
+        raise DecodeError(str(e)) from e
+    fmt = _FORMAT_NAME_MAP.get(info["format"], info["format"])
+    codec = _CODEC_NAME_MAP.get(info["codec"], info["codec"])
+    name = fmt if fmt == codec else f"{fmt} - {codec}"
+    sr = info["sr"]
+    bit_depth = ""
+    bitrate = ""
+    if codec == "alac":
+        bit_depth = f"{info['bits_per_sample'] or 16} bit"
+    elif not name.startswith("wav"):
+        if info["bit_rate"] > 0:
+            bitrate = f"{round(info['bit_rate'] / 1000)} kbps"
+        elif wavs.shape[1] > 0:
+            kbps = info["packet_bytes"] * 8 * sr / wavs.shape[1] / 1000
+            bitrate = f"{round(kbps)} kbps"
+    return wavs, AudioFormatInfo(name=name, sr=sr, bit_depth=bit_depth, bitrate=bitrate)
