@@ -129,3 +129,36 @@ def test_spec_setting_recompute(corpus):
     h_lin = tm.get_spectrogram((0, 0)).shape
     assert h_lin[0] > h_mel[0]  # linear has n_fft//2+1 rows >> n_mel rows
     assert h_lin[1] == h_mel[1]  # same frame count
+
+
+def test_device_quantizer_matches_host(corpus):
+    """TrackManager's batched device quantization == the host reference
+    quantizer (drawing.rs semantics) on real audio."""
+    import jax.numpy as jnp
+
+    from thesia_tpu.engine.manager import _quantize_multi
+    from thesia_tpu.render.visualize import convert_spectrogram_to_img
+
+    tl = TrackList()
+    tm = TrackManager()
+    added = tl.add_tracks([0], [str(corpus["16k"])])
+    tm.add_tracks(tl, added)
+    tm.apply_track_list_changes(tl)
+    res = tm.specs[0]
+    i_freq_range = tm.setting.freq_scale.hz_range_to_idx(
+        (0.0, tm.max_sr / 2.0), tl[0].sr, res.n_freq
+    )
+    dev = np.asarray(
+        _quantize_multi(res.db_padded, i_freq_range, (tm.min_db, tm.max_db), tm.colormap_length)
+    )[0, :, : res.n_frames]
+    host = convert_spectrogram_to_img(
+        np.asarray(res.db_padded)[0, : res.n_frames],
+        i_freq_range,
+        (tm.min_db, tm.max_db),
+        tm.colormap_length,
+    )
+    assert dev.shape == host.shape
+    # identical semantics; allow <=1 count on rounding-boundary pixels
+    diff = np.abs(dev.astype(int) - host.astype(int))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.999

@@ -23,6 +23,34 @@ from .track import TrackList
 IdCh = tuple[int, int]
 
 
+def _quantize_multi(db_padded, i_freq_range, db_range, colormap_length):
+    """(C, T_pad, F) dB -> (C, H, T_pad) u16 on device.
+
+    Same semantics as render.visualize.convert_spectrogram_to_img
+    (drawing.rs:6-36), batched over channels; invalid trailing frames carry
+    garbage that the caller slices off.
+    """
+    import jax.numpy as jnp
+
+    i_start, i_end = i_freq_range
+    height = i_end - i_start
+    c, t_pad, f_avail = db_padded.shape
+    if db_range[0] == db_range[1] and np.isneginf(db_range[1]):
+        return jnp.zeros((c, height, t_pad), jnp.uint16)
+    min_value = max(int(np.round(65535.0 / colormap_length)), 1) if colormap_length else 1
+    u16_span = np.float32(65535 - min_value)
+    db_span = np.float32(db_range[1] - db_range[0])
+    n_rows = max(min(i_end, f_avail) - i_start, 0)
+    out = jnp.zeros((c, height, t_pad), jnp.uint16)
+    if n_rows > 0:
+        sub = jnp.swapaxes(db_padded[:, :, i_start : i_start + n_rows], 1, 2)
+        vals = (sub - np.float32(db_range[0])) / db_span * u16_span + np.float32(min_value)
+        vals = jnp.where(jnp.isnan(vals), 0.0, vals)
+        rounded = jnp.sign(vals) * jnp.floor(jnp.abs(vals) + 0.5)
+        out = out.at[:, :n_rows].set(jnp.clip(rounded, 0.0, 65535.0).astype(jnp.uint16))
+    return out
+
+
 class TrackManager:
     def __init__(self):
         self.max_db = -math.inf
@@ -140,13 +168,15 @@ class TrackManager:
                 i_freq_range = self.setting.freq_scale.hz_range_to_idx(
                     (0.0, self.max_sr / 2.0), sr, res.n_freq
                 )
-                # one bulk transfer for all channels, sliced on host
-                host = np.asarray(res.db_padded)[:, : res.n_frames]
+                # quantize on device (u16 halves the transfer), one bulk
+                # d2h per track covering all channels
+                imgs_dev = _quantize_multi(
+                    res.db_padded,
+                    i_freq_range,
+                    (self.min_db, self.max_db),
+                    self.colormap_length,
+                )
+                host = np.asarray(imgs_dev)[:, :, : res.n_frames]
                 for ch in range(self._spec_n_ch.get(track_id, host.shape[0])):
-                    self.spec_imgs[(track_id, ch)] = convert_spectrogram_to_img(
-                        host[ch],
-                        i_freq_range,
-                        (self.min_db, self.max_db),
-                        self.colormap_length,
-                    )
+                    self.spec_imgs[(track_id, ch)] = np.ascontiguousarray(host[ch])
         return ids_need_update
