@@ -2,9 +2,10 @@
 // State model follows the reference MainViewer (startSec, pxPerSec per-view;
 // cursor-anchored zoom; follow-playhead) — src/prototypes/MainViewer/.
 
-import { api } from "./api.js";
+import { api, jsonNumber } from "./api.js";
 import { TrackViewport } from "./viewport.js";
 import { updateFreqAxis, updateTimeAxis } from "./axes.js";
+import { Overview, drawColorbar } from "./overview.js";
 
 const MAX_PX_PER_SEC = 384000; // reference: constants/tracks.ts:189
 
@@ -26,6 +27,8 @@ const state = {
 
 const $ = (sel) => document.querySelector(sel);
 const rowsEl = $("#rows");
+let overview = null;
+let colormapRgba = null;
 
 // ---------------------------------------------------------------------------
 // track management
@@ -48,7 +51,22 @@ async function refreshAll() {
   state.maxSec = await api.getLongestSec();
   state.maxTrackHz = await api.getMaxTrackHz();
   for (const vp of state.viewports.values()) await vp.refreshMetadata();
+  if (overview && state.selectedTrack !== null) {
+    await overview.setTrack(state.selectedTrack);
+  }
+  updateColorbar();
   state.needsRedraw = true;
+}
+
+async function updateColorbar() {
+  if (!colormapRgba) return;
+  const [minDb, maxDb] = await Promise.all([
+    fetch("/api/get_min_dB", { method: "POST" }).then((r) => r.json())
+      .then((j) => jsonNumber(j.result)),
+    fetch("/api/get_max_dB", { method: "POST" }).then((r) => r.json())
+      .then((j) => jsonNumber(j.result)),
+  ]);
+  drawColorbar($("#colorbar"), colormapRgba, minDb, maxDb);
 }
 
 async function buildRow(trackId) {
@@ -69,9 +87,12 @@ async function buildRow(trackId) {
     const vpc = row.querySelector(".viewport");
     vpc.addEventListener("click", async (e) => {
       const sec = state.startSec + e.offsetX / state.pxPerSec;
+      const prevSelected = state.selectedTrack;
       state.selectedTrack = trackId;
       await api.setTrackPlayer(trackId, sec);
       if (state.playing) await api.resumePlayer();
+      if (overview && prevSelected !== trackId) await overview.setTrack(trackId);
+      redraw();
       pollPlayer();
     });
     await updateRowInfo(row, trackId, ch, nCh);
@@ -139,6 +160,10 @@ function renderFrame() {
       blend: state.blend,
     };
     for (const vp of state.viewports.values()) vp.draw(view);
+    if (overview) {
+      const viewW = rowsEl.clientWidth - 245;
+      overview.draw(state.startSec, [state.startSec, viewW / state.pxPerSec]);
+    }
     updateTimeAxis($("#time-axis"), state.startSec, state.pxPerSec, state.maxSec);
     for (const row of rowsEl.children) {
       const vp = state.viewports.get(row.dataset.idCh);
@@ -343,7 +368,14 @@ async function togglePlay() {
 (async function boot() {
   const colormap = await fetch("/api/get_default_colormap", { method: "POST" })
     .then((r) => r.json()).then((j) => j.result);
+  colormapRgba = colormap;
   await api.init(colormap);
+  overview = new Overview($("#overview"));
+  overview.onSeekView = (centerSec) => {
+    const viewW = rowsEl.clientWidth - 245;
+    state.startSec = centerSec - viewW / state.pxPerSec / 2;
+    redraw();
+  };
   await setupControls();
   connectEvents();
   pollPlayer();

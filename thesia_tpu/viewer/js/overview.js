@@ -1,0 +1,166 @@
+// Overview strip: whole-track waveform of the selected track, limiter gain
+// envelope band, and a draggable lens showing the visible range.
+// reference: src/prototypes/Overview/OverviewWaveformViewport.tsx.
+
+import { api } from "./api.js";
+
+const GAIN_COLOR = "rgba(245,145,73,0.55)";
+const WAVE_COLOR = "#2d92e5";
+const LENS_FILL = "rgba(255,255,255,0.08)";
+const LENS_EDGE = "rgba(255,255,255,0.35)";
+
+export class Overview {
+  constructor(canvas) {
+    this.canvas = canvas;
+    this.ctx = canvas.getContext("2d");
+    this.trackId = null;
+    this.idChStr = null;
+    this.metadata = null;
+    this.bins = null; // Float32Array of (min,max,mean)*N covering whole track
+    this.gain = null;
+    this.onSeekView = () => {};
+    this._drag = false;
+    canvas.addEventListener("mousedown", (e) => {
+      this._drag = true;
+      this._moveLens(e);
+    });
+    window.addEventListener("mousemove", (e) => this._drag && this._moveLens(e));
+    window.addEventListener("mouseup", () => (this._drag = false));
+  }
+
+  _moveLens(e) {
+    if (!this.metadata) return;
+    const rect = this.canvas.getBoundingClientRect();
+    const frac = Math.min(Math.max((e.clientX - rect.left) / rect.width, 0), 1);
+    this.onSeekView(frac * this.metadata.trackSec);
+  }
+
+  async setTrack(trackId) {
+    this.trackId = trackId;
+    if (trackId === null) {
+      this.metadata = this.bins = this.gain = null;
+      return;
+    }
+    this.idChStr = `${trackId}_0`;
+    this.metadata = await api.getMetadata(this.idChStr);
+    if (!this.metadata) return;
+    const width = this.canvas.clientWidth || 600;
+    const level = Math.max(
+      0, Math.ceil(Math.log2(this.metadata.sampleCount / Math.max(width, 1)))
+    );
+    const spb = 1 << level;
+    const tileSamples = 1024 * spb;
+    const nTiles = Math.ceil(this.metadata.sampleCount / tileSamples);
+    const parts = [];
+    for (let i = 0; i < nTiles; i++) {
+      parts.push(await api.getWaveformTile(this.idChStr, level, i));
+    }
+    const total = parts.reduce((a, p) => a + p.binCount, 0);
+    this.bins = new Float32Array(total * 3);
+    let off = 0;
+    for (const p of parts) {
+      this.bins.set(p.bins, off);
+      off += p.binCount * 3;
+    }
+    this.gain = await api.getLimiterGain(trackId).catch(() => null);
+  }
+
+  draw(startSec, pxPerSecViewWidthSec) {
+    const { canvas, ctx } = this;
+    const dpr = window.devicePixelRatio || 1;
+    const w = canvas.clientWidth, h = canvas.clientHeight;
+    if (canvas.width !== w * dpr || canvas.height !== h * dpr) {
+      canvas.width = w * dpr;
+      canvas.height = h * dpr;
+    }
+    ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
+    ctx.fillStyle = "#111317";
+    ctx.fillRect(0, 0, w, h);
+    if (!this.metadata || !this.bins) return;
+    const mid = h / 2, amp = h / 2 * 0.9;
+    const n = this.bins.length / 3;
+    // waveform envelope
+    ctx.fillStyle = WAVE_COLOR;
+    ctx.globalAlpha = 0.8;
+    ctx.beginPath();
+    for (let i = 0; i < n; i++) {
+      const x = (i / n) * w;
+      const y = mid - this.bins[i * 3 + 1] * amp;
+      if (i === 0) ctx.moveTo(x, y);
+      else ctx.lineTo(x, y);
+    }
+    for (let i = n - 1; i >= 0; i--) {
+      const x = (i / n) * w;
+      ctx.lineTo(x, mid - this.bins[i * 3] * amp);
+    }
+    ctx.closePath();
+    ctx.fill();
+    ctx.globalAlpha = 1;
+    // limiter gain envelope band (gain < 1 regions), orange from top
+    if (this.gain && this.gain.length > 1) {
+      ctx.fillStyle = GAIN_COLOR;
+      const g = this.gain;
+      ctx.beginPath();
+      ctx.moveTo(0, 0);
+      for (let i = 0; i < g.length; i++) {
+        const x = (i / g.length) * w;
+        ctx.lineTo(x, (1 - g[i]) * h * 0.5);
+      }
+      ctx.lineTo(w, 0);
+      ctx.closePath();
+      ctx.fill();
+    }
+    // lens
+    const [vs, vw] = pxPerSecViewWidthSec;
+    const x0 = (vs / this.metadata.trackSec) * w;
+    const x1 = ((vs + vw) / this.metadata.trackSec) * w;
+    ctx.fillStyle = LENS_FILL;
+    ctx.fillRect(x0, 0, Math.max(x1 - x0, 2), h);
+    ctx.strokeStyle = LENS_EDGE;
+    ctx.strokeRect(x0 + 0.5, 0.5, Math.max(x1 - x0, 2) - 1, h - 1);
+  }
+}
+
+// dB colorbar: vertical colormap gradient + dB axis labels.
+// reference: src/prototypes/MainViewer/ColorBarCanvas.tsx.
+export async function drawColorbar(canvas, colormap, minDb, maxDb) {
+  const dpr = window.devicePixelRatio || 1;
+  const w = canvas.clientWidth, h = canvas.clientHeight;
+  canvas.width = w * dpr;
+  canvas.height = h * dpr;
+  const ctx = canvas.getContext("2d");
+  ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
+  const barW = 12;
+  const n = colormap.length / 4;
+  for (let y = 0; y < h; y++) {
+    // top = max dB = end of colormap (skipping the reserved black at 0)
+    const idx = Math.min(
+      n - 1, 1 + Math.round(((h - 1 - y) / Math.max(h - 1, 1)) * (n - 2))
+    );
+    ctx.fillStyle = `rgb(${colormap[idx * 4]},${colormap[idx * 4 + 1]},${colormap[idx * 4 + 2]})`;
+    ctx.fillRect(0, y, barW, 1);
+  }
+  if (isFinite(minDb) && isFinite(maxDb) && maxDb > minDb) {
+    const maxTicks = Math.max(2, Math.min(Math.floor(h / 30), 9));
+    const markers = await fetch("/api/calc_dB_axis_markers", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({
+        maxNumTicks: maxTicks, maxNumLabels: maxTicks,
+        dBRangeMin: minDb, dBRangeMax: maxDb,
+      }),
+    }).then((r) => r.json()).then((j) => j.result);
+    ctx.fillStyle = "#9aa0ac";
+    ctx.font = "9px system-ui";
+    ctx.textBaseline = "middle";
+    for (const [pos, label] of markers) {
+      const y = Math.min(Math.max(pos * h, 5), h - 5);
+      ctx.strokeStyle = "#4a4f5a";
+      ctx.beginPath();
+      ctx.moveTo(barW, y);
+      ctx.lineTo(barW + 4, y);
+      ctx.stroke();
+      if (label) ctx.fillText(label, barW + 6, y);
+    }
+  }
+}
