@@ -251,7 +251,11 @@ def _jsonable(x):
 
 def main():
     import argparse
+    import faulthandler
     import os
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
     default_viewer = os.path.join(os.path.dirname(os.path.dirname(__file__)), "viewer")
     p = argparse.ArgumentParser(description="thesia_tpu engine service")

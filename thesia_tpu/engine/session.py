@@ -241,7 +241,7 @@ class EngineSession:
         return self.tm.db_range
 
     def set_db_range(self, db_range: float) -> None:
-        assert db_range > 0.0
+        assert db_range > 0.0, f"dB range must be positive (got {db_range})"
         self._write(lambda: self.tm.set_db_range(self.tracklist, float(db_range)))
         self.tile_cache.invalidate_spectrogram()
 
@@ -293,6 +293,8 @@ class EngineSession:
         track = self.tracklist.get(track_id)
         if track is None:
             return None
+        if ch >= track.n_ch:
+            raise KeyError(f"Track {track_id} has no channel {ch}")
         wav, is_clipped = track.channel_for_drawing(ch)
         img = self.tm.get_spectrogram((track_id, ch))
         shape = tuple(img.shape) if img is not None else None
@@ -303,6 +305,8 @@ class EngineSession:
         track = self.tracklist.get(track_id)
         if track is None:
             raise KeyError(f"Track {track_id} does not exist")
+        if ch >= track.n_ch:
+            raise KeyError(f"Track {track_id} has no channel {ch}")
         wav, _ = track.channel_for_drawing(ch)
         revision, cached = self.tile_cache.cached_waveform_tile(track_id, ch, level, tile_index)
         if cached is not None:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import threading
 
 import numpy as np
@@ -9,6 +10,28 @@ import numpy as np
 _lock = threading.Lock()
 _thread: threading.Thread | None = None
 _done = False
+_configured = False
+
+
+def configure_jax_cache() -> None:
+    """Enable the persistent XLA compilation cache (huge cold-start win on
+    the tunneled TPU: a recompiled pipeline drops from minutes to ~20 ms on
+    the next process).  Must run before the first compile."""
+    global _configured
+    if _configured:
+        return
+    _configured = True
+    import jax
+
+    cache_dir = os.environ.get(
+        "THESIA_JAX_CACHE", os.path.expanduser("~/.thesia_tpu/jax_cache")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 def _do_warmup() -> None:
@@ -29,6 +52,7 @@ def device_warmup(background: bool = False) -> None:
     (service startup); a later foreground call joins it before first use.
     No-op cost on CPU backends.
     """
+    configure_jax_cache()
     global _thread
     with _lock:
         if _done:
