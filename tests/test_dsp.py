@@ -186,3 +186,44 @@ def test_pallas_spec_kernel_parity():
         batched_spec_db(jnp.asarray(frames)[None], jnp.asarray(cw), jnp.asarray(sw), jnp.asarray(mel))
     )[0]
     np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
+def test_calc_specs_batched_matches_per_track():
+    """Multi-track batched recompute == per-track results (values + bounds)."""
+    analyzer = SpectrogramAnalyzer()
+    sr = 8000
+    s = SpecSetting()
+    rng = np.random.default_rng(4)
+    tracks = {
+        "a": rng.uniform(-1, 1, (1, 9000)).astype(np.float32),
+        "b": rng.uniform(-0.5, 0.5, (2, 7000)).astype(np.float32),
+        "c": rng.uniform(-0.2, 0.2, (1, 12000)).astype(np.float32),
+    }
+    batched = analyzer.calc_specs_batched(
+        [(k, w, sr) for k, w in tracks.items()], s
+    )
+    for k, w in tracks.items():
+        solo = analyzer.calc_spec_multi(w, sr, s)
+        got = np.asarray(batched[k].db_padded)[:, : batched[k].n_frames]
+        exp = np.asarray(solo.db_padded)[:, : solo.n_frames]
+        assert batched[k].n_frames == solo.n_frames
+        np.testing.assert_allclose(got, exp, atol=2e-4, rtol=1e-5)
+        bmn, bmx = batched[k].min_max_db()
+        smn, smx = solo.min_max_db()
+        assert abs(bmn - smn) < 1e-3 and abs(bmx - smx) < 1e-3
+
+
+def test_calc_specs_batched_mixed_sr():
+    analyzer = SpectrogramAnalyzer()
+    s = SpecSetting()
+    rng = np.random.default_rng(5)
+    items = [
+        ("x", rng.uniform(-1, 1, (1, 9000)).astype(np.float32), 8000),
+        ("y", rng.uniform(-1, 1, (1, 20000)).astype(np.float32), 16000),
+        ("tiny", rng.uniform(-1, 1, (1, 100)).astype(np.float32), 8000),
+    ]
+    out = analyzer.calc_specs_batched(items, s)
+    assert set(out) == {"x", "y", "tiny"}
+    for key, w, sr in items:
+        hop, win, _ = s.calc_framing_params(sr)
+        assert out[key].n_frames == stft_frame_count(w.shape[1], win, hop)

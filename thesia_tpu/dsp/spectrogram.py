@@ -47,22 +47,29 @@ def wav_size_bucket(n: int) -> int:
     return b
 
 
+def _build_padded_row(raw_row, n, *, pad: int, bucket: int):
+    """(B,) raw (valid first n samples) -> (B,) reflect-padded signal.
+
+    padded[pad + i] = raw[i]; [:pad] / [pad+n : pad+n+pad] are reflections.
+    Requires n > pad (short tracks take the host path).  vmap-able over rows
+    with per-row n.
+    """
+    head = jnp.flip(jax.lax.dynamic_slice(raw_row, (1,), (pad,)))
+    tail = jnp.flip(jax.lax.dynamic_slice(raw_row, (n - pad - 1,), (pad,)))
+    out = jnp.zeros((bucket,), raw_row.dtype)
+    # slice the update so DUS never clamps the start offset
+    out = jax.lax.dynamic_update_slice(out, raw_row[: bucket - pad], (pad,))
+    out = jax.lax.dynamic_update_slice(out, head, (0,))
+    out = jax.lax.dynamic_update_slice(out, tail, (pad + n,))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("pad", "bucket"))
 def _build_padded(raw, n, *, pad: int, bucket: int):
-    """(C, B) raw (valid first n samples) -> (C, B) reflect-padded signal.
-
-    padded[:, pad + i] = raw[:, i]; padded[:, :pad] / [pad+n : pad+n+pad]
-    are the reflections.  Requires n > pad (short tracks take the host path).
-    """
-    c = raw.shape[0]
-    head = jnp.flip(jax.lax.dynamic_slice(raw, (0, 1), (c, pad)), axis=1)
-    tail = jnp.flip(jax.lax.dynamic_slice(raw, (0, n - pad - 1), (c, pad)), axis=1)
-    out = jnp.zeros((c, bucket), raw.dtype)
-    # slice the update so DUS never clamps the start offset
-    out = jax.lax.dynamic_update_slice(out, raw[:, : bucket - pad], (0, pad))
-    out = jax.lax.dynamic_update_slice(out, head, (0, 0))
-    out = jax.lax.dynamic_update_slice(out, tail, (0, pad + n))
-    return out
+    """(C, B) raw with a shared scalar n -> (C, B) reflect-padded."""
+    return jax.vmap(
+        lambda row: _build_padded_row(row, n, pad=pad, bucket=bucket)
+    )(raw)
 
 
 @functools.partial(
@@ -109,6 +116,42 @@ def _spec_full(raw, n, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
     min_db = jnp.min(jnp.where(mask, db, jnp.inf))
     max_db = jnp.max(jnp.where(mask, db, -jnp.inf))
     return db, min_db, max_db
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop_length", "t_overlap", "use_mel", "bucket", "pad"),
+)
+def _spec_full_multi(raw, ns, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
+                     use_mel: bool, bucket: int, pad: int):
+    """Multi-track batch: raw (C_total, bucket) with PER-ROW valid lengths ns
+    (C_total,).  Returns (db (C, T_max, F), row_min (C,), row_max (C,)) with
+    per-row masked bounds.  One device program recomputes every track of a
+    (sr, win, n_fft) group (SURVEY §7.8 multi-track batched recompute)."""
+    win_length = hop_length * t_overlap
+    c = raw.shape[0]
+    padded = jax.vmap(
+        lambda row, n: _build_padded_row(row, n, pad=pad, bucket=bucket)
+    )(raw, ns)
+    t_max = (bucket - win_length) // hop_length + 1
+    t_blocks = t_max + t_overlap - 1
+    blocks = padded[:, : t_blocks * hop_length].reshape(c, t_blocks, hop_length)
+    frames = jnp.concatenate(
+        [blocks[:, i : i + t_max] for i in range(t_overlap)], axis=2
+    )
+    re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=jax.lax.Precision.HIGHEST)
+    mag = jnp.sqrt(re * re + im * im)
+    if use_mel:
+        out = jnp.einsum("ctf,fm->ctm", mag, mel_fb, precision=jax.lax.Precision.HIGHEST)
+    else:
+        out = mag
+    db = 20.0 * jnp.where(out > 0, jnp.log10(jnp.where(out > 0, out, 1.0)), -jnp.inf)
+    n_frames = (ns + 2 * pad - win_length) // hop_length + 1
+    mask = jnp.arange(t_max, dtype=jnp.int32)[None, :, None] < n_frames[:, None, None]
+    row_min = jnp.min(jnp.where(mask, db, jnp.inf), axis=(1, 2))
+    row_max = jnp.max(jnp.where(mask, db, -jnp.inf), axis=(1, 2))
+    return db, row_min, row_max
 
 
 class SpecResult:
@@ -281,3 +324,75 @@ class SpectrogramAnalyzer:
         """Single-channel compatibility wrapper -> (n_frames, F) device array."""
         res = self.calc_spec_multi(np.atleast_2d(wav), sr, setting, cache_key)
         return res.db_padded[0, : res.n_frames]
+
+    def calc_specs_batched(
+        self, items, setting: SpecSetting
+    ) -> dict[object, SpecResult]:
+        """Multi-track batched recompute: items = [(key, wavs (C,n), sr)].
+
+        Tracks sharing a (sr, win, n_fft) parameter set AND wav size bucket
+        are stacked into ONE device program (row batch padded to a power of
+        two so batch sizes reuse executables).  Short tracks fall back to the
+        per-track path.  Returns {key: SpecResult}.
+        """
+        from ..runtime import device_warmup
+
+        device_warmup()
+        results: dict[object, SpecResult] = {}
+        groups: dict[tuple, list] = {}
+        for key, wavs, sr in items:
+            wavs = np.atleast_2d(np.asarray(wavs, np.float32))
+            hop, win, n_fft = setting.calc_framing_params(sr)
+            pad = win // 2
+            n = wavs.shape[-1]
+            if n <= pad + 1 or n < win:
+                results[key] = self.calc_spec_multi(wavs, sr, setting)
+                continue
+            bucket = wav_size_bucket(n + 2 * pad)
+            groups.setdefault((sr, hop, win, n_fft, bucket), []).append((key, wavs, n))
+
+        use_mel = setting.freq_scale is FreqScale.Mel
+        for (sr, hop, win, n_fft, bucket), members in groups.items():
+            if len(members) == 1:
+                key, wavs, n = members[0]
+                results[key] = self.calc_spec_multi(wavs, sr, setting)
+                continue
+            cw, sw = self._dft_mats(win, n_fft)
+            mel = self.mel_fb(sr, n_fft) if use_mel else jnp.zeros((1, 1), jnp.float32)
+            rows = sum(w.shape[0] for _, w, _ in members)
+            c_bucket = 1
+            while c_bucket < rows:
+                c_bucket *= 2
+            buf = np.zeros((c_bucket, bucket), np.float32)
+            ns = np.zeros(c_bucket, np.int32)
+            spans = []
+            r = 0
+            for key, wavs, n in members:
+                c = wavs.shape[0]
+                buf[r : r + c, :n] = wavs
+                # dummy rows keep ns=0; real rows record their length
+                ns[r : r + c] = n
+                spans.append((key, r, c, n))
+                r += c
+            # dummy rows need a safe n for the reflect slices (masked anyway)
+            ns[r:] = max(win + 2, 2 * (win // 2) + 2)
+            db, row_min, row_max = _spec_full_multi(
+                jnp.asarray(buf),
+                jnp.asarray(ns),
+                cw,
+                sw,
+                mel,
+                hop_length=hop,
+                t_overlap=win // hop,
+                use_mel=use_mel,
+                bucket=bucket,
+                pad=win // 2,
+            )
+            for key, r0, c, n in spans:
+                n_frames = stft_frame_count(n, win, hop)
+                mins = row_min[r0 : r0 + c]
+                maxs = row_max[r0 : r0 + c]
+                results[key] = SpecResult(
+                    db[r0 : r0 + c], n_frames, jnp.min(mins), jnp.max(maxs)
+                )
+        return results

@@ -116,7 +116,18 @@ class TrackManager:
         if params is None:
             params = tracklist.construct_all_sr_win_nfft_set(self.setting)
         self.spec_analyzer.prepare(params, self.setting.freq_scale)
-        for track_id in sorted({t for t, _ in id_ch_tuples}):
+        track_ids = sorted({t for t, _ in id_ch_tuples})
+        if len(track_ids) > 1:
+            # one device program per (sr, win, n_fft, bucket) group
+            items = [
+                (tid, tracklist[tid].audio.wavs, tracklist[tid].sr) for tid in track_ids
+            ]
+            results = self.spec_analyzer.calc_specs_batched(items, self.setting)
+            for tid in track_ids:
+                self.specs[tid] = results[tid]
+                self._spec_n_ch[tid] = tracklist[tid].n_ch
+            return
+        for track_id in track_ids:
             track = tracklist[track_id]
             self.specs[track_id] = self.spec_analyzer.calc_spec_multi(
                 track.audio.wavs,
