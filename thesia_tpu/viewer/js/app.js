@@ -85,6 +85,8 @@ async function buildRow(trackId) {
     state.viewports.set(idChStr, vp);
     row.querySelector(".track-remove").onclick = () => removeTrack(trackId);
     const vpc = row.querySelector(".viewport");
+    vpc.addEventListener("mousemove", (e) => showTooltip(e, vp, row));
+    vpc.addEventListener("mouseleave", hideTooltip);
     vpc.addEventListener("click", async (e) => {
       const sec = state.startSec + e.offsetX / state.pxPerSec;
       const prevSelected = state.selectedTrack;
@@ -209,6 +211,60 @@ function fmtTime(sec) {
 }
 
 // ---------------------------------------------------------------------------
+// tooltip (reference: formatTimeAxisTooltip / formatFrequencyAxisTooltip
+// via AudioTrackViewport hover)
+
+let tooltipEl = null;
+let tooltipPending = false;
+
+function showTooltip(e, vp, row) {
+  if (!vp.metadata) return;
+  if (!tooltipEl) {
+    tooltipEl = document.createElement("div");
+    tooltipEl.style.cssText =
+      "position:fixed;pointer-events:none;background:#000a;color:#dde;" +
+      "padding:2px 6px;border-radius:3px;font:11px system-ui;z-index:9";
+    document.body.appendChild(tooltipEl);
+  }
+  tooltipEl.style.left = `${e.clientX + 12}px`;
+  tooltipEl.style.top = `${e.clientY + 12}px`;
+  tooltipEl.style.display = "block";
+  if (tooltipPending) return;
+  tooltipPending = true;
+  setTimeout(async () => {
+    tooltipPending = false;
+    if (!tooltipEl || tooltipEl.style.display === "none") return;
+    const sec = state.startSec + e.offsetX / state.pxPerSec;
+    const h = e.target.clientHeight;
+    const maxHz = state.maxTrackHz || vp.metadata.sampleRate / 2;
+    try {
+      const [t, hz] = await Promise.all([
+        fetch("/api/format_time_axis_tooltip", {
+          method: "POST", headers: { "Content-Type": "application/json" },
+          body: JSON.stringify({ sec, formatDisplay: "mm:ss.xxx" }),
+        }).then((r) => r.json()).then((j) => j.result),
+        fetch("/api/freq_pos_to_hz", {
+          method: "POST", headers: { "Content-Type": "application/json" },
+          body: JSON.stringify({
+            freqScale: state.freqScale, y: e.offsetY, height: h,
+            hzRangeMin: 0, hzRangeMax: maxHz, maxTrackHz: maxHz,
+          }),
+        }).then((r) => r.json()).then((j) => j.result),
+      ]);
+      const hzLabel = await fetch("/api/format_frequency_axis_tooltip", {
+        method: "POST", headers: { "Content-Type": "application/json" },
+        body: JSON.stringify({ hz, resolutionHz: maxHz / Math.max(h, 1) }),
+      }).then((r) => r.json()).then((j) => j.result);
+      if (tooltipEl) tooltipEl.textContent = `${t} · ${hzLabel}Hz`;
+    } catch { /* transient */ }
+  }, 100);
+}
+
+function hideTooltip() {
+  if (tooltipEl) tooltipEl.style.display = "none";
+}
+
+// ---------------------------------------------------------------------------
 // zoom / pan (reference: MainViewer.tsx:538-595 wheel gestures)
 
 rowsEl.addEventListener("wheel", (e) => {
@@ -284,10 +340,39 @@ async function setupControls() {
   };
 
   $("#btn-play").onclick = togglePlay;
-  document.addEventListener("keydown", (e) => {
-    if (e.code === "Space" && e.target.tagName !== "INPUT") {
+  // hotkeys mirror the reference's menu-emitted events (menu.rs:427-445:
+  // toggle-play, jump-player, rewind-to-front, time-zoom, remove-selected)
+  document.addEventListener("keydown", async (e) => {
+    if (e.target.tagName === "INPUT" || e.target.tagName === "SELECT") return;
+    const jump = e.shiftKey ? 5.0 : 1.0; // PLAY_BIG_JUMP_SEC / PLAY_JUMP_SEC
+    if (e.code === "Space") {
       e.preventDefault();
       togglePlay();
+    } else if (e.code === "ArrowLeft" || e.code === "ArrowRight") {
+      e.preventDefault();
+      const a = state.playerAnchor;
+      const pos = a.isPlaying
+        ? a.positionSec + (performance.now() - a.at) / 1000 : a.positionSec;
+      await api.seekPlayer(pos + (e.code === "ArrowRight" ? jump : -jump));
+      pollPlayer();
+    } else if (e.code === "Home") {
+      e.preventDefault();
+      await api.seekPlayer(0);
+      state.startSec = 0;
+      redraw();
+      pollPlayer();
+    } else if (e.key === "+" || e.key === "=") {
+      state.pxPerSec = Math.min(state.pxPerSec * 1.5, MAX_PX_PER_SEC);
+      redraw();
+    } else if (e.key === "-") {
+      state.pxPerSec = Math.max(state.pxPerSec / 1.5, 0.01);
+      redraw();
+    } else if (e.code === "Delete" || e.code === "Backspace") {
+      if (state.selectedTrack !== null) {
+        const t = state.selectedTrack;
+        state.selectedTrack = null;
+        await removeTrack(t);
+      }
     }
   });
   $("#volume").oninput = (e) => api.setVolumeDb(Number(e.target.value));
