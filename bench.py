@@ -106,9 +106,40 @@ def bench_tile_latency(spec_db, reps: int = 40):
     return spec_p50, wav_p50
 
 
+def bench_multitrack(reps: int = 3):
+    """Mixed-rate multi-track batched recompute (BASELINE.json config 3/4)."""
+    from thesia_tpu.dsp.framing import SpecSetting
+    from thesia_tpu.dsp.spectrogram import SpectrogramAnalyzer
+
+    _progress("multi-track batched recompute")
+    analyzer = SpectrogramAnalyzer()
+    setting = SpecSetting()
+    items = []
+    total_audio_sec = 0.0
+    for i, (sr, seconds, n_ch) in enumerate(
+        [(48000, 30.0, 2), (44100, 30.0, 2), (44100, 20.0, 1), (16000, 30.0, 1), (48000, 15.0, 1)]
+    ):
+        wavs = synth_stereo(sr, seconds, seed=i)[:n_ch]
+        items.append((i, wavs, sr))
+        total_audio_sec += seconds
+    # warm
+    r = analyzer.calc_specs_batched(items, setting)
+    for v in r.values():
+        v.db_padded.block_until_ready()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = analyzer.calc_specs_batched(items, setting)
+        for v in r.values():
+            v.db_padded.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return total_audio_sec / min(times)
+
+
 def main():
     realtime_factor, frames_per_sec, spec = bench_spec_throughput()
     spec_tile_p50, wav_tile_p50 = bench_tile_latency(spec)
+    multi_rt = bench_multitrack()
     result = {
         "metric": "stft_mel_raster_realtime_factor_48k_stereo",
         "value": round(realtime_factor, 2),
@@ -117,6 +148,7 @@ def main():
         "stft_frames_per_sec": round(frames_per_sec),
         "spec_tile_p50_ms": round(spec_tile_p50, 3),
         "waveform_tile_p50_ms": round(wav_tile_p50, 3),
+        "multitrack_mixed_sr_x_realtime": round(multi_rt, 2),
     }
     print(json.dumps(result))
 

@@ -101,6 +101,8 @@ export const api = {
   calcFreqAxisMarkers: (hzRangeMin, hzRangeMax, freqScale, maxNumTicks, maxNumLabels, maxTrackHz) =>
     call("calc_freq_axis_markers",
       { hzRangeMin, hzRangeMax, freqScale, maxNumTicks, maxNumLabels, maxTrackHz }),
+  calcAmpAxisMarkers: (maxNumTicks, maxNumLabels, ampRangeMin, ampRangeMax) =>
+    call("calc_amp_axis_markers", { maxNumTicks, maxNumLabels, ampRangeMin, ampRangeMax }),
   secondsToLabel: (sec) => call("seconds_to_label", { sec }),
   listMedia: () => fetch("/media").then((r) => r.json()).then((j) => j.result),
   upload: async (file) => {

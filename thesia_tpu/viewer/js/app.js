@@ -4,7 +4,7 @@
 
 import { api, jsonNumber } from "./api.js";
 import { TrackViewport } from "./viewport.js";
-import { updateFreqAxis, updateTimeAxis } from "./axes.js";
+import { updateAmpAxis, updateFreqAxis, updateTimeAxis } from "./axes.js";
 import { Overview, drawColorbar } from "./overview.js";
 
 const MAX_PX_PER_SEC = 384000; // reference: constants/tracks.ts:189
@@ -134,7 +134,7 @@ async function removeTrack(trackId) {
 
 function fitIfFirst() {
   if (state.trackIds.length >= 1 && state.maxSec > 0) {
-    const w = rowsEl.clientWidth - 245;
+    const w = rowsEl.clientWidth - 290;
     if (state.startSec === 0 && Math.abs(state.pxPerSec - 100) < 1e-9) {
       state.pxPerSec = Math.max(w / state.maxSec, 0.01);
     }
@@ -163,13 +163,14 @@ function renderFrame() {
     };
     for (const vp of state.viewports.values()) vp.draw(view);
     if (overview) {
-      const viewW = rowsEl.clientWidth - 245;
+      const viewW = rowsEl.clientWidth - 290;
       overview.draw(state.startSec, [state.startSec, viewW / state.pxPerSec]);
     }
     updateTimeAxis($("#time-axis"), state.startSec, state.pxPerSec, state.maxSec);
     for (const row of rowsEl.children) {
       const vp = state.viewports.get(row.dataset.idCh);
       if (!vp || !vp.metadata) continue;
+      updateAmpAxis(row.querySelector(".amp-axis"));
       updateFreqAxis(
         row.querySelector(".freq-axis"),
         [0, state.maxTrackHz || vp.metadata.sampleRate / 2],
@@ -270,7 +271,7 @@ function hideTooltip() {
 rowsEl.addEventListener("wheel", (e) => {
   e.preventDefault();
   const rect = rowsEl.getBoundingClientRect();
-  const xInView = e.clientX - rect.left - 245;
+  const xInView = e.clientX - rect.left - 290;
   if (e.ctrlKey || e.metaKey) {
     const anchorSec = state.startSec + xInView / state.pxPerSec;
     const factor = Math.exp(-e.deltaY * 0.002);
@@ -457,7 +458,7 @@ async function togglePlay() {
   await api.init(colormap);
   overview = new Overview($("#overview"));
   overview.onSeekView = (centerSec) => {
-    const viewW = rowsEl.clientWidth - 245;
+    const viewW = rowsEl.clientWidth - 290;
     state.startSec = centerSec - viewW / state.pxPerSec / 2;
     redraw();
   };

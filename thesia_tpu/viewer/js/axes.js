@@ -80,6 +80,16 @@ export async function updateTimeAxis(canvas, startSec, pxPerSec, maxSec) {
   drawMarkersH(canvas, markers);
 }
 
+export async function updateAmpAxis(canvas, ampRange = [-1, 1]) {
+  const h = canvas.clientHeight;
+  let maxTicks = Math.max(3, Math.min(Math.floor(h / 24), 25));
+  if (maxTicks % 2 === 0) maxTicks -= 1; // amp axis needs odd tick count
+  const markers = await api.calcAmpAxisMarkers(
+    maxTicks, Math.max(Math.ceil(maxTicks / 2), 2), ampRange[0], ampRange[1]
+  );
+  drawMarkersV(canvas, markers);
+}
+
 export async function updateFreqAxis(canvas, hzRange, freqScale, maxTrackHz) {
   const h = canvas.clientHeight;
   const maxTicks = Math.max(3, Math.min(Math.floor(h / 28) | 1, 25));
