@@ -84,6 +84,13 @@ async function buildRow(trackId) {
     await vp.refreshMetadata();
     state.viewports.set(idChStr, vp);
     row.querySelector(".track-remove").onclick = () => removeTrack(trackId);
+    row.querySelector(".track-reload").onclick = async () => {
+      const ok = await api.reloadTracks([trackId]);
+      if (!ok.includes(trackId)) alert(`Could not reload track ${trackId}`);
+      await refreshAll();
+      await rebuildAllRowInfo();
+      redraw();
+    };
     const vpc = row.querySelector(".viewport");
     vpc.addEventListener("mousemove", (e) => showTooltip(e, vp, row));
     vpc.addEventListener("mouseleave", hideTooltip);

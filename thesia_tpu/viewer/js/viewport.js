@@ -160,43 +160,51 @@ export class TrackViewport {
     );
     const mid = h / 2;
     const ampScale = h / 2 * 0.95;
-    ctx.strokeStyle = md.isClipped ? CLIP_COLOR : WAVE_COLOR;
-    ctx.fillStyle = md.isClipped ? CLIP_COLOR : WAVE_COLOR;
     ctx.lineWidth = 1;
     for (let ti = ti0; ti <= ti1; ti++) {
       const tile = this.waveTiles.get(`${md.waveformRevision}:${level}:${ti}`);
       if (tile === undefined) this.fetchWaveTile(level, ti);
       if (!tile || tile.binCount === 0) continue;
-      ctx.beginPath();
-      const bins = tile.bins;
-      // envelope: top = max, bottom = min
-      for (let b = 0; b < tile.binCount; b++) {
-        const sample = ti * tileSamples + b * spb;
-        const x = (sample / sr - view.startSec) * view.pxPerSec;
-        const yMax = mid - bins[b * 3 + 1] * ampScale;
-        if (b === 0) ctx.moveTo(x, yMax);
-        else ctx.lineTo(x, yMax);
+      const xOf = (b) =>
+        ((ti * tileSamples + b * spb) / sr - view.startSec) * view.pxPerSec;
+      // clipped tracks: tiles carry the PRE-clip waveform; draw it red
+      // underneath, then the +/-1-clamped waveform blue on top
+      // (reference: waveform-renderer.ts clipped two-layer draw)
+      if (md.isClipped) {
+        this._envelope(ctx, tile, xOf, mid, ampScale, CLIP_COLOR, null);
       }
-      for (let b = tile.binCount - 1; b >= 0; b--) {
-        const sample = ti * tileSamples + b * spb;
-        const x = (sample / sr - view.startSec) * view.pxPerSec;
-        const yMin = mid - bins[b * 3] * ampScale;
-        ctx.lineTo(x, yMin);
-      }
-      ctx.closePath();
-      ctx.globalAlpha = 0.85;
-      ctx.fill();
-      ctx.globalAlpha = 1;
-      // representative midline
-      ctx.beginPath();
-      for (let b = 0; b < tile.binCount; b++) {
-        const sample = ti * tileSamples + b * spb;
-        const x = (sample / sr - view.startSec) * view.pxPerSec;
-        const y = mid - bins[b * 3 + 2] * ampScale;
-        if (b === 0) ctx.moveTo(x, y);
-        else ctx.lineTo(x, y);
-      }
-      ctx.stroke();
+      const clamp = md.isClipped ? 1.0 : Infinity;
+      this._envelope(ctx, tile, xOf, mid, ampScale, WAVE_COLOR, clamp);
     }
+  }
+
+  _envelope(ctx, tile, xOf, mid, ampScale, color, clampAbs) {
+    const cl = (v) =>
+      clampAbs === null || clampAbs === Infinity
+        ? v
+        : Math.min(Math.max(v, -clampAbs), clampAbs);
+    const bins = tile.bins;
+    ctx.strokeStyle = color;
+    ctx.fillStyle = color;
+    ctx.beginPath();
+    for (let b = 0; b < tile.binCount; b++) {
+      const y = mid - cl(bins[b * 3 + 1]) * ampScale;
+      if (b === 0) ctx.moveTo(xOf(b), y);
+      else ctx.lineTo(xOf(b), y);
+    }
+    for (let b = tile.binCount - 1; b >= 0; b--) {
+      ctx.lineTo(xOf(b), mid - cl(bins[b * 3]) * ampScale);
+    }
+    ctx.closePath();
+    ctx.globalAlpha = 0.85;
+    ctx.fill();
+    ctx.globalAlpha = 1;
+    ctx.beginPath();
+    for (let b = 0; b < tile.binCount; b++) {
+      const y = mid - cl(bins[b * 3 + 2]) * ampScale;
+      if (b === 0) ctx.moveTo(xOf(b), y);
+      else ctx.lineTo(xOf(b), y);
+    }
+    ctx.stroke();
   }
 }
