@@ -165,10 +165,19 @@ def test_calc_spec_multi_channels_and_cache():
 
 def test_pallas_spec_kernel_parity():
     """Pallas fused kernel == XLA path (interpret mode on CPU)."""
+    import jax
     import jax.numpy as jnp
 
     from thesia_tpu.dsp.pallas_spec import spec_db_pallas
-    from thesia_tpu.parallel.sharding import batched_spec_db
+
+    def batched_spec_db(frames, cw, sw, mel_fb):
+        re = jnp.einsum("btw,wf->btf", frames, cw, precision=jax.lax.Precision.HIGHEST)
+        im = jnp.einsum("btw,wf->btf", frames, sw, precision=jax.lax.Precision.HIGHEST)
+        mag = jnp.sqrt(re * re + im * im)
+        mel = jnp.einsum("btf,fm->btm", mag, mel_fb, precision=jax.lax.Precision.HIGHEST)
+        return 20.0 * jnp.where(
+            mel > 0, jnp.log10(jnp.where(mel > 0, mel, 1.0)), -jnp.inf
+        )
 
     rng = np.random.default_rng(0)
     T, win, F, M = 96, 320, 257, 80

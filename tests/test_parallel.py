@@ -1,54 +1,134 @@
-"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The sharded path under test is the PRODUCTION one: TrackManager ->
+SpectrogramAnalyzer.calc_specs_batched with an active "tracks" mesh
+(the TPU-native analogue of the reference's rayon per-(id,ch) fan-out,
+reference: src-tauri/src/core/mod.rs:152-163).
+"""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from thesia_tpu.common.melscale import calc_mel_fb_default
-from thesia_tpu.common.windows import WindowType, calc_normalized_win
-from thesia_tpu.dsp.stft import make_dft_matrices
+from thesia_tpu.dsp.framing import SpecSetting
+from thesia_tpu.dsp.spectrogram import (
+    SpectrogramAnalyzer,
+    _spec_full_multi,
+    wav_size_bucket,
+)
+from thesia_tpu.io.wav import encode_wav_f32
 from thesia_tpu.parallel.sharding import (
-    batched_frames,
-    batched_spec_db,
+    active_spec_sharding,
     make_mesh,
-    sharded_spec_pipeline,
+    pad_rows_for,
+    set_active_mesh,
+    spec_sharding,
 )
 
-
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_pipeline_matches_single_device():
-    sr, win, hop, n_fft = 8000, 320, 80, 512
-    n_frames = 16
-    batch = 8
-    window = calc_normalized_win(WindowType.Hann, win, n_fft)
-    cw, sw = make_dft_matrices(window, n_fft, (n_fft - win) // 2)
-    mel = calc_mel_fb_default(sr, n_fft)
-    # pad freq so "freq"=2 shards evenly
-    n_freq = cw.shape[1]
-    pad_f = (-n_freq) % 2
-    cw_p = np.pad(cw, ((0, 0), (0, pad_f)))
-    sw_p = np.pad(sw, ((0, 0), (0, pad_f)))
-    mel_p = np.pad(mel, ((0, pad_f), (0, 0)))
-
-    rng = np.random.default_rng(0)
-    wavs = rng.uniform(-1, 1, (batch, n_frames * hop + win)).astype(np.float32)
-
-    mesh = make_mesh(8, freq_parallel=2)
-    run = sharded_spec_pipeline(mesh)
-    sharded = np.asarray(
-        run(
-            jnp.asarray(wavs), jnp.asarray(cw_p), jnp.asarray(sw_p), jnp.asarray(mel_p),
-            n_frames=n_frames, win_length=win, hop_length=hop,
-        )
-    )
-    frames = batched_frames(jnp.asarray(wavs), n_frames, win, hop)
-    single = np.asarray(batched_spec_db(frames, jnp.asarray(cw), jnp.asarray(sw), jnp.asarray(mel)))
-    assert sharded.shape == single.shape
-    np.testing.assert_allclose(sharded, single, atol=1e-3, rtol=1e-4)
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def _items(seed=0, n_tracks=3, n=4096, sr=8000):
+    rng = np.random.default_rng(seed)
+    chans = [2, 1, 2, 1, 2][:n_tracks]
+    return [
+        (tid, rng.uniform(-1, 1, (c, n)).astype(np.float32), sr, tid + 1)
+        for tid, c in enumerate(chans)
+    ]
+
+
+@needs_mesh
+def test_engine_batched_sharded_bitexact_vs_single_device():
+    """calc_specs_batched with the mesh active must reproduce the unsharded
+    result bit-for-bit (rows-only data parallelism preserves per-row math)."""
+    setting = SpecSetting()
+    items = _items()
+    set_active_mesh(make_mesh(8))
+    try:
+        assert active_spec_sharding() is not None
+        sharded = SpectrogramAnalyzer().calc_specs_batched(items, setting)
+    finally:
+        set_active_mesh(None)
+    assert active_spec_sharding() is None
+    single = SpectrogramAnalyzer().calc_specs_batched(items, setting)
+    for tid, wavs, _sr, _tok in items:
+        a = np.asarray(sharded[tid].db_padded)[:, : sharded[tid].n_frames]
+        b = np.asarray(single[tid].db_padded)[:, : single[tid].n_frames]
+        assert a.shape == b.shape == (wavs.shape[0], single[tid].n_frames, a.shape[2])
+        np.testing.assert_array_equal(a, b)
+        assert sharded[tid].min_max_db() == single[tid].min_max_db()
+
+
+@needs_mesh
+def test_engine_spec_imgs_sharded_bitexact(tmp_path):
+    """Full engine: TrackManager spec_imgs (u16) identical with and without a
+    mesh — every pixel the viewer sees is unchanged by sharding."""
+    from thesia_tpu.engine.manager import TrackManager
+    from thesia_tpu.engine.track import TrackList
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i, (sr, c) in enumerate([(8000, 2), (8000, 1), (8000, 2)]):
+        w = (rng.uniform(-0.9, 0.9, (c, 6000))).astype(np.float32)
+        p = tmp_path / f"t{i}.wav"
+        p.write_bytes(encode_wav_f32(w, sr))
+        paths.append(str(p))
+
+    def run(mesh):
+        set_active_mesh(mesh)
+        try:
+            tl = TrackList()
+            tm = TrackManager()
+            ids = tl.add_tracks(list(range(len(paths))), paths)
+            tm.add_tracks(tl, ids)
+            tm.apply_track_list_changes(tl)
+            return dict(tm.spec_imgs)
+        finally:
+            set_active_mesh(None)
+
+    imgs_sharded = run(make_mesh(8))
+    imgs_single = run(None)
+    assert set(imgs_sharded) == set(imgs_single) and imgs_single
+    for k in imgs_single:
+        np.testing.assert_array_equal(imgs_sharded[k], imgs_single[k])
+
+
+@needs_mesh
+def test_freq_tensor_parallel_close():
+    """"freq"-sharded DFT/mel operands: GSPMD inserts the psum for the mel
+    contraction; result matches unsharded within reduction-reorder noise."""
+    setting = SpecSetting()
+    sr = 8000
+    hop, win, n_fft = setting.calc_framing_params(sr)
+    an = SpectrogramAnalyzer()
+    cw, sw = an._dft_mats(win, n_fft)
+    mel = an.mel_fb(sr, n_fft)
+    pad = win // 2
+    n = 4096
+    bucket = wav_size_bucket(n + 2 * pad)
+    rng = np.random.default_rng(2)
+    raw = np.zeros((8, bucket), np.float32)
+    raw[:, :n] = rng.uniform(-1, 1, (8, n))
+    ns = np.full(8, n, np.int32)
+    kw = dict(hop_length=hop, t_overlap=win // hop, use_mel=True, bucket=bucket, pad=pad)
+    ref, rmin, rmax = _spec_full_multi(jnp.asarray(raw), jnp.asarray(ns), cw, sw, mel, **kw)
+    sh = spec_sharding(make_mesh(8, freq_parallel=2), freq_parallel=True)
+    tp, tmin, tmax = _spec_full_multi(jnp.asarray(raw), jnp.asarray(ns), cw, sw, mel, shardings=sh, **kw)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(ref), atol=2e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tmin), np.asarray(rmin), atol=2e-4)
+
+
+@needs_mesh
+def test_pad_rows_for_mesh_multiple():
+    sh = spec_sharding(make_mesh(8))
+    assert sh.n_rows == 8
+    assert pad_rows_for(sh, 3) == 8
+    assert pad_rows_for(sh, 9) == 16
+    assert pad_rows_for(None, 3) == 4
+
+
+@needs_mesh
 def test_graft_dryrun_multichip():
     import __graft_entry__
 

@@ -120,16 +120,30 @@ def _spec_full(raw, n, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hop_length", "t_overlap", "use_mel", "bucket", "pad"),
+    static_argnames=("hop_length", "t_overlap", "use_mel", "bucket", "pad", "shardings"),
 )
 def _spec_full_multi(raw, ns, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
-                     use_mel: bool, bucket: int, pad: int):
+                     use_mel: bool, bucket: int, pad: int, shardings=None):
     """Multi-track batch: raw (C_total, bucket) with PER-ROW valid lengths ns
     (C_total,).  Returns (db (C, T_max, F), row_min (C,), row_max (C,)) with
     per-row masked bounds.  One device program recomputes every track of a
-    (sr, win, n_fft) group (SURVEY §7.8 multi-track batched recompute)."""
+    (sr, win, n_fft) group (SURVEY §7.8 multi-track batched recompute).
+
+    shardings: optional parallel.sharding.SpecSharding — rows spread over the
+    mesh "tracks" axis (data parallel; the TPU-native analogue of the
+    reference's rayon per-(id,ch) fan-out, src-tauri/src/core/mod.rs:152-163)
+    and, when enabled, DFT/mel operands over "freq" (tensor parallel; GSPMD
+    inserts the psum for the contracted mel GEMM)."""
     win_length = hop_length * t_overlap
     c = raw.shape[0]
+    if shardings is not None:
+        raw = jax.lax.with_sharding_constraint(raw, shardings.rows2)
+        ns = jax.lax.with_sharding_constraint(ns, shardings.rows1)
+        if shardings.mat is not None:
+            cw = jax.lax.with_sharding_constraint(cw, shardings.mat)
+            sw = jax.lax.with_sharding_constraint(sw, shardings.mat)
+            if use_mel:
+                mel_fb = jax.lax.with_sharding_constraint(mel_fb, shardings.fb)
     padded = jax.vmap(
         lambda row, n: _build_padded_row(row, n, pad=pad, bucket=bucket)
     )(raw, ns)
@@ -147,6 +161,8 @@ def _spec_full_multi(raw, ns, cw, sw, mel_fb, *, hop_length: int, t_overlap: int
     else:
         out = mag
     db = 20.0 * jnp.where(out > 0, jnp.log10(jnp.where(out > 0, out, 1.0)), -jnp.inf)
+    if shardings is not None:
+        db = jax.lax.with_sharding_constraint(db, shardings.rows3)
     n_frames = (ns + 2 * pad - win_length) // hop_length + 1
     mask = jnp.arange(t_max, dtype=jnp.int32)[None, :, None] < n_frames[:, None, None]
     row_min = jnp.min(jnp.where(mask, db, jnp.inf), axis=(1, 2))
@@ -191,7 +207,9 @@ class SpectrogramAnalyzer:
         device_warmup(background=True)
         self._dft: dict[tuple[int, int], tuple[jax.Array, jax.Array]] = {}
         self._mel_fbs: dict[tuple[int, int], jax.Array] = {}
-        self._wav_cache: dict[object, tuple[jax.Array, int]] = {}
+        self._wav_cache: dict[object, tuple[jax.Array, int, object]] = {}
+        # assembled (c_bucket, bucket) device row stacks for batched groups
+        self._group_cache: dict[tuple, tuple[jax.Array, np.ndarray]] = {}
 
     # -- lifecycle ---------------------------------------------------------
     def prepare(self, params, freq_scale: FreqScale) -> None:
@@ -214,9 +232,15 @@ class SpectrogramAnalyzer:
 
     def drop_wav(self, cache_key) -> None:
         self._wav_cache.pop(cache_key, None)
+        self._group_cache = {
+            sig: v
+            for sig, v in self._group_cache.items()
+            if all(k != cache_key for k, _t, _n in sig[2])
+        }
 
     def clear_wav_cache(self) -> None:
         self._wav_cache.clear()
+        self._group_cache.clear()
 
     def mel_fb(self, sr: int, n_fft: int) -> jax.Array:
         key = (sr, n_fft)
@@ -325,22 +349,71 @@ class SpectrogramAnalyzer:
         res = self.calc_spec_multi(np.atleast_2d(wav), sr, setting, cache_key)
         return res.db_padded[0, : res.n_frames]
 
+    def _group_buffer(self, bucket: int, c_bucket: int, members, win: int):
+        """Device (c_bucket, bucket) row stack + host ns for a batched group.
+
+        Assembled from the per-track device wav cache (h2d happens once per
+        track, ever); the assembled stack itself is cached keyed by the
+        member signature so settings-change recomputes touching the same
+        tracks do zero transfer AND zero re-assembly (VERDICT r1 item 7).
+        """
+        sig = (bucket, c_bucket, tuple((k, t, n) for k, _w, n, t in members))
+        hit = self._group_cache.get(sig)
+        safe_n = max(win + 2, 2 * (win // 2) + 2)
+        if hit is not None:
+            buf_dev, ns = hit
+            ns = ns.copy()
+            ns[ns == 0] = safe_n  # dummy rows: safe n for the reflect slices
+            return buf_dev, ns, sig
+        row_parts = []
+        ns = np.zeros(c_bucket, np.int32)
+        r = 0
+        for key, wavs, n, token in members:
+            dev, _n_dev = self._device_wav(wavs, key, token)
+            if dev.shape[1] < bucket:
+                dev = jnp.pad(dev, ((0, 0), (0, bucket - dev.shape[1])))
+            elif dev.shape[1] > bucket:
+                # over-sized cached upload (re-bucketed for a larger pad):
+                # data past n is zero, safe to crop
+                dev = dev[:, :bucket]
+            row_parts.append(dev)
+            c = wavs.shape[0]
+            ns[r : r + c] = n
+            r += c
+        if r < c_bucket:
+            row_parts.append(jnp.zeros((c_bucket - r, bucket), jnp.float32))
+        buf_dev = row_parts[0] if len(row_parts) == 1 else jnp.concatenate(row_parts, axis=0)
+        self._group_cache[sig] = (buf_dev, ns.copy())
+        while len(self._group_cache) > 8:
+            self._group_cache.pop(next(iter(self._group_cache)))
+        ns[r:] = safe_n
+        return buf_dev, ns, sig
+
     def calc_specs_batched(
         self, items, setting: SpecSetting
     ) -> dict[object, SpecResult]:
-        """Multi-track batched recompute: items = [(key, wavs (C,n), sr)].
+        """Multi-track batched recompute: items = [(key, wavs (C,n), sr)] or
+        [(key, wavs, sr, token)] (token invalidates the device wav cache).
 
         Tracks sharing a (sr, win, n_fft) parameter set AND wav size bucket
         are stacked into ONE device program (row batch padded to a power of
-        two so batch sizes reuse executables).  Short tracks fall back to the
-        per-track path.  Returns {key: SpecResult}.
+        two so batch sizes reuse executables).  When a multi-device mesh is
+        active (parallel.sharding.set_active_mesh) the row batch additionally
+        pads to a multiple of the mesh "tracks" axis and the whole program is
+        sharded over it — the TPU-native analogue of the reference's rayon
+        per-(id,ch) loop (src-tauri/src/core/mod.rs:152-163).  Short tracks
+        fall back to the per-track path.  Returns {key: SpecResult}.
         """
         from ..runtime import device_warmup
+        from ..parallel.sharding import active_spec_sharding, pad_rows_for
 
         device_warmup()
+        shardings = active_spec_sharding()
         results: dict[object, SpecResult] = {}
         groups: dict[tuple, list] = {}
-        for key, wavs, sr in items:
+        for item in items:
+            key, wavs, sr = item[0], item[1], item[2]
+            token = item[3] if len(item) > 3 else None
             wavs = np.atleast_2d(np.asarray(wavs, np.float32))
             hop, win, n_fft = setting.calc_framing_params(sr)
             pad = win // 2
@@ -349,35 +422,30 @@ class SpectrogramAnalyzer:
                 results[key] = self.calc_spec_multi(wavs, sr, setting)
                 continue
             bucket = wav_size_bucket(n + 2 * pad)
-            groups.setdefault((sr, hop, win, n_fft, bucket), []).append((key, wavs, n))
+            groups.setdefault((sr, hop, win, n_fft, bucket), []).append(
+                (key, wavs, n, token)
+            )
 
         use_mel = setting.freq_scale is FreqScale.Mel
         for (sr, hop, win, n_fft, bucket), members in groups.items():
             if len(members) == 1:
-                key, wavs, n = members[0]
-                results[key] = self.calc_spec_multi(wavs, sr, setting)
+                key, wavs, n, token = members[0]
+                results[key] = self.calc_spec_multi(
+                    wavs, sr, setting, cache_key=key, token=token
+                )
                 continue
             cw, sw = self._dft_mats(win, n_fft)
             mel = self.mel_fb(sr, n_fft) if use_mel else jnp.zeros((1, 1), jnp.float32)
-            rows = sum(w.shape[0] for _, w, _ in members)
-            c_bucket = 1
-            while c_bucket < rows:
-                c_bucket *= 2
-            buf = np.zeros((c_bucket, bucket), np.float32)
-            ns = np.zeros(c_bucket, np.int32)
+            rows = sum(w.shape[0] for _, w, _n, _t in members)
+            c_bucket = pad_rows_for(shardings, rows)
+            buf_dev, ns, _sig = self._group_buffer(bucket, c_bucket, members, win)
             spans = []
             r = 0
-            for key, wavs, n in members:
-                c = wavs.shape[0]
-                buf[r : r + c, :n] = wavs
-                # dummy rows keep ns=0; real rows record their length
-                ns[r : r + c] = n
-                spans.append((key, r, c, n))
-                r += c
-            # dummy rows need a safe n for the reflect slices (masked anyway)
-            ns[r:] = max(win + 2, 2 * (win // 2) + 2)
+            for key, wavs, n, _token in members:
+                spans.append((key, r, wavs.shape[0], n))
+                r += wavs.shape[0]
             db, row_min, row_max = _spec_full_multi(
-                jnp.asarray(buf),
+                buf_dev,
                 jnp.asarray(ns),
                 cw,
                 sw,
@@ -387,6 +455,7 @@ class SpectrogramAnalyzer:
                 use_mel=use_mel,
                 bucket=bucket,
                 pad=win // 2,
+                shardings=shardings,
             )
             for key, r0, c, n in spans:
                 n_frames = stft_frame_count(n, win, hop)

@@ -11,10 +11,18 @@ from ..dynamics.guard import GuardClippingMode, GuardClippingResult, guard_clipp
 from ..dynamics.stats import AudioStats, GuardClippingStats, calc_stats
 
 
+import itertools
+
+_audio_versions = itertools.count(1)
+
+
 class Audio:
     def __init__(self, wavs: np.ndarray, sr: int):
         self.wavs = np.atleast_2d(np.asarray(wavs, np.float32))
         self.sr = sr
+        # globally-unique sample-content version; keys device-side wav caches
+        # (id() is unsafe: the allocator reuses addresses after gc)
+        self.version = next(_audio_versions)
         self.stats: AudioStats = calc_stats(self.wavs, sr)
         self.guard_clip_result = GuardClippingResult(
             kind="global_gain", global_gain=1.0, shape=self.wavs.shape
@@ -66,6 +74,7 @@ class Audio:
         new_wavs = f(self.wavs)
         new_wavs, result = guard_clipping(new_wavs, self.sr, guard_clipping_mode)
         self.wavs = new_wavs
+        self.version = next(_audio_versions)
         self.guard_clip_result = result
         self.guard_clip_stats = result.per_channel_stats()
         self.stats = calc_stats(self.wavs, self.sr)

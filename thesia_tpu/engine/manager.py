@@ -120,7 +120,13 @@ class TrackManager:
         if len(track_ids) > 1:
             # one device program per (sr, win, n_fft, bucket) group
             items = [
-                (tid, tracklist[tid].audio.wavs, tracklist[tid].sr) for tid in track_ids
+                (
+                    tid,
+                    tracklist[tid].audio.wavs,
+                    tracklist[tid].sr,
+                    tracklist[tid].audio.version,
+                )
+                for tid in track_ids
             ]
             results = self.spec_analyzer.calc_specs_batched(items, self.setting)
             for tid in track_ids:
@@ -134,7 +140,7 @@ class TrackManager:
                 track.sr,
                 self.setting,
                 cache_key=track_id,
-                token=id(track.audio),
+                token=track.audio.version,
             )
             self._spec_n_ch[track_id] = track.n_ch
 

@@ -1,74 +1,117 @@
-"""Multi-chip sharding of the batched spectrogram pipeline.
+"""Multi-chip sharding of the PRODUCTION batched spectrogram pipeline.
 
-The meaningful parallel axes for this workload (reference has only rayon
-thread-parallelism, SURVEY §2.9) are:
+The meaningful parallel axes for this workload (the reference has only rayon
+thread-parallelism, SURVEY §2.9; per-(id,ch) fan-out at
+reference: src-tauri/src/core/mod.rs:152-163) are:
 
-  * batch ("tracks"):  (track x channel) rows of the batched STFT — pure data
-    parallelism, no collectives;
-  * freq ("freq"):     columns of the DFT matrices and rows of the mel
-    filterbank — tensor-parallel GEMMs.  The mel GEMM contracts over the
-    sharded freq axis, so XLA inserts a psum (reduce-scatter/all-reduce)
-    over the "freq" axis — riding ICI.
+  * "tracks": (track x channel) rows of the batched STFT — pure data
+    parallelism, no collectives.  This is the axis the engine itself shards:
+    `SpectrogramAnalyzer.calc_specs_batched` pads its row batch to a multiple
+    of the mesh "tracks" size and constrains the batched program's inputs and
+    outputs with `active_spec_sharding()`.
+  * "freq": columns of the DFT matrices and rows of the mel filterbank —
+    tensor-parallel GEMMs.  The mel GEMM contracts over the sharded freq
+    axis, so GSPMD inserts a psum over the "freq" axis — riding ICI.
+    Freq parallelism changes the mel reduction order (sum of partial sums),
+    so it is opt-in; the engine default is rows-only sharding, which is
+    bit-exact vs single-device.
 
-Everything is expressed with jax.sharding + NamedSharding on one jitted
-function; GSPMD places the collectives.
+Everything is expressed with jax.sharding + NamedSharding constraints inside
+the one jitted engine program (`dsp.spectrogram._spec_full_multi`); GSPMD
+places the collectives.  `set_active_mesh` installs a process-wide mesh that
+the engine picks up on the next recompute — no engine code knows about
+devices beyond this module.
 """
 
 from __future__ import annotations
 
-import functools
+from typing import NamedTuple
 
+import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_active_mesh: Mesh | None = None
 
 
 def make_mesh(n_devices: int | None = None, freq_parallel: int = 1) -> Mesh:
     devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)
     assert n % freq_parallel == 0
-    import numpy as np
-
     return Mesh(
         np.array(devices).reshape(n // freq_parallel, freq_parallel),
         axis_names=("tracks", "freq"),
     )
 
 
-def batched_spec_db(frames, cw, sw, mel_fb):
-    """frames (B, T, win) -> dB mel spectrogram (B, T, n_mel).
+def set_active_mesh(mesh: Mesh | None) -> None:
+    """Install the mesh the engine's batched recompute shards over (None to
+    return to single-device execution)."""
+    global _active_mesh
+    _active_mesh = mesh
 
-    The core batched compute: two DFT GEMMs, magnitude, mel GEMM, dB.
+
+def active_mesh() -> Mesh | None:
+    return _active_mesh
+
+
+def auto_mesh(min_devices: int = 2) -> Mesh | None:
+    """All-device "tracks" mesh when more than one chip is visible."""
+    n = len(jax.devices())
+    return make_mesh(n) if n >= min_devices else None
+
+
+class SpecSharding(NamedTuple):
+    """Hashable bundle of shardings for the batched spectrogram program
+    (passed as a static arg to the jitted pipeline).
+
+    rows1/rows2/rows3: (C,), (C, L), (C, T, F) arrays sharded over "tracks".
+    mat/fb: DFT matrices (win, F) / mel filterbank (F, M) sharded over
+    "freq" when freq_parallel > 1, else None (replicated).
     """
-    re = jnp.einsum("btw,wf->btf", frames, cw, precision=jax.lax.Precision.HIGHEST)
-    im = jnp.einsum("btw,wf->btf", frames, sw, precision=jax.lax.Precision.HIGHEST)
-    mag = jnp.sqrt(re * re + im * im)
-    mel = jnp.einsum("btf,fm->btm", mag, mel_fb, precision=jax.lax.Precision.HIGHEST)
-    return 20.0 * jnp.where(mel > 0, jnp.log10(jnp.where(mel > 0, mel, 1.0)), -jnp.inf)
+
+    rows1: NamedSharding
+    rows2: NamedSharding
+    rows3: NamedSharding
+    mat: NamedSharding | None
+    fb: NamedSharding | None
+    n_rows: int  # size of the "tracks" axis (row batches pad to a multiple)
+    n_freq: int  # size of the "freq" axis
 
 
-def batched_frames(wavs_padded, n_frames: int, win_length: int, hop_length: int):
-    """(B, L_padded) reflect-padded signals -> (B, n_frames, win) frames."""
-    starts = jnp.arange(n_frames, dtype=jnp.int32) * hop_length
-    idx = starts[:, None] + jnp.arange(win_length, dtype=jnp.int32)[None, :]
-    return jnp.take(wavs_padded, idx, axis=-1, mode="clip")
+def spec_sharding(mesh: Mesh, freq_parallel: bool = False) -> SpecSharding:
+    n_rows = mesh.shape["tracks"]
+    n_freq = mesh.shape["freq"]
+    use_freq = freq_parallel and n_freq > 1
+    return SpecSharding(
+        rows1=NamedSharding(mesh, P("tracks")),
+        rows2=NamedSharding(mesh, P("tracks", None)),
+        rows3=NamedSharding(mesh, P("tracks", None, None)),
+        mat=NamedSharding(mesh, P(None, "freq")) if use_freq else None,
+        fb=NamedSharding(mesh, P("freq", None)) if use_freq else None,
+        n_rows=n_rows,
+        n_freq=n_freq,
+    )
 
 
-def sharded_spec_pipeline(mesh: Mesh):
-    """Returns a jitted fn (wavs_padded, cw, sw, mel_fb, n_frames, win, hop)
-    -> (B, T, n_mel) dB, sharded batch over "tracks" and DFT freq over
-    "freq"."""
+def active_spec_sharding() -> SpecSharding | None:
+    """The sharding bundle the engine applies to batched recomputes, or None
+    when no multi-device mesh is active."""
+    mesh = _active_mesh
+    if mesh is None or mesh.size < 2:
+        return None
+    return spec_sharding(mesh)
 
-    @functools.partial(jax.jit, static_argnames=("n_frames", "win_length", "hop_length"))
-    def run(wavs_padded, cw, sw, mel_fb, *, n_frames, win_length, hop_length):
-        wavs_padded = jax.lax.with_sharding_constraint(
-            wavs_padded, NamedSharding(mesh, P("tracks", None))
-        )
-        cw = jax.lax.with_sharding_constraint(cw, NamedSharding(mesh, P(None, "freq")))
-        sw = jax.lax.with_sharding_constraint(sw, NamedSharding(mesh, P(None, "freq")))
-        mel_fb = jax.lax.with_sharding_constraint(mel_fb, NamedSharding(mesh, P("freq", None)))
-        frames = batched_frames(wavs_padded, n_frames, win_length, hop_length)
-        out = batched_spec_db(frames, cw, sw, mel_fb)
-        return jax.lax.with_sharding_constraint(out, NamedSharding(mesh, P("tracks", None, None)))
 
-    return run
+def pad_rows_for(shardings: SpecSharding | None, rows: int) -> int:
+    """Row-batch size: next power of two (executable reuse), rounded up to a
+    multiple of the mesh "tracks" axis so every shard is equal."""
+    c = 1
+    while c < rows:
+        c *= 2
+    if shardings is not None:
+        m = shardings.n_rows
+        c = max(c, m)
+        if c % m:
+            c = ((c + m - 1) // m) * m
+    return c
