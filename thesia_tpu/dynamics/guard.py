@@ -58,9 +58,13 @@ _LIMITER_MANAGER = LimiterManager()
 
 
 def guard_clipping(
-    wavs: np.ndarray, sr: int, mode: GuardClippingMode
+    wavs: np.ndarray, sr: int, mode: GuardClippingMode, gain_seq=None
 ) -> tuple[np.ndarray, GuardClippingResult]:
     """Apply guard clipping; returns (possibly new wavs, result).
+
+    gain_seq: optional precomputed limiter gain sequence (f64 (n,)) from the
+    batched device path (dynamics.stats_device.limiter_gain_seqs_batched);
+    used verbatim when the Limiter mode engages.
 
     reference: audio.rs:133-179.
     """
@@ -81,6 +85,14 @@ def guard_clipping(
     # Limiter
     peak = float(np.abs(wavs).max()) if wavs.size else 0.0
     if peak > 1.0:
+        if gain_seq is not None:
+            out = np.clip(
+                wavs.astype(np.float64) * gain_seq[None, :], -1.0, 1.0
+            ).astype(np.float32)
+            return out, GuardClippingResult(
+                kind="gain_sequence",
+                gain_seq=gain_seq.astype(np.float32).reshape(1, -1),
+            )
         limiter = _LIMITER_MANAGER.get_or_insert(sr)
         out, gain_seq = limiter.process(wavs)
         return out, GuardClippingResult(

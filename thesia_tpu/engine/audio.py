@@ -23,7 +23,9 @@ class Audio:
         # globally-unique sample-content version; keys device-side wav caches
         # (id() is unsafe: the allocator reuses addresses after gc)
         self.version = next(_audio_versions)
-        self.stats: AudioStats = calc_stats(self.wavs, sr)
+        # stats are lazy so TrackList can inject batched device-computed
+        # values before first access (stats_device.calc_stats_batched)
+        self._stats: AudioStats | None = None
         self.guard_clip_result = GuardClippingResult(
             kind="global_gain", global_gain=1.0, shape=self.wavs.shape
         )
@@ -32,6 +34,16 @@ class Audio:
         ]
 
     # -- views -------------------------------------------------------------
+    @property
+    def stats(self) -> AudioStats:
+        if self._stats is None:
+            self._stats = calc_stats(self.wavs, self.sr)
+        return self._stats
+
+    @stats.setter
+    def stats(self, value: AudioStats) -> None:
+        self._stats = value
+
     @property
     def n_ch(self) -> int:
         return self.wavs.shape[0]
@@ -68,16 +80,19 @@ class Audio:
         return np.ascontiguousarray(self.wavs.T).reshape(-1)
 
     # -- mutation ----------------------------------------------------------
-    def mutate(self, f, guard_clipping_mode: GuardClippingMode) -> None:
-        """f(wavs)->wavs, then guard clipping, then stats recompute.
+    def mutate(self, f, guard_clipping_mode: GuardClippingMode, gain_seq=None) -> None:
+        """f(wavs)->wavs, then guard clipping, then stats recompute (lazy).
+        gain_seq: precomputed limiter gains (batched device path).
         reference: audio.rs:50-63."""
         new_wavs = f(self.wavs)
-        new_wavs, result = guard_clipping(new_wavs, self.sr, guard_clipping_mode)
+        new_wavs, result = guard_clipping(
+            new_wavs, self.sr, guard_clipping_mode, gain_seq=gain_seq
+        )
         self.wavs = new_wavs
         self.version = next(_audio_versions)
         self.guard_clip_result = result
         self.guard_clip_stats = result.per_channel_stats()
-        self.stats = calc_stats(self.wavs, self.sr)
+        self._stats = None
 
     def format_guard_clip_stats(self, mode: GuardClippingMode):
         """[(ch | -1, stat_string)] with empty stats dropped.

@@ -92,7 +92,9 @@ class AudioTrack:
         gain = calc_normalize_gain(target, self.original.stats)
         self.apply_gain(gain, guard_clipping_mode)
 
-    def apply_gain(self, gain: float, guard_clipping_mode: GuardClippingMode):
+    def apply_gain(
+        self, gain: float, guard_clipping_mode: GuardClippingMode, gain_seq=None
+    ):
         if not np.isfinite(gain) or gain == 1.0:
             self.audio = self.original
             return
@@ -106,6 +108,7 @@ class AudioTrack:
         mutated.mutate(
             lambda wavs: (np.float32(gain) * original_wavs).astype(np.float32),
             guard_clipping_mode,
+            gain_seq=gain_seq,
         )
         self.audio = mutated
 
@@ -128,11 +131,9 @@ class TrackList:
         def load(args):
             track_id, path = args
             try:
-                track = AudioTrack(path)
+                return (track_id, AudioTrack(path))
             except Exception:
                 return None
-            track.normalize(self.common_normalize, self.common_guard_clipping)
-            return (track_id, track)
 
         if len(id_list) > 1 and (os.cpu_count() or 1) > 1:
             with concurrent.futures.ThreadPoolExecutor() as pool:
@@ -140,11 +141,11 @@ class TrackList:
         else:
             results = [load(x) for x in zip(id_list, path_list)]
 
+        loaded = [res for res in results if res is not None]
+        self._precompute_stats([track for _tid, track in loaded])
+        self._normalize_tracks([track for _tid, track in loaded])
         added_ids = []
-        for res in results:
-            if res is None:
-                continue
-            track_id, track = res
+        for track_id, track in loaded:
             if track.sec > self.max_sec:
                 self.max_sec = track.sec
                 self._id_max_sec = track_id
@@ -201,8 +202,80 @@ class TrackList:
         self._apply_normalize_guard_clipping()
 
     def _apply_normalize_guard_clipping(self) -> None:
-        for track in self._tracks.values():
-            track.normalize(self.common_normalize, self.common_guard_clipping)
+        self._normalize_tracks(list(self._tracks.values()))
+
+    def _precompute_stats(self, tracks: list[AudioTrack]) -> None:
+        """Inject batched device-computed stats (one program per (sr, n_ch,
+        bucket) group) before normalize reads them; host thread-pool fallback
+        mirrors the reference's rayon-parallel stats (track.rs:211-221)."""
+        tracks = [t for t in tracks if t.original._stats is None]
+        if len(tracks) < 2:
+            return
+        from ..dynamics import stats_device
+
+        items = [(i, t.original.wavs, t.sr) for i, t in enumerate(tracks)]
+        stats = None
+        try:
+            stats = stats_device.calc_stats_batched(items)
+        except Exception:
+            stats = None
+        if stats is not None:
+            for i, t in enumerate(tracks):
+                t.original.stats = stats[i]
+            return
+        with concurrent.futures.ThreadPoolExecutor() as pool:
+            computed = list(pool.map(lambda t: t.original.stats, tracks))
+        del computed
+
+    def _normalize_tracks(self, tracks: list[AudioTrack]) -> None:
+        """Common normalize + guard clipping over a set of tracks.
+
+        Limiter mode batches every engaging track's gain-sequence compute
+        into one device program per (sr, bucket) group
+        (dynamics.stats_device); other modes (and f64-less backends) take
+        the per-track path.  reference: track.rs:152-170 + mod.rs loop."""
+        mode = self.common_guard_clipping
+        target = self.common_normalize
+        if mode is not GuardClippingMode.Limiter or len(tracks) < 2:
+            for track in tracks:
+                track.normalize(target, mode)
+            return
+        plan: list[tuple[AudioTrack, float, np.ndarray]] = []
+        rest: list[tuple[AudioTrack, float]] = []
+        for track in tracks:
+            gain = calc_normalize_gain(target, track.original.stats)
+            if not np.isfinite(gain) or gain == 1.0:
+                rest.append((track, gain))
+                continue
+            gained = (np.float32(gain) * track.original.wavs).astype(np.float32)
+            peak = float(np.abs(gained).max()) if gained.size else 0.0
+            if peak > 1.0:
+                plan.append((track, gain, gained))
+            else:
+                rest.append((track, gain))
+        gains = None
+        if plan:
+            from ..dynamics import stats_device
+
+            try:
+                gains = stats_device.limiter_gain_seqs_batched(
+                    [(i, g, t.sr) for i, (t, _gain, g) in enumerate(plan)]
+                )
+            except Exception:
+                gains = None
+        if gains is not None:
+            for i, (track, gain, _g) in enumerate(plan):
+                track.apply_gain(gain, mode, gain_seq=gains[i])
+        elif plan:
+            # streaming-native fallback, thread-parallel (ctypes drops the GIL)
+            with concurrent.futures.ThreadPoolExecutor() as pool:
+                list(
+                    pool.map(
+                        lambda item: item[0].apply_gain(item[1], mode), plan
+                    )
+                )
+        for track, gain in rest:
+            track.apply_gain(gain, mode)
 
     # -- queries -----------------------------------------------------------
     def all_ids(self) -> list[int]:
