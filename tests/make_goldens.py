@@ -1,0 +1,132 @@
+"""Generate the checked-in regression goldens under tests/goldens/.
+
+Run from the repo root:  python -m tests.make_goldens
+
+Pins the end-to-end decode -> spec -> u16 image -> tile pipeline
+byte-for-byte (SURVEY §4 "implication for the rebuild": an image-diff test
+the reference itself lacks).  Artifacts:
+
+  goldens.json        scalar anchors (decode, stats, spec bounds, hashes)
+  synth48k_db_crop.npy    f32 dB crop (frames 1000:1032, all mel rows)
+  synth48k_spec_t0.bin    spectrogram tile bytes, level (0,0) tile (1,0)
+  synth48k_spec_t1.bin    spectrogram tile bytes, level (2,1) tile (0,0)
+  synth48k_wave_t0.bin    waveform tile bytes, level 0 tile 3 (per-sample)
+  synth48k_wave_t1.bin    waveform tile bytes, level 11 tile 0
+  sample16k_spec_t0.bin / sample16k_wave_t0.bin   same for the real corpus
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pathlib
+import sys
+import tempfile
+
+import numpy as np
+
+# goldens pin the CPU-backend pipeline — the backend tests run on
+# (tests/conftest.py); force it before jax initializes
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from tests.synth import SYNTH48K_N, SYNTH48K_SR, synth48k_wavs, synth48k_write  # noqa: E402
+
+GOLDENS = pathlib.Path(__file__).resolve().parent / "goldens"
+SAMPLE_16K = pathlib.Path("/root/reference/samples/sample_16k.wav")
+
+
+def sha(b: bytes) -> str:
+    return hashlib.sha256(b).hexdigest()
+
+
+def main() -> None:
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.render import default_colormap_rgba8
+    from thesia_tpu import native
+
+    GOLDENS.mkdir(exist_ok=True)
+    out: dict = {"native_tile_encoder": native.available()}
+
+    wavs = synth48k_wavs()
+    out["synth48k"] = {
+        "n_samples": SYNTH48K_N,
+        "sr": SYNTH48K_SR,
+        "first_16": wavs[0, :16].tolist(),
+        "sum_abs": float(np.abs(wavs, dtype=np.float64).sum()),
+        "sha_samples": sha(wavs.tobytes()),
+    }
+
+    with tempfile.TemporaryDirectory() as td:
+        wav_path = pathlib.Path(td) / "synth48k.wav"
+        synth48k_write(wav_path)
+        out["synth48k"]["sha_file"] = sha(wav_path.read_bytes())
+
+        s = EngineSession(settings_dir=pathlib.Path(td) / "cfg")
+        s.init(default_colormap_rgba8())
+        added = s.add_tracks([0, 1], [str(wav_path), str(SAMPLE_16K)])
+        assert added == [0, 1], added
+        s.apply_track_list_changes()
+
+        # decode/stats anchors (host reference paths)
+        tl = s.tracklist
+        tr = tl[0]
+        st = tr.original.stats
+        out["synth48k"]["stats"] = {
+            "global_lufs": st.global_lufs,
+            "rms_db": st.rms_db,
+            "max_peak": st.max_peak,
+            "max_peak_db": st.max_peak_db,
+        }
+
+        md0 = s.get_audio_render_metadata("0_0")
+        md1 = s.get_audio_render_metadata("1_0")
+        out["synth48k"]["metadata"] = md0
+        out["sample16k_metadata"] = md1
+        out["db_range"] = [s.tm.min_db, s.tm.max_db]
+
+        res = s.tm.specs[0]
+        db = np.asarray(res.db_padded)[0, :res.n_frames]
+        out["synth48k"]["spec"] = {
+            "shape": list(db.shape),
+            "min_db": float(db.min()),
+            "max_db": float(db.max()),
+            "sha_db": sha(np.ascontiguousarray(db).tobytes()),
+        }
+        np.save(GOLDENS / "synth48k_db_crop.npy", db[1000:1032])
+
+        img = s.tm.spec_imgs[(0, 0)]
+        out["synth48k"]["img"] = {
+            "shape": list(img.shape),
+            "sha": sha(np.ascontiguousarray(img).tobytes()),
+        }
+
+        tiles = {
+            "synth48k_spec_t0.bin": ("0_0", "spec", (0, 0, 1, 0)),
+            "synth48k_spec_t1.bin": ("0_0", "spec", (2, 1, 0, 0)),
+            "synth48k_wave_t0.bin": ("0_0", "wave", (0, 3)),
+            "synth48k_wave_t1.bin": ("0_0", "wave", (11, 0)),
+            "sample16k_spec_t0.bin": ("1_0", "spec", (0, 0, 0, 0)),
+            "sample16k_wave_t0.bin": ("1_0", "wave", (4, 0)),
+        }
+        out["tiles"] = {}
+        for fname, (idch, kind, args) in tiles.items():
+            if kind == "spec":
+                data = s.get_spectrogram_tile(idch, *args)
+            else:
+                data = s.get_waveform_tile(idch, *args)
+            (GOLDENS / fname).write_bytes(data)
+            out["tiles"][fname] = {"len": len(data), "sha": sha(data)}
+
+    (GOLDENS / "goldens.json").write_text(json.dumps(out, indent=1))
+    print(json.dumps(out["synth48k"]["stats"], indent=1))
+    print("tiles:", {k: v["len"] for k, v in out["tiles"].items()})
+
+
+if __name__ == "__main__":
+    main()
