@@ -10,6 +10,8 @@ src/hooks/usePlayer.ts:44-52).
 from __future__ import annotations
 
 import dataclasses
+import os
+import threading
 import time
 from typing import Callable, Optional
 
@@ -67,21 +69,50 @@ class WallClockSink:
 class Player:
     """Single-track player; commands mirror PlayerCommand (player.rs:29-45)."""
 
-    def __init__(self, get_track: Callable, emit: Callable[[dict], None] | None = None):
+    def __init__(
+        self,
+        get_track: Callable,
+        emit: Callable[[dict], None] | None = None,
+        output: str | None = None,
+    ):
         """get_track(track_id) -> None | (interleaved f32, n_ch, sr, sec);
-        emit(state_event_dict) publishes 'player-state-changed'."""
+        emit(state_event_dict) publishes 'player-state-changed'.
+
+        output: "auto" (default; real output stream — a paced null sink in
+        headless containers) or "off" (wall-clock position only).  Env
+        override THESIA_AUDIO_OUTPUT."""
         self._get_track = get_track
         self._emit = emit or (lambda e: None)
         self.playback = PlaybackData()
         self.max_sec = 0.0
         self.requested_sr = 0
         self.error = ""
+        self.lock = threading.Lock()
+        self._engine = None
+        mode = output or os.environ.get("THESIA_AUDIO_OUTPUT", "auto")
+        if mode != "off":
+            try:
+                from .stream import OutputEngine
+
+                self._engine = OutputEngine(self.playback, self.lock)
+                self._engine.ensure_stream(0)
+            except Exception:
+                self._engine = None
         self._sink = WallClockSink()
         self._anchor = time.monotonic()
         self._last_event: dict | None = None
+        self._end_seen = False
 
     # -- internal ----------------------------------------------------------
+    @property
+    def output_engine(self):
+        return self._engine
+
     def _sync_position(self) -> None:
+        if self._engine is not None:
+            # the stream callback owns position_frame (stream.rs:442-499)
+            self._anchor = time.monotonic()
+            return
         if self.playback.is_playing:
             pos, ended = self._sink.advance(self.playback, self._anchor)
             self.playback.position_frame = pos
@@ -105,10 +136,15 @@ class Player:
 
     # -- commands (reference: player.rs:68-120) ----------------------------
     def set_volume_db(self, volume_db: float) -> None:
-        self.playback.volume = float(amp_from_db(np.float64(volume_db)))
+        with self.lock:
+            self.playback.volume = float(amp_from_db(np.float64(volume_db)))
 
     def set_sr(self, sr: int) -> None:
         self.requested_sr = sr
+        if self._engine is not None:
+            # rebuild the output stream at the nearest supported rate
+            # (reference player.rs SetSr -> rebuild, device.rs:15-103)
+            self._engine.ensure_stream(sr)
 
     def set_track(self, track_id: Optional[int], start_sec: Optional[float]) -> None:
         """reference: state.rs:190-236 + player.rs:96-104."""
@@ -118,57 +154,74 @@ class Player:
         start = start_sec if start_sec is not None else current_pos
         target_id = track_id if track_id is not None else self.playback.track_id
         loaded = self._get_track(target_id) if target_id is not None else None
-        p = self.playback
-        if loaded is not None:
-            samples, n_ch, sr, max_sec = loaded
-            start = min(max(start, 0.0), max(max_sec, 0.0))
-            p.track_id = target_id
-            p.samples = np.asarray(samples, np.float32)
-            p.input_channels = n_ch
-            p.sample_rate = sr
-            p.position_frame = start * sr
-            p.cursor_version += 1
-            p.is_playing = is_playing
-        else:
-            p.track_id = None
-            p.samples = np.zeros(0, np.float32)
-            p.input_channels = 0
-            p.sample_rate = 0
-            p.position_frame = 0.0
-            p.cursor_version += 1
-            p.is_playing = False
+        with self.lock:
+            p = self.playback
+            if loaded is not None:
+                samples, n_ch, sr, max_sec = loaded
+                start = min(max(start, 0.0), max(max_sec, 0.0))
+                p.track_id = target_id
+                p.samples = np.asarray(samples, np.float32)
+                p.input_channels = n_ch
+                p.sample_rate = sr
+                p.position_frame = start * sr
+                p.cursor_version += 1
+                p.is_playing = is_playing
+            else:
+                p.track_id = None
+                p.samples = np.zeros(0, np.float32)
+                p.input_channels = 0
+                p.sample_rate = 0
+                p.position_frame = 0.0
+                p.cursor_version += 1
+                p.is_playing = False
+        self._end_seen = False
         self._anchor = time.monotonic()
         self._emit_state()
 
     def seek(self, sec: float) -> None:
         """reference: state.rs:238-254."""
         self._sync_position()
-        p = self.playback
-        sec = min(max(sec, 0.0), max(self.max_sec, 0.0))
-        if p.sample_rate == 0 or p.input_channels == 0 or len(p.samples) == 0:
-            p.position_frame = 0.0
-            return
-        sec = min(sec, p.total_frames / p.sample_rate)
-        p.position_frame = sec * p.sample_rate
-        p.cursor_version += 1
+        with self.lock:
+            p = self.playback
+            sec = min(max(sec, 0.0), max(self.max_sec, 0.0))
+            if p.sample_rate == 0 or p.input_channels == 0 or len(p.samples) == 0:
+                p.position_frame = 0.0
+                return
+            sec = min(sec, p.total_frames / p.sample_rate)
+            p.position_frame = sec * p.sample_rate
+            p.cursor_version += 1
+        self._end_seen = False
         self._anchor = time.monotonic()
         self._emit_state()
 
     def pause(self) -> None:
         self._sync_position()
-        self.playback.is_playing = False
+        with self.lock:
+            self.playback.is_playing = False
         self._emit_state()
 
     def resume(self) -> None:
         self._sync_position()
-        if self.playback.track_id is not None and len(self.playback.samples) > 0:
-            self.playback.is_playing = True
-            self._anchor = time.monotonic()
+        with self.lock:
+            if self.playback.track_id is not None and len(self.playback.samples) > 0:
+                self.playback.is_playing = True
+                self._anchor = time.monotonic()
         self._emit_state()
 
     def tick(self) -> None:
-        """Periodic poll (reference main loop, 20 ms): advances position and
-        emits on track end."""
+        """Periodic poll (reference main loop, 20 ms): advances position,
+        polls the output device (500 ms cadence inside), surfaces stream
+        errors, emits on track end.  reference: player.rs:130-173."""
+        if self._engine is not None:
+            self._engine.poll()
+            if self._engine.error != self.error:
+                self.error = self._engine.error
+                self._emit_state()
+            ended = self._engine.source.reached_end
+            if ended and not self._end_seen:
+                self._end_seen = True
+                self._emit_state()  # track ended (callback already paused)
+            return
         was_playing = self.playback.is_playing
         self._sync_position()
         if was_playing and not self.playback.is_playing:
