@@ -1,16 +1,21 @@
-// Main viewer app: track rows, zoom/pan state, controls, playback.
-// State model follows the reference MainViewer (startSec, pxPerSec per-view;
-// cursor-anchored zoom; follow-playhead) — src/prototypes/MainViewer/.
+// Main viewer app: track rows, zoom/pan state, controls, playback,
+// multi-select, DnD reorder, editable axis ranges, fit/follow modes.
+// State model follows the reference MainViewer (startSec, pxPerSec, hzRange,
+// ampRange, fit mode, follow-playhead; cursor-anchored zoom both axes) —
+// src/prototypes/MainViewer/MainViewer.tsx:92-1258, selection semantics
+// src/hooks/useSelectedTracks.ts:5-126, SplitView src/modules/SplitView.tsx.
 
 import { api, jsonNumber } from "./api.js";
 import { TrackViewport } from "./viewport.js";
 import { updateAmpAxis, updateFreqAxis, updateTimeAxis } from "./axes.js";
 import { Overview, drawColorbar } from "./overview.js";
+import { hzFromRelativePos, relativeFreqPos } from "./freqscale.js";
 
 const MAX_PX_PER_SEC = 384000; // reference: constants/tracks.ts:189
+const MIN_PX_PER_SEC = 0.01;
 
 const state = {
-  trackIds: [],
+  trackIds: [], // display order (DnD reorder permutes this)
   nextId: 0,
   viewports: new Map(), // idChStr -> TrackViewport
   startSec: 0,
@@ -18,10 +23,16 @@ const state = {
   blend: 0.5,
   maxSec: 0,
   maxTrackHz: 0,
+  hzRange: null, // null -> full [0, maxTrackHz]
+  ampRanges: new Map(), // trackId -> symmetric max (axis asserts min==-max)
   freqScale: "Mel",
   playing: false,
   playerAnchor: { positionSec: 0, at: performance.now(), isPlaying: false },
-  selectedTrack: null,
+  selected: new Set(),
+  selectPivot: null,
+  selectedTrack: null, // primary (playback) selection
+  fitMode: false,
+  followPlayhead: true,
   needsRedraw: true,
 };
 
@@ -30,18 +41,67 @@ const rowsEl = $("#rows");
 let overview = null;
 let colormapRgba = null;
 
+function leftOffset() {
+  const infoW = parseFloat(
+    getComputedStyle(document.documentElement).getPropertyValue("--info-w")
+  ) || 200;
+  return infoW + 45 + 45 + 8; // info + amp axis + freq axis + splitter
+}
+
+function viewWidth() {
+  return Math.max(rowsEl.clientWidth - leftOffset(), 50);
+}
+
+function hzRangeOrFull() {
+  return state.hzRange || [0, state.maxTrackHz || 1];
+}
+
+function ampRangeOf(trackId) {
+  const m = state.ampRanges.get(trackId) ?? 1.0;
+  return [-m, m];
+}
+
+// ---------------------------------------------------------------------------
+// error box (reference: src/modules/ErrorBox + useTracks erroredTrackIds)
+
+function showError(message) {
+  const box = $("#error-box");
+  const item = document.createElement("div");
+  item.className = "error-item";
+  item.textContent = message;
+  const x = document.createElement("button");
+  x.textContent = "✕";
+  x.onclick = () => item.remove();
+  item.appendChild(x);
+  box.appendChild(item);
+  setTimeout(() => item.remove(), 15000);
+}
+
 // ---------------------------------------------------------------------------
 // track management
 
 async function addPaths(paths) {
-  const ids = paths.map(() => state.nextId++);
-  const added = await api.addTracks(ids, paths);
-  if (added.length < paths.length) {
-    const failed = paths.filter((_, i) => !added.includes(ids[i]));
-    alert(`Could not open:\n${failed.join("\n")}`);
+  // dedupe against already-open paths (reference App.tsx:103-131)
+  const fresh = [];
+  const reload = [];
+  for (const p of paths) {
+    const existing = await api.findIdByPath(p);
+    if (existing >= 0) reload.push(existing);
+    else fresh.push(p);
   }
-  await refreshAll();
-  for (const id of added) await buildRow(id);
+  if (reload.length) await api.reloadTracks(reload);
+  if (fresh.length) {
+    const ids = fresh.map(() => state.nextId++);
+    const added = await api.addTracks(ids, fresh);
+    const failed = fresh.filter((_, i) => !added.includes(ids[i]));
+    if (failed.length) showError(`Could not open: ${failed.join(", ")}`);
+    await refreshAll();
+    for (const id of added) await buildRow(id);
+    if (added.length) selectOnly(added[added.length - 1]);
+  } else {
+    await refreshAll();
+    await rebuildAllRowInfo();
+  }
   fitIfFirst();
   redraw();
 }
@@ -83,24 +143,32 @@ async function buildRow(trackId) {
     vp.onNeedsRedraw = () => { state.needsRedraw = true; };
     await vp.refreshMetadata();
     state.viewports.set(idChStr, vp);
-    row.querySelector(".track-remove").onclick = () => removeTrack(trackId);
-    row.querySelector(".track-reload").onclick = async () => {
+    row.querySelector(".track-remove").onclick = (e) => {
+      e.stopPropagation();
+      removeTracks([trackId]);
+    };
+    row.querySelector(".track-reload").onclick = async (e) => {
+      e.stopPropagation();
       const ok = await api.reloadTracks([trackId]);
-      if (!ok.includes(trackId)) alert(`Could not reload track ${trackId}`);
+      if (!ok.includes(trackId)) {
+        showError(`Could not reload track ${trackId} (file unchanged or unreadable)`);
+      }
       await refreshAll();
       await rebuildAllRowInfo();
       redraw();
     };
+    setupRowSelection(row, trackId);
+    setupRowDnD(row, trackId);
+    setupAmpAxisEditing(row, trackId);
+    setupFreqAxisEditing(row);
     const vpc = row.querySelector(".viewport");
     vpc.addEventListener("mousemove", (e) => showTooltip(e, vp, row));
     vpc.addEventListener("mouseleave", hideTooltip);
     vpc.addEventListener("click", async (e) => {
       const sec = state.startSec + e.offsetX / state.pxPerSec;
-      const prevSelected = state.selectedTrack;
-      state.selectedTrack = trackId;
+      selectClick(trackId, e);
       await api.setTrackPlayer(trackId, sec);
       if (state.playing) await api.resumePlayer();
-      if (overview && prevSelected !== trackId) await overview.setTrack(trackId);
       redraw();
       pollPlayer();
     });
@@ -110,6 +178,7 @@ async function buildRow(trackId) {
 }
 
 async function updateRowInfo(row, trackId, ch, nCh) {
+  // TrackSummary fields (reference: TrackSummary.tsx:38-174)
   const [name, fmt, sec, sr, lufs, guard] = await Promise.all([
     api.getFileName(trackId), api.getFormatInfo(trackId),
     api.getLengthSec(trackId), api.getSampleRate(trackId),
@@ -126,14 +195,22 @@ async function updateRowInfo(row, trackId, ch, nCh) {
     guardTxt ? `${lufsTxt} · ${guardTxt}` : lufsTxt;
 }
 
-async function removeTrack(trackId) {
-  await api.removeTracks([trackId]);
-  state.trackIds = state.trackIds.filter((x) => x !== trackId);
-  for (const [key, _] of [...state.viewports]) {
-    if (key.startsWith(`${trackId}_`)) {
-      rowsEl.querySelector(`[data-id-ch="${key}"]`)?.remove();
-      state.viewports.delete(key);
+async function removeTracks(trackIds) {
+  await api.removeTracks(trackIds);
+  for (const trackId of trackIds) {
+    state.trackIds = state.trackIds.filter((x) => x !== trackId);
+    state.selected.delete(trackId);
+    state.ampRanges.delete(trackId);
+    for (const [key] of [...state.viewports]) {
+      if (key.startsWith(`${trackId}_`)) {
+        rowsEl.querySelector(`[data-id-ch="${key}"]`)?.remove();
+        state.viewports.delete(key);
+      }
     }
+    if (state.selectedTrack === trackId) state.selectedTrack = null;
+  }
+  if (state.selectedTrack === null && state.trackIds.length) {
+    selectOnly(state.trackIds[0]);
   }
   await refreshAll();
   redraw();
@@ -141,17 +218,273 @@ async function removeTrack(trackId) {
 
 function fitIfFirst() {
   if (state.trackIds.length >= 1 && state.maxSec > 0) {
-    const w = rowsEl.clientWidth - 290;
     if (state.startSec === 0 && Math.abs(state.pxPerSec - 100) < 1e-9) {
-      state.pxPerSec = Math.max(w / state.maxSec, 0.01);
+      state.pxPerSec = Math.max(viewWidth() / state.maxSec, MIN_PX_PER_SEC);
     }
+    if (state.fitMode) applyFit();
   }
+}
+
+// ---------------------------------------------------------------------------
+// selection (reference: useSelectedTracks.ts:5-126 pivot semantics)
+
+function applySelectionClasses() {
+  for (const row of rowsEl.children) {
+    const tid = Number(row.dataset.trackId);
+    row.classList.toggle("selected", state.selected.has(tid));
+    row.classList.toggle("primary", tid === state.selectedTrack);
+  }
+}
+
+function selectOnly(trackId) {
+  state.selected = new Set([trackId]);
+  state.selectPivot = trackId;
+  state.selectedTrack = trackId;
+  if (overview) overview.setTrack(trackId).then(redraw);
+  applySelectionClasses();
+}
+
+function selectClick(trackId, e) {
+  if (e.metaKey || e.ctrlKey) {
+    if (state.selected.has(trackId)) {
+      state.selected.delete(trackId);
+      if (state.selectedTrack === trackId) {
+        state.selectedTrack = [...state.selected].pop() ?? null;
+      }
+    } else {
+      state.selected.add(trackId);
+      state.selectPivot = trackId;
+      state.selectedTrack = trackId;
+    }
+  } else if (e.shiftKey && state.selectPivot !== null) {
+    const order = [...rowsEl.children].map((r) => Number(r.dataset.trackId));
+    const uniq = [...new Set(order)];
+    const a = uniq.indexOf(state.selectPivot);
+    const b = uniq.indexOf(trackId);
+    if (a >= 0 && b >= 0) {
+      state.selected = new Set(uniq.slice(Math.min(a, b), Math.max(a, b) + 1));
+      state.selectedTrack = trackId;
+    }
+  } else {
+    state.selected = new Set([trackId]);
+    state.selectPivot = trackId;
+    state.selectedTrack = trackId;
+  }
+  if (overview && state.selectedTrack !== null) {
+    overview.setTrack(state.selectedTrack).then(redraw);
+  }
+  applySelectionClasses();
+}
+
+function selectAll() {
+  state.selected = new Set(state.trackIds);
+  if (state.selectedTrack === null && state.trackIds.length) {
+    state.selectedTrack = state.trackIds[0];
+  }
+  applySelectionClasses();
+}
+
+function setupRowSelection(row, trackId) {
+  row.querySelector(".track-info").addEventListener("mousedown", (e) => {
+    if (e.target.tagName === "BUTTON") return;
+    selectClick(trackId, e);
+  });
+}
+
+// ---------------------------------------------------------------------------
+// DnD reorder (reference: MainViewer.tsx track DnD + TrackInfoDragLayer)
+
+let dragRow = null;
+
+function setupRowDnD(row, _trackId) {
+  const handle = row.querySelector(".track-info");
+  handle.draggable = true;
+  handle.addEventListener("dragstart", (e) => {
+    dragRow = row;
+    row.classList.add("dragging");
+    e.dataTransfer.effectAllowed = "move";
+    e.dataTransfer.setData("text/plain", row.dataset.idCh);
+  });
+  handle.addEventListener("dragend", () => {
+    row.classList.remove("dragging");
+    dragRow = null;
+    for (const r of rowsEl.children) r.classList.remove("drop-above", "drop-below");
+  });
+  row.addEventListener("dragover", (e) => {
+    if (!dragRow || dragRow === row) return;
+    e.preventDefault();
+    const rect = row.getBoundingClientRect();
+    const above = e.clientY < rect.top + rect.height / 2;
+    row.classList.toggle("drop-above", above);
+    row.classList.toggle("drop-below", !above);
+  });
+  row.addEventListener("dragleave", () => {
+    row.classList.remove("drop-above", "drop-below");
+  });
+  row.addEventListener("drop", (e) => {
+    if (!dragRow || dragRow === row) return;
+    e.preventDefault();
+    const rect = row.getBoundingClientRect();
+    const above = e.clientY < rect.top + rect.height / 2;
+    // move ALL rows of the dragged track together (multi-channel rows)
+    const tid = dragRow.dataset.trackId;
+    const moving = [...rowsEl.children].filter((r) => r.dataset.trackId === tid);
+    const anchor = above ? row : row.nextSibling;
+    for (const r of moving) rowsEl.insertBefore(r, anchor);
+    row.classList.remove("drop-above", "drop-below");
+    state.trackIds = [...new Set([...rowsEl.children].map((r) => Number(r.dataset.trackId)))];
+    redraw();
+  });
+}
+
+// ---------------------------------------------------------------------------
+// editable axis ranges (reference: FreqAxis.tsx / AmpAxis.tsx drag +
+// double-click floating input; MainViewer.tsx:414-489 vertical zoom)
+
+let floatingInput = null;
+
+function openFloatingInput(x, y, initial, onCommit) {
+  closeFloatingInput();
+  floatingInput = document.createElement("input");
+  floatingInput.type = "text";
+  floatingInput.value = initial;
+  floatingInput.className = "floating-input";
+  floatingInput.style.left = `${x}px`;
+  floatingInput.style.top = `${y}px`;
+  document.body.appendChild(floatingInput);
+  floatingInput.focus();
+  floatingInput.select();
+  floatingInput.onkeydown = (e) => {
+    if (e.key === "Enter") {
+      onCommit(floatingInput.value);
+      closeFloatingInput();
+    } else if (e.key === "Escape") {
+      closeFloatingInput();
+    }
+    e.stopPropagation();
+  };
+  floatingInput.onblur = () => closeFloatingInput();
+}
+
+function closeFloatingInput() {
+  floatingInput?.remove();
+  floatingInput = null;
+}
+
+function parseHzLabel(text) {
+  // accepts "12345", "12.3k", "1k5" (reference: axis freqLabelToHz)
+  const t = text.trim().toLowerCase();
+  const km = t.match(/^(\d+(?:\.\d+)?)k(\d+)?$/);
+  if (km) {
+    let v = parseFloat(km[1]) * 1000;
+    if (km[2]) v += parseFloat(`0.${km[2]}`) * 1000;
+    return v;
+  }
+  const f = parseFloat(t);
+  return isNaN(f) ? null : f;
+}
+
+function setupFreqAxisEditing(row) {
+  const axis = row.querySelector(".freq-axis");
+  let dragStart = null;
+  axis.style.cursor = "ns-resize";
+  axis.addEventListener("mousedown", (e) => {
+    dragStart = { y: e.clientY, range: hzRangeOrFull() };
+  });
+  window.addEventListener("mousemove", (e) => {
+    if (!dragStart) return;
+    const h = axis.clientHeight || 1;
+    const maxHz = state.maxTrackHz || 1;
+    const dy = (e.clientY - dragStart.y) / h; // drag down -> shift view down
+    const pLo = relativeFreqPos(dragStart.range[0], maxHz, state.freqScale);
+    const pHi = relativeFreqPos(dragStart.range[1], maxHz, state.freqScale);
+    const span = pHi - pLo;
+    let lo = pLo + dy * span;
+    let hi = pHi + dy * span;
+    if (lo < 0) { hi -= lo; lo = 0; }
+    if (hi > 1) { lo -= hi - 1; hi = 1; }
+    state.hzRange = [
+      hzFromRelativePos(lo, maxHz, state.freqScale),
+      hzFromRelativePos(hi, maxHz, state.freqScale),
+    ];
+    redraw();
+  });
+  window.addEventListener("mouseup", () => { dragStart = null; });
+  axis.addEventListener("dblclick", (e) => {
+    // top half edits the upper limit, bottom half the lower
+    // (reference menu events edit-freq-upper/lower-limit-{id})
+    const h = axis.clientHeight || 1;
+    const editUpper = e.offsetY < h / 2;
+    const [lo, hi] = hzRangeOrFull();
+    openFloatingInput(e.clientX, e.clientY, String(Math.round(editUpper ? hi : lo)), (text) => {
+      const v = parseHzLabel(text);
+      if (v === null) return;
+      const maxHz = state.maxTrackHz || 1;
+      const r = hzRangeOrFull().slice();
+      if (editUpper) r[1] = Math.min(Math.max(v, r[0] + 1), maxHz);
+      else r[0] = Math.max(Math.min(v, r[1] - 1), 0);
+      state.hzRange = r;
+      redraw();
+    });
+  });
+  axis.addEventListener("contextmenu", (e) => {
+    e.preventDefault();
+    state.hzRange = null; // reset-axis-range (menu.rs reset events)
+    redraw();
+  });
+}
+
+function setupAmpAxisEditing(row, trackId) {
+  const axis = row.querySelector(".amp-axis");
+  let dragStart = null;
+  axis.style.cursor = "ns-resize";
+  axis.addEventListener("mousedown", (e) => {
+    dragStart = { y: e.clientY, max: state.ampRanges.get(trackId) ?? 1.0 };
+  });
+  window.addEventListener("mousemove", (e) => {
+    if (!dragStart) return;
+    const factor = Math.exp((e.clientY - dragStart.y) * 0.01);
+    const v = Math.min(Math.max(dragStart.max * factor, 1e-4), 16);
+    state.ampRanges.set(trackId, v);
+    redraw();
+  });
+  window.addEventListener("mouseup", () => { dragStart = null; });
+  axis.addEventListener("dblclick", (e) => {
+    const cur = state.ampRanges.get(trackId) ?? 1.0;
+    openFloatingInput(e.clientX, e.clientY, String(cur), (text) => {
+      const v = parseFloat(text);
+      if (!isNaN(v) && v > 0) {
+        state.ampRanges.set(trackId, Math.min(v, 16));
+        redraw();
+      }
+    });
+  });
+  axis.addEventListener("contextmenu", (e) => {
+    e.preventDefault();
+    state.ampRanges.delete(trackId);
+    redraw();
+  });
 }
 
 // ---------------------------------------------------------------------------
 // rendering loop
 
 function redraw() { state.needsRedraw = true; }
+
+function applyFit() {
+  // fit mode: whole longest track in view (reference MainViewer fit button)
+  if (state.maxSec > 0) {
+    state.pxPerSec = Math.max(viewWidth() / state.maxSec, MIN_PX_PER_SEC);
+    state.startSec = 0;
+  }
+}
+
+function leaveFit() {
+  if (state.fitMode) {
+    state.fitMode = false;
+    $("#btn-fit").classList.remove("active");
+  }
+}
 
 function renderFrame() {
   // playhead extrapolation (reference: usePlayer.ts:44-52)
@@ -161,27 +494,43 @@ function renderFrame() {
     : a.positionSec;
   $("#time-display").textContent = fmtTime(pos);
 
+  // follow-playhead autoscroll (reference MainViewer updateByPlayerStatus)
+  if (state.followPlayhead && a.isPlaying) {
+    const viewSec = viewWidth() / state.pxPerSec;
+    if (pos > state.startSec + viewSec * 0.95 || pos < state.startSec) {
+      state.startSec = Math.max(pos - viewSec * 0.05, 0);
+      state.needsRedraw = true;
+    }
+  }
+
   if (state.needsRedraw) {
     state.needsRedraw = false;
-    const view = {
-      startSec: state.startSec,
-      pxPerSec: state.pxPerSec,
-      blend: state.blend,
-    };
-    for (const vp of state.viewports.values()) vp.draw(view);
+    const hzRange = hzRangeOrFull();
+    for (const row of rowsEl.children) {
+      const vp = state.viewports.get(row.dataset.idCh);
+      if (!vp) continue;
+      vp.draw({
+        startSec: state.startSec,
+        pxPerSec: state.pxPerSec,
+        blend: state.blend,
+        hzRange,
+        maxTrackHz: state.maxTrackHz,
+        freqScale: state.freqScale,
+        ampRange: ampRangeOf(Number(row.dataset.trackId)),
+      });
+    }
     if (overview) {
-      const viewW = rowsEl.clientWidth - 290;
-      overview.draw(state.startSec, [state.startSec, viewW / state.pxPerSec]);
+      overview.draw(state.startSec, [state.startSec, viewWidth() / state.pxPerSec]);
     }
     updateTimeAxis($("#time-axis"), state.startSec, state.pxPerSec, state.maxSec);
     for (const row of rowsEl.children) {
       const vp = state.viewports.get(row.dataset.idCh);
       if (!vp || !vp.metadata) continue;
-      updateAmpAxis(row.querySelector(".amp-axis"));
+      updateAmpAxis(
+        row.querySelector(".amp-axis"), ampRangeOf(Number(row.dataset.trackId))
+      );
       updateFreqAxis(
-        row.querySelector(".freq-axis"),
-        [0, state.maxTrackHz || vp.metadata.sampleRate / 2],
-        state.freqScale,
+        row.querySelector(".freq-axis"), hzRange, state.freqScale,
         state.maxTrackHz || vp.metadata.sampleRate / 2
       );
     }
@@ -245,6 +594,7 @@ function showTooltip(e, vp, row) {
     const sec = state.startSec + e.offsetX / state.pxPerSec;
     const h = e.target.clientHeight;
     const maxHz = state.maxTrackHz || vp.metadata.sampleRate / 2;
+    const [hzLo, hzHi] = hzRangeOrFull();
     try {
       const [t, hz] = await Promise.all([
         fetch("/api/format_time_axis_tooltip", {
@@ -255,13 +605,13 @@ function showTooltip(e, vp, row) {
           method: "POST", headers: { "Content-Type": "application/json" },
           body: JSON.stringify({
             freqScale: state.freqScale, y: e.offsetY, height: h,
-            hzRangeMin: 0, hzRangeMax: maxHz, maxTrackHz: maxHz,
+            hzRangeMin: hzLo, hzRangeMax: hzHi, maxTrackHz: maxHz,
           }),
         }).then((r) => r.json()).then((j) => j.result),
       ]);
       const hzLabel = await fetch("/api/format_frequency_axis_tooltip", {
         method: "POST", headers: { "Content-Type": "application/json" },
-        body: JSON.stringify({ hz, resolutionHz: maxHz / Math.max(h, 1) }),
+        body: JSON.stringify({ hz, resolutionHz: (hzHi - hzLo) / Math.max(h, 1) }),
       }).then((r) => r.json()).then((j) => j.result);
       if (tooltipEl) tooltipEl.textContent = `${t} · ${hzLabel}Hz`;
     } catch { /* transient */ }
@@ -273,18 +623,44 @@ function hideTooltip() {
 }
 
 // ---------------------------------------------------------------------------
-// zoom / pan (reference: MainViewer.tsx:538-595 wheel gestures)
+// zoom / pan (reference: MainViewer.tsx:538-595 wheel gestures;
+// :414-489 cursor-anchored horizontal & vertical zoom w/ scroll correction)
 
 rowsEl.addEventListener("wheel", (e) => {
   e.preventDefault();
   const rect = rowsEl.getBoundingClientRect();
-  const xInView = e.clientX - rect.left - 290;
-  if (e.ctrlKey || e.metaKey) {
+  const xInView = e.clientX - rect.left - leftOffset();
+  if (e.shiftKey && !e.ctrlKey && !e.metaKey) {
+    // vertical freq zoom anchored at cursor
+    const row = e.target.closest?.(".track-row");
+    const h = row ? row.clientHeight : 160;
+    const yFrac = row
+      ? Math.min(Math.max((e.clientY - row.getBoundingClientRect().top) / h, 0), 1)
+      : 0.5;
+    const maxHz = state.maxTrackHz || 1;
+    const [lo0, hi0] = hzRangeOrFull();
+    const pLo = relativeFreqPos(lo0, maxHz, state.freqScale);
+    const pHi = relativeFreqPos(hi0, maxHz, state.freqScale);
+    const span = pHi - pLo;
+    const anchor = pLo + (1 - yFrac) * span; // y=0 is top = high freq
+    const factor = Math.exp(e.deltaY * 0.002);
+    const newSpan = Math.min(Math.max(span * factor, 0.01), 1);
+    let lo = anchor - (1 - yFrac) * newSpan;
+    let hi = lo + newSpan;
+    if (lo < 0) { hi -= lo; lo = 0; }
+    if (hi > 1) { lo -= hi - 1; hi = 1; }
+    state.hzRange = (lo <= 1e-9 && hi >= 1 - 1e-9) ? null : [
+      hzFromRelativePos(lo, maxHz, state.freqScale),
+      hzFromRelativePos(hi, maxHz, state.freqScale),
+    ];
+  } else if (e.ctrlKey || e.metaKey) {
+    leaveFit();
     const anchorSec = state.startSec + xInView / state.pxPerSec;
     const factor = Math.exp(-e.deltaY * 0.002);
-    state.pxPerSec = Math.min(Math.max(state.pxPerSec * factor, 0.01), MAX_PX_PER_SEC);
+    state.pxPerSec = Math.min(Math.max(state.pxPerSec * factor, MIN_PX_PER_SEC), MAX_PX_PER_SEC);
     state.startSec = anchorSec - xInView / state.pxPerSec;
   } else {
+    leaveFit();
     state.startSec += (e.deltaY + e.deltaX) / state.pxPerSec * 0.5;
   }
   state.startSec = Math.max(state.startSec, -1);
@@ -302,6 +678,12 @@ async function pollPlayer() {
   };
   state.playing = st.isPlaying;
   $("#btn-play").textContent = st.isPlaying ? "❚❚" : "▶";
+  if (st.err && st.err !== state.lastPlayerErr) {
+    state.lastPlayerErr = st.err;
+    showError(`audio: ${st.err}`);
+  } else if (!st.err) {
+    state.lastPlayerErr = "";
+  }
   clearTimeout(pollTimer);
   pollTimer = setTimeout(pollPlayer, st.isPlaying ? 250 : 1500);
 }
@@ -321,6 +703,25 @@ function connectEvents() {
       }
     };
   } catch { /* polling fallback is always active */ }
+}
+
+// ---------------------------------------------------------------------------
+// info-pane splitter (reference: src/modules/SplitView.tsx:30-211)
+
+function setupSplitter() {
+  const splitter = $("#info-splitter");
+  let drag = null;
+  splitter.addEventListener("mousedown", (e) => {
+    drag = { x: e.clientX, w: leftOffset() - 98 };
+    e.preventDefault();
+  });
+  window.addEventListener("mousemove", (e) => {
+    if (!drag) return;
+    const w = Math.min(Math.max(drag.w + e.clientX - drag.x, 90), 480);
+    document.documentElement.style.setProperty("--info-w", `${w}px`);
+    redraw();
+  });
+  window.addEventListener("mouseup", () => { drag = null; });
 }
 
 // ---------------------------------------------------------------------------
@@ -348,14 +749,30 @@ async function setupControls() {
   };
 
   $("#btn-play").onclick = togglePlay;
+  $("#btn-fit").onclick = () => {
+    state.fitMode = !state.fitMode;
+    $("#btn-fit").classList.toggle("active", state.fitMode);
+    if (state.fitMode) applyFit();
+    redraw();
+  };
+  $("#btn-follow").onclick = () => {
+    state.followPlayhead = !state.followPlayhead;
+    $("#btn-follow").classList.toggle("active", state.followPlayhead);
+  };
+  $("#btn-follow").classList.toggle("active", state.followPlayhead);
+
   // hotkeys mirror the reference's menu-emitted events (menu.rs:427-445:
-  // toggle-play, jump-player, rewind-to-front, time-zoom, remove-selected)
+  // toggle-play, jump-player, rewind-to-front, time/freq-zoom,
+  // remove-selected-tracks, select-all-tracks)
   document.addEventListener("keydown", async (e) => {
     if (e.target.tagName === "INPUT" || e.target.tagName === "SELECT") return;
     const jump = e.shiftKey ? 5.0 : 1.0; // PLAY_BIG_JUMP_SEC / PLAY_JUMP_SEC
     if (e.code === "Space") {
       e.preventDefault();
       togglePlay();
+    } else if ((e.metaKey || e.ctrlKey) && e.code === "KeyA") {
+      e.preventDefault();
+      selectAll();
     } else if (e.code === "ArrowLeft" || e.code === "ArrowRight") {
       e.preventDefault();
       const a = state.playerAnchor;
@@ -370,16 +787,16 @@ async function setupControls() {
       redraw();
       pollPlayer();
     } else if (e.key === "+" || e.key === "=") {
+      leaveFit();
       state.pxPerSec = Math.min(state.pxPerSec * 1.5, MAX_PX_PER_SEC);
       redraw();
     } else if (e.key === "-") {
-      state.pxPerSec = Math.max(state.pxPerSec / 1.5, 0.01);
+      leaveFit();
+      state.pxPerSec = Math.max(state.pxPerSec / 1.5, MIN_PX_PER_SEC);
       redraw();
     } else if (e.code === "Delete" || e.code === "Backspace") {
-      if (state.selectedTrack !== null) {
-        const t = state.selectedTrack;
-        state.selectedTrack = null;
-        await removeTrack(t);
+      if (state.selected.size) {
+        await removeTracks([...state.selected]);
       }
     }
   });
@@ -447,7 +864,7 @@ async function togglePlay() {
     await api.pausePlayer();
   } else {
     if (state.selectedTrack === null && state.trackIds.length) {
-      state.selectedTrack = state.trackIds[0];
+      selectOnly(state.trackIds[0]);
       await api.setTrackPlayer(state.selectedTrack, state.startSec > 0 ? state.startSec : 0);
     }
     await api.resumePlayer();
@@ -465,13 +882,17 @@ async function togglePlay() {
   await api.init(colormap);
   overview = new Overview($("#overview"));
   overview.onSeekView = (centerSec) => {
-    const viewW = rowsEl.clientWidth - 290;
-    state.startSec = centerSec - viewW / state.pxPerSec / 2;
+    leaveFit();
+    state.startSec = centerSec - viewWidth() / state.pxPerSec / 2;
     redraw();
   };
   await setupControls();
+  setupSplitter();
   connectEvents();
   pollPlayer();
-  window.addEventListener("resize", redraw);
+  window.addEventListener("resize", () => {
+    if (state.fitMode) applyFit();
+    redraw();
+  });
   requestAnimationFrame(renderFrame);
 })();

@@ -1,15 +1,22 @@
 // Per-track viewport rendering: spectrogram tile compositing + waveform
-// envelope, LOD selection and client caches.
+// rendering, LOD selection, byte-budgeted shared caches, LOD crossfade,
+// scrim blend compositing.
 // Design follows the reference compositor (src/modules/AudioTrackViewport.tsx:
-// LOD math :385-476; waveform mesh src/lib/waveform-renderer.ts:227-407) with
-// a 2D-canvas backend instead of PixiJS.
+// LOD math :385-476, crossfade :30-35,642-684, scrim blend :30-35; waveform
+// mesh styling src/lib/waveform-renderer.ts:6-11,227-407) with a 2D-canvas
+// backend instead of PixiJS.
 
 import { api } from "./api.js";
+import { pendingFetches, specTileCache, waveTileCache } from "./caches.js";
+import { relativeFreqPos } from "./freqscale.js";
 
 const TILE = 512;
 const WAVE_BINS = 1024;
 const WAVE_COLOR = "#2d92e5";
+const WAVE_LINE_COLOR = "#7cc0f2"; // representative mid line (lighter)
 const CLIP_COLOR = "#e05252";
+const CLIP_LINE_COLOR = "#f2948f";
+const CROSSFADE_MS = 200; // reference: AudioTrackViewport.tsx:30-35
 
 export class TrackViewport {
   constructor(canvas, idChStr) {
@@ -17,9 +24,9 @@ export class TrackViewport {
     this.ctx = canvas.getContext("2d");
     this.idChStr = idChStr;
     this.metadata = null;
-    this.specTiles = new Map(); // key -> {bitmap|null(pending), originX, originY, w, h}
-    this.waveTiles = new Map(); // key -> decoded tile | null(pending)
     this.onNeedsRedraw = () => {};
+    this._waveFade = null; // {fromLevel, start}
+    this._lastWaveLevel = null;
   }
 
   async refreshMetadata() {
@@ -30,70 +37,86 @@ export class TrackViewport {
       if (this.metadata.spectrogramWidth > 0) break;
       await new Promise((r) => setTimeout(r, 100));
     }
-    this.specTiles.clear();
-    this.waveTiles.clear();
+    const md = this.metadata;
+    // drop stale revisions for this row (server bumped on settings change)
+    const specPrefix = `${this.idChStr}:`;
+    specTileCache.retain(
+      (k) => !k.startsWith(specPrefix) || k.startsWith(`${specPrefix}${md.spectrogramRevision}:`)
+    );
+    waveTileCache.retain(
+      (k) => !k.startsWith(specPrefix) || k.startsWith(`${specPrefix}${md.waveformRevision}:`)
+    );
   }
 
   // ---- LOD math (reference: AudioTrackViewport.tsx:385-476) ----
-  specLevels(pxPerSec, viewH) {
+  specLevels(pxPerSec, viewH, rowsVisibleFrac) {
     const md = this.metadata;
     const basePxPerSec = md.spectrogramWidth / md.trackSec;
     const levelX = Math.max(0, Math.floor(Math.log2(basePxPerSec / pxPerSec)));
-    const levelY = Math.max(
-      0, Math.ceil(Math.log2(md.spectrogramHeight / Math.max(viewH, 1)))
-    );
+    const visibleRows = Math.max(md.spectrogramHeight * rowsVisibleFrac, 1);
+    const levelY = Math.max(0, Math.ceil(Math.log2(visibleRows / Math.max(viewH, 1))));
     return { levelX, levelY, basePxPerSec };
   }
 
   waveLevel(pxPerSec, dpr) {
+    // reference: waveform-renderer.ts:44-50 (level 0 while near-per-sample)
     const md = this.metadata;
     const samplesPerPx = md.sampleRate / (pxPerSec * dpr);
+    if (pxPerSec * 2 * dpr >= md.sampleRate / 2) return 0;
     if (samplesPerPx <= 2) return 0;
     return Math.max(0, Math.ceil(Math.log2(samplesPerPx)));
   }
 
+  _specKey(md, lx, ly, tx, ty) {
+    return `${this.idChStr}:${md.spectrogramRevision}:${lx}:${ly}:${tx}:${ty}`;
+  }
+
+  _waveKey(md, level, ti) {
+    return `${this.idChStr}:${md.waveformRevision}:${level}:${ti}`;
+  }
+
   async fetchSpecTile(levelX, levelY, tileX, tileY) {
     const md = this.metadata;
-    const key = `${md.spectrogramRevision}:${levelX}:${levelY}:${tileX}:${tileY}`;
-    if (this.specTiles.has(key)) return this.specTiles.get(key);
-    this.specTiles.set(key, null); // pending
+    const key = this._specKey(md, levelX, levelY, tileX, tileY);
+    if (specTileCache.has(key) || pendingFetches.has(key)) return;
+    pendingFetches.add(key);
     try {
       const t = await api.getSpectrogramTile(this.idChStr, levelX, levelY, tileX, tileY);
       if (t.width === 0 || t.height === 0 || t.revision !== BigInt(md.spectrogramRevision)) {
-        this.specTiles.delete(key);
-        return null;
+        return;
       }
       const img = new ImageData(t.rgba.slice(0, t.width * t.height * 4), t.width, t.height);
       t.bitmap = await createImageBitmap(img);
-      this.specTiles.set(key, t);
+      t.rgba = null; // CPU copy released after upload (reference GPU cache)
+      specTileCache.set(key, t, t.width * t.height * 4);
       this.onNeedsRedraw();
-      return t;
     } catch {
-      this.specTiles.delete(key);
-      return null;
+      /* transient */
+    } finally {
+      pendingFetches.delete(key);
     }
   }
 
   async fetchWaveTile(level, tileIndex) {
     const md = this.metadata;
-    const key = `${md.waveformRevision}:${level}:${tileIndex}`;
-    if (this.waveTiles.has(key)) return this.waveTiles.get(key);
-    this.waveTiles.set(key, null);
+    const key = this._waveKey(md, level, tileIndex);
+    if (waveTileCache.has(key) || pendingFetches.has(key)) return;
+    pendingFetches.add(key);
     try {
       const t = await api.getWaveformTile(this.idChStr, level, tileIndex);
-      if (t.binCount === 0) return t;
-      this.waveTiles.set(key, t);
+      waveTileCache.set(key, t, t.binCount * 12 + 24);
       this.onNeedsRedraw();
-      return t;
     } catch {
-      this.waveTiles.delete(key);
-      return null;
+      /* transient */
+    } finally {
+      pendingFetches.delete(key);
     }
   }
 
   // ---- drawing ----
   draw(view) {
-    // view: {startSec, pxPerSec, blend, isClipped}
+    // view: {startSec, pxPerSec, blend, hzRange, maxTrackHz, freqScale,
+    //        ampRange}
     const { canvas, ctx } = this;
     const dpr = window.devicePixelRatio || 1;
     const w = canvas.clientWidth, h = canvas.clientHeight;
@@ -106,38 +129,63 @@ export class TrackViewport {
     ctx.fillRect(0, 0, w, h);
     if (!this.metadata || this.metadata.trackSec === 0) return;
 
-    this.drawWaveform(view, w, h, dpr);
-    if (view.blend > 0.02 && this.metadata.spectrogramWidth > 0) {
-      ctx.globalAlpha = Math.min(view.blend, 1);
+    const blend = view.blend ?? 0.5;
+    // scrim compositing (reference AudioTrackViewport.tsx:30-35):
+    //   blend = 1 -> spectrogram only; 0 -> waveform only; 0.5 -> both full.
+    //   Below 0.5 a black scrim dims the spectrogram; above 0.5 the
+    //   waveform's alpha fades out.
+    if (blend > 0 && this.metadata.spectrogramWidth > 0) {
       this.drawSpectrogram(view, w, h);
+      if (blend < 0.5) {
+        ctx.fillStyle = `rgba(12,13,16,${1 - 2 * blend})`;
+        ctx.fillRect(0, 0, w, h);
+      }
+    }
+    const wavAlpha = blend > 0.5 ? 2 * (1 - blend) : 1;
+    if (wavAlpha > 0.02) {
+      ctx.globalAlpha = wavAlpha;
+      this.drawWaveform(view, w, h, dpr);
       ctx.globalAlpha = 1;
     }
   }
 
   drawSpectrogram(view, w, h) {
     const md = this.metadata;
-    const { levelX, levelY, basePxPerSec } = this.specLevels(view.pxPerSec, h);
+    const maxHz = view.maxTrackHz || md.sampleRate / 2;
+    const hzRange = view.hzRange || [0, maxHz];
+    const scale = view.freqScale || "Mel";
+    // visible full-res image rows (0 = bottom = 0 Hz), image spans [0,maxHz]
+    const rLo = relativeFreqPos(hzRange[0], maxHz, scale) * md.spectrogramHeight;
+    const rHi = relativeFreqPos(hzRange[1], maxHz, scale) * md.spectrogramHeight;
+    const rowsVisible = Math.max(rHi - rLo, 1);
+    const { levelX, levelY, basePxPerSec } = this.specLevels(
+      view.pxPerSec, h, rowsVisible / md.spectrogramHeight
+    );
     const lodPxPerSec = basePxPerSec / (1 << levelX);
     const lodWidth = Math.ceil(md.spectrogramWidth / (1 << levelX));
     const lodHeight = Math.ceil(md.spectrogramHeight / (1 << levelY));
-    const secToLodX = (sec) => sec * lodPxPerSec;
-    const xStart = secToLodX(view.startSec);
-    const xEnd = secToLodX(view.startSec + w / view.pxPerSec);
+    const rLoLod = rLo / (1 << levelY);
+    const rHiLod = rHi / (1 << levelY);
+    const xStart = view.startSec * lodPxPerSec;
+    const xEnd = (view.startSec + w / view.pxPerSec) * lodPxPerSec;
     const t0 = Math.max(0, Math.floor(xStart / TILE));
     const t1 = Math.min(Math.ceil(lodWidth / TILE) - 1, Math.floor(xEnd / TILE));
-    const nTileRows = Math.ceil(lodHeight / TILE);
+    const ty0 = Math.max(0, Math.floor(rLoLod / TILE));
+    const ty1 = Math.min(Math.ceil(lodHeight / TILE) - 1, Math.floor(Math.max(rHiLod - 1e-9, 0) / TILE));
     const scaleX = view.pxPerSec / lodPxPerSec;
-    const scaleY = h / lodHeight;
-    for (let ty = 0; ty < nTileRows; ty++) {
+    const scaleY = h / Math.max(rHiLod - rLoLod, 1e-9);
+    for (let ty = ty0; ty <= ty1; ty++) {
       for (let tx = t0; tx <= t1; tx++) {
-        const tile = this.specTiles.get(
-          `${md.spectrogramRevision}:${levelX}:${levelY}:${tx}:${ty}`
-        );
-        if (tile === undefined) this.fetchSpecTile(levelX, levelY, tx, ty);
+        const tile = specTileCache.get(this._specKey(md, levelX, levelY, tx, ty));
+        if (tile === undefined) {
+          this.fetchSpecTile(levelX, levelY, tx, ty);
+          continue;
+        }
         if (!tile || !tile.bitmap) continue;
-        // tile rows are high-freq-first; destination y = top of view
+        // tile bitmap rows are high-freq-first; its top row is image row
+        // (originY + height) from the bottom
         const dx = (tile.originX - xStart) * scaleX;
-        const dy = (lodHeight - (tile.originY + tile.height)) * scaleY;
+        const dy = h - (tile.originY + tile.height - rLoLod) * scaleY;
         this.ctx.drawImage(
           tile.bitmap, dx, dy, tile.width * scaleX, tile.height * scaleY
         );
@@ -146,24 +194,60 @@ export class TrackViewport {
   }
 
   drawWaveform(view, w, h, dpr) {
+    const level = this.waveLevel(view.pxPerSec, dpr);
+    // LOD crossfade, 200 ms equal-power
+    // (reference: AudioTrackViewport.tsx:30-35,642-684)
+    const now = performance.now();
+    if (this._lastWaveLevel !== null && this._lastWaveLevel !== level) {
+      this._waveFade = { fromLevel: this._lastWaveLevel, start: now };
+    }
+    this._lastWaveLevel = level;
+    let fadeT = 1;
+    if (this._waveFade) {
+      fadeT = (now - this._waveFade.start) / CROSSFADE_MS;
+      if (fadeT >= 1) {
+        this._waveFade = null;
+        fadeT = 1;
+      }
+    }
+    const ctx = this.ctx;
+    const baseAlpha = ctx.globalAlpha;
+    if (this._waveFade) {
+      ctx.globalAlpha = baseAlpha * Math.cos((fadeT * Math.PI) / 2);
+      this._drawWaveformLevel(view, w, h, this._waveFade.fromLevel);
+      ctx.globalAlpha = baseAlpha * Math.sin((fadeT * Math.PI) / 2);
+      this._drawWaveformLevel(view, w, h, level);
+      ctx.globalAlpha = baseAlpha;
+      this.onNeedsRedraw(); // keep animating until the fade completes
+    } else {
+      this._drawWaveformLevel(view, w, h, level);
+    }
+  }
+
+  _drawWaveformLevel(view, w, h, level) {
     const md = this.metadata;
     const ctx = this.ctx;
-    const level = this.waveLevel(view.pxPerSec, dpr);
     const spb = 1 << level;
     const tileSamples = WAVE_BINS * spb;
     const sr = md.sampleRate;
     const s0 = view.startSec * sr;
     const s1 = (view.startSec + w / view.pxPerSec) * sr;
-    const ti0 = Math.max(0, Math.floor(s0 / tileSamples));
+    // +/-1 tile overscan (reference waveform-renderer.ts:52-68)
+    const ti0 = Math.max(0, Math.floor(s0 / tileSamples) - 1);
     const ti1 = Math.min(
-      Math.ceil(md.sampleCount / tileSamples) - 1, Math.floor(s1 / tileSamples)
+      Math.ceil(md.sampleCount / tileSamples) - 1, Math.floor(s1 / tileSamples) + 1
     );
-    const mid = h / 2;
-    const ampScale = h / 2 * 0.95;
+    const amp = view.ampRange || [-1, 1];
+    const yOf = (v) => ((amp[1] - v) / (amp[1] - amp[0])) * h;
     ctx.lineWidth = 1;
+    ctx.lineJoin = "round";
+    ctx.lineCap = "round";
     for (let ti = ti0; ti <= ti1; ti++) {
-      const tile = this.waveTiles.get(`${md.waveformRevision}:${level}:${ti}`);
-      if (tile === undefined) this.fetchWaveTile(level, ti);
+      const tile = waveTileCache.get(this._waveKey(md, level, ti));
+      if (tile === undefined) {
+        this.fetchWaveTile(level, ti);
+        continue;
+      }
       if (!tile || tile.binCount === 0) continue;
       const xOf = (b) =>
         ((ti * tileSamples + b * spb) / sr - view.startSec) * view.pxPerSec;
@@ -171,37 +255,57 @@ export class TrackViewport {
       // underneath, then the +/-1-clamped waveform blue on top
       // (reference: waveform-renderer.ts clipped two-layer draw)
       if (md.isClipped) {
-        this._envelope(ctx, tile, xOf, mid, ampScale, CLIP_COLOR, null);
+        this._drawTile(ctx, tile, spb, xOf, yOf, CLIP_COLOR, CLIP_LINE_COLOR, null);
       }
       const clamp = md.isClipped ? 1.0 : Infinity;
-      this._envelope(ctx, tile, xOf, mid, ampScale, WAVE_COLOR, clamp);
+      this._drawTile(ctx, tile, spb, xOf, yOf, WAVE_COLOR, WAVE_LINE_COLOR, clamp);
     }
   }
 
-  _envelope(ctx, tile, xOf, mid, ampScale, color, clampAbs) {
+  _drawTile(ctx, tile, spb, xOf, yOf, fillColor, lineColor, clampAbs) {
     const cl = (v) =>
       clampAbs === null || clampAbs === Infinity
         ? v
         : Math.min(Math.max(v, -clampAbs), clampAbs);
     const bins = tile.bins;
-    ctx.strokeStyle = color;
-    ctx.fillStyle = color;
+    if (spb === 1) {
+      // per-sample polyline with round joins
+      // (reference: waveform-renderer.ts:227-268 samplesPerBin==1 branch)
+      ctx.strokeStyle = lineColor;
+      ctx.lineWidth = 1.5;
+      ctx.beginPath();
+      for (let b = 0; b < tile.binCount; b++) {
+        const y = yOf(cl(bins[b * 3 + 2])); // mean == the sample at level 0
+        if (b === 0) ctx.moveTo(xOf(b), y);
+        else ctx.lineTo(xOf(b), y);
+      }
+      ctx.stroke();
+      ctx.lineWidth = 1;
+      return;
+    }
+    // min/max envelope fill with border + representative mean line
+    // (reference: waveform-renderer.ts:270-407)
+    ctx.strokeStyle = fillColor;
+    ctx.fillStyle = fillColor;
     ctx.beginPath();
     for (let b = 0; b < tile.binCount; b++) {
-      const y = mid - cl(bins[b * 3 + 1]) * ampScale;
+      const y = yOf(cl(bins[b * 3 + 1]));
       if (b === 0) ctx.moveTo(xOf(b), y);
       else ctx.lineTo(xOf(b), y);
     }
     for (let b = tile.binCount - 1; b >= 0; b--) {
-      ctx.lineTo(xOf(b), mid - cl(bins[b * 3]) * ampScale);
+      ctx.lineTo(xOf(b), yOf(cl(bins[b * 3])));
     }
     ctx.closePath();
-    ctx.globalAlpha = 0.85;
+    const a = ctx.globalAlpha;
+    ctx.globalAlpha = a * 0.85;
     ctx.fill();
-    ctx.globalAlpha = 1;
+    ctx.globalAlpha = a;
+    ctx.stroke(); // envelope border
+    ctx.strokeStyle = lineColor;
     ctx.beginPath();
     for (let b = 0; b < tile.binCount; b++) {
-      const y = mid - cl(bins[b * 3 + 2]) * ampScale;
+      const y = yOf(cl(bins[b * 3 + 2]));
       if (b === 0) ctx.moveTo(xOf(b), y);
       else ctx.lineTo(xOf(b), y);
     }
