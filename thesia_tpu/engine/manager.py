@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..common.freqscale import FreqScale
 from ..dsp.framing import SpecSetting
 from ..dsp.spectrogram import SpectrogramAnalyzer
+from ..obs import span
 from ..render.visualize import convert_spectrogram_to_img
 from .track import TrackList
 
@@ -113,6 +114,10 @@ class TrackManager:
 
     # -- internals ---------------------------------------------------------
     def _update_specs(self, tracklist: TrackList, id_ch_tuples, params) -> None:
+        with span("spec.recompute"):
+            self._update_specs_inner(tracklist, id_ch_tuples, params)
+
+    def _update_specs_inner(self, tracklist: TrackList, id_ch_tuples, params) -> None:
         if params is None:
             params = tracklist.construct_all_sr_win_nfft_set(self.setting)
         self.spec_analyzer.prepare(params, self.setting.freq_scale)
@@ -145,6 +150,10 @@ class TrackManager:
             self._spec_n_ch[track_id] = track.n_ch
 
     def _update_spec_imgs(self, tracklist: TrackList, force_update_all: bool) -> set[int]:
+        with span("spec.quantize"):
+            return self._update_spec_imgs_inner(tracklist, force_update_all)
+
+    def _update_spec_imgs_inner(self, tracklist: TrackList, force_update_all: bool) -> set[int]:
         """reference: mod.rs:168-230."""
         gmin, gmax = math.inf, -math.inf
         for res in self.specs.values():

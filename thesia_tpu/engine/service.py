@@ -10,14 +10,28 @@ from __future__ import annotations
 
 import asyncio
 import json
+import logging
 
 import numpy as np
 from aiohttp import WSMsgType, web
 
+from .. import obs
 from .axis_api import AXIS_COMMANDS, AxisApi
 from .session import EngineSession
 
+log = logging.getLogger("thesia_tpu.service")
+
 BINARY_COMMANDS = {"get_waveform_tile", "get_spectrogram_tile"}
+
+# commands that mutate engine state — they serialize through the session's
+# write worker under the exclusive lock; everything else runs under the
+# shared read lock (reference: RwLock'd globals, lib.rs:36-42)
+WRITE_COMMANDS = {
+    "init", "set_user_settings", "set_open_files_dialog_path",
+    "add_tracks", "reload_tracks", "remove_tracks", "apply_track_list_changes",
+    "set_dB_range", "set_spec_setting", "set_common_guard_clipping",
+    "set_common_normalize",
+}
 
 # command name -> (method name, [arg names in order])
 COMMANDS = {
@@ -135,10 +149,17 @@ class EngineService:
                     {"error": f"missing argument {a} for {name}"}, status=400
                 )
         method = getattr(target, method_name)
+        if target is self.session and name not in WRITE_COMMANDS:
+            # concurrent reads hold the shared lock so they never observe a
+            # half-applied mutation from the write worker
+            def invoke():
+                with self.session.rw.read():
+                    return method(*args)
+        else:
+            def invoke():
+                return method(*args)
         try:
-            result = await asyncio.get_event_loop().run_in_executor(
-                None, lambda: method(*args)
-            )
+            result = await asyncio.get_event_loop().run_in_executor(None, invoke)
         except (KeyError, ValueError, AssertionError) as e:
             return web.json_response({"error": str(e)}, status=400)
         if name in BINARY_COMMANDS:
@@ -160,6 +181,27 @@ class EngineService:
     async def handle_player_tick(self, _request: web.Request) -> web.Response:
         self.session.player.tick()
         return web.json_response({"result": self.session.player.state()})
+
+    async def handle_metrics(self, _request: web.Request) -> web.Response:
+        """Per-stage timing summary (decode, spec recompute/quantize, tile
+        encode) — SURVEY §5 tracing deliverable."""
+        return web.json_response({"result": obs.summary()})
+
+    async def handle_profile(self, request: web.Request) -> web.Response:
+        """One-shot JAX profiler capture: POST {"durationMs": 1000} ->
+        {"result": "<trace dir>"} (open with TensorBoard/XProf)."""
+        try:
+            body = await request.json() if request.can_read_body else {}
+        except json.JSONDecodeError:
+            body = {}
+        duration = float(body.get("durationMs", 1000.0))
+        try:
+            path = await asyncio.get_event_loop().run_in_executor(
+                None, lambda: obs.profile_trace(duration)
+            )
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=500)
+        return web.json_response({"result": path})
 
     async def handle_upload(self, request: web.Request) -> web.Response:
         """Accept an uploaded audio file, store it, return its server path."""
@@ -203,6 +245,8 @@ class EngineService:
         app.router.add_post("/api/{command}", self.handle_command)
         app.router.add_get("/events", self.handle_events_ws)
         app.router.add_get("/player/state", self.handle_player_tick)
+        app.router.add_get("/debug/metrics", self.handle_metrics)
+        app.router.add_post("/debug/profile", self.handle_profile)
         app.router.add_post("/upload", self.handle_upload)
         app.router.add_get("/media", self.handle_list_media)
         if self.viewer_dir:
@@ -228,6 +272,7 @@ class EngineService:
             site = web.TCPSite(runner, host, port)
             await site.start()
             print(f"thesia_tpu engine listening on http://{host}:{port}")
+            log.info("listening on http://%s:%s", host, port)
             asyncio.ensure_future(self._player_loop())
             while True:
                 await asyncio.sleep(3600)
@@ -256,6 +301,10 @@ def main():
     import signal
 
     faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
+    logging.basicConfig(
+        level=os.environ.get("THESIA_LOG_LEVEL", "INFO"),
+        format="%(asctime)s %(levelname)s %(name)s %(message)s",
+    )
 
     default_viewer = os.path.join(os.path.dirname(os.path.dirname(__file__)), "viewer")
     p = argparse.ArgumentParser(description="thesia_tpu engine service")

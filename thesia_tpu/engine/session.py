@@ -22,6 +22,7 @@ from pathlib import Path
 import numpy as np
 
 from ..common.freqscale import FreqScale
+from ..obs import RwLock, span
 from ..dsp.framing import SpecSetting
 from ..dynamics.guard import GuardClippingMode
 from ..dynamics.normalize import NormalizeTarget
@@ -69,6 +70,10 @@ class EngineSession:
             max_workers=1, thread_name_prefix="write-lock-worker"
         )
         self._lock = threading.RLock()
+        # readers-writer lock mirroring the reference's RwLock'd globals
+        # (lib.rs:36-42): service reads take .read(), the write worker takes
+        # .write() around every mutation
+        self.rw = RwLock()
         self._listeners: list = []
         self.player = Player(self._player_get_track, self._emit_player_state)
 
@@ -100,8 +105,14 @@ class EngineSession:
 
     # -- write serialization ----------------------------------------------
     def _write(self, fn):
-        """Run fn on the write worker and wait (== spawn_write_lock_task)."""
-        return self._write_worker.submit(fn).result()
+        """Run fn on the write worker under the exclusive lock and wait
+        (== spawn_write_lock_task, interface.rs:12-56; RwLock lib.rs:36-42)."""
+
+        def locked():
+            with self.rw.write():
+                return fn()
+
+        return self._write_worker.submit(locked).result()
 
     # -- settings persistence (reference: lib.rs:100-178) ------------------
     def _store_path(self, name: str) -> Path:
@@ -311,7 +322,8 @@ class EngineSession:
         revision, cached = self.tile_cache.cached_waveform_tile(track_id, ch, level, tile_index)
         if cached is not None:
             return cached
-        data = encode_waveform_tile(wav, revision, level, tile_index)
+        with span("tile.waveform_encode"):
+            data = encode_waveform_tile(wav, revision, level, tile_index)
         self.tile_cache.store_waveform_tile(track_id, ch, revision, level, tile_index, data)
         return data
 
@@ -322,7 +334,8 @@ class EngineSession:
         img = self.tm.get_spectrogram((track_id, ch))
         if img is None:
             raise KeyError(f"Spectrogram {id_ch_str} does not exist")
-        return self.tile_cache.spectrogram_tile(img, level_x, level_y, tile_x, tile_y)
+        with span("tile.spectrogram_encode"):
+            return self.tile_cache.spectrogram_tile(img, level_x, level_y, tile_x, tile_y)
 
     def get_limiter_gain(self, track_id: int) -> list[float] | None:
         track = self.tracklist.get(track_id)

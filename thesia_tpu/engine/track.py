@@ -131,7 +131,10 @@ class TrackList:
         def load(args):
             track_id, path = args
             try:
-                return (track_id, AudioTrack(path))
+                from ..obs import span
+
+                with span("decode"):
+                    return (track_id, AudioTrack(path))
             except Exception:
                 return None
 

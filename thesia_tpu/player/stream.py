@@ -18,11 +18,14 @@ swapping in a hardware device is exactly one new OutputDevice subclass.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import threading
 import time
 from typing import Callable, Optional
 
 import numpy as np
+
+log = logging.getLogger("thesia_tpu.player")
 
 from .mixing import render_block  # noqa: F401  (re-exported test surface)
 from .resampler import StreamResampler
@@ -447,9 +450,14 @@ class OutputEngine:
             self._config = cfg
             self._handle = self._device.open_stream(cfg, self.source.fill)
             self.error = ""
+            log.info(
+                "output stream: %s %d ch @ %d Hz (%s)",
+                self._device.name, cfg.channels, cfg.sample_rate, cfg.sample_format,
+            )
         except Exception as exc:
             self._config = None
             self.error = f"{type(exc).__name__}: {exc}"
+            log.warning("output stream build failed: %s", self.error)
 
     def poll(self) -> None:
         """500 ms cadence from the player tick: captured callback errors or
