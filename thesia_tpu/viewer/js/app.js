@@ -159,6 +159,7 @@ async function buildRow(trackId) {
     };
     setupRowSelection(row, trackId);
     setupRowDnD(row, trackId);
+    setupRowContextMenu(row, trackId);
     setupAmpAxisEditing(row, trackId);
     setupFreqAxisEditing(row);
     const vpc = row.querySelector(".viewport");
@@ -706,6 +707,105 @@ function connectEvents() {
 }
 
 // ---------------------------------------------------------------------------
+// window file drop (reference: App.tsx addDroppedFile + MainViewer drop row)
+
+function setupFileDrop() {
+  const indicator = $("#drop-indicator");
+  window.addEventListener("dragover", (e) => {
+    if ([...e.dataTransfer.types].includes("Files")) {
+      e.preventDefault();
+      indicator.classList.add("visible");
+    }
+  });
+  window.addEventListener("dragleave", (e) => {
+    if (e.relatedTarget === null) indicator.classList.remove("visible");
+  });
+  window.addEventListener("drop", async (e) => {
+    indicator.classList.remove("visible");
+    if (!e.dataTransfer.files.length) return;
+    e.preventDefault();
+    const paths = [];
+    for (const f of e.dataTransfer.files) {
+      try {
+        paths.push(await api.upload(f));
+      } catch {
+        showError(`Upload failed: ${f.name}`);
+      }
+    }
+    if (paths.length) await addPaths(paths);
+  });
+}
+
+// ---------------------------------------------------------------------------
+// context menu (reference: context_menu.rs:22-139 — track / track-info /
+// empty-space menus emitting remove/reload/select-all)
+
+let ctxMenuEl = null;
+
+function closeContextMenu() {
+  ctxMenuEl?.remove();
+  ctxMenuEl = null;
+}
+
+function openContextMenu(x, y, items) {
+  closeContextMenu();
+  ctxMenuEl = document.createElement("div");
+  ctxMenuEl.className = "context-menu";
+  ctxMenuEl.style.left = `${x}px`;
+  ctxMenuEl.style.top = `${y}px`;
+  for (const [label, action] of items) {
+    if (label === "-") {
+      const hr = document.createElement("div");
+      hr.className = "context-sep";
+      ctxMenuEl.appendChild(hr);
+      continue;
+    }
+    const it = document.createElement("div");
+    it.className = "context-item";
+    it.textContent = label;
+    it.onmousedown = (e) => {
+      e.preventDefault();
+      closeContextMenu();
+      action();
+    };
+    ctxMenuEl.appendChild(it);
+  }
+  document.body.appendChild(ctxMenuEl);
+  const r = ctxMenuEl.getBoundingClientRect();
+  if (r.bottom > innerHeight) ctxMenuEl.style.top = `${y - r.height}px`;
+  if (r.right > innerWidth) ctxMenuEl.style.left = `${x - r.width}px`;
+}
+
+window.addEventListener("mousedown", (e) => {
+  if (ctxMenuEl && !ctxMenuEl.contains(e.target)) closeContextMenu();
+});
+
+function setupRowContextMenu(row, trackId) {
+  row.addEventListener("contextmenu", (e) => {
+    if (e.target.closest(".freq-axis") || e.target.closest(".amp-axis")) return;
+    e.preventDefault();
+    if (!state.selected.has(trackId)) selectClick(trackId, e);
+    const sel = [...state.selected];
+    openContextMenu(e.clientX, e.clientY, [
+      [sel.length > 1 ? `Remove ${sel.length} tracks` : "Remove track",
+        () => removeTracks(sel)],
+      ["Reload from disk", async () => {
+        const ok = await api.reloadTracks(sel);
+        const failed = sel.filter((t) => !ok.includes(t));
+        if (failed.length) showError(`Could not reload: ${failed.join(", ")}`);
+        await refreshAll();
+        await rebuildAllRowInfo();
+        redraw();
+      }],
+      ["-", null],
+      ["Select all", selectAll],
+      ["Reset freq axis", () => { state.hzRange = null; redraw(); }],
+      ["Reset amp axis", () => { state.ampRanges.delete(trackId); redraw(); }],
+    ]);
+  });
+}
+
+// ---------------------------------------------------------------------------
 // info-pane splitter (reference: src/modules/SplitView.tsx:30-211)
 
 function setupSplitter() {
@@ -888,6 +988,7 @@ async function togglePlay() {
   };
   await setupControls();
   setupSplitter();
+  setupFileDrop();
   connectEvents();
   pollPlayer();
   window.addEventListener("resize", () => {

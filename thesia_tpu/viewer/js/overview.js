@@ -44,6 +44,9 @@ export class Overview {
     this.idChStr = `${trackId}_0`;
     this.metadata = await api.getMetadata(this.idChStr);
     if (!this.metadata) return;
+    // up to OVERVIEW_MAX_CH stacked channel lanes
+    // (reference: OverviewWaveformViewport.tsx:18-143)
+    const nCh = Math.min(await api.getChannelCounts(trackId).catch(() => 1), 4);
     const width = this.canvas.clientWidth || 600;
     const level = Math.max(
       0, Math.ceil(Math.log2(this.metadata.sampleCount / Math.max(width, 1)))
@@ -51,16 +54,20 @@ export class Overview {
     const spb = 1 << level;
     const tileSamples = 1024 * spb;
     const nTiles = Math.ceil(this.metadata.sampleCount / tileSamples);
-    const parts = [];
-    for (let i = 0; i < nTiles; i++) {
-      parts.push(await api.getWaveformTile(this.idChStr, level, i));
-    }
-    const total = parts.reduce((a, p) => a + p.binCount, 0);
-    this.bins = new Float32Array(total * 3);
-    let off = 0;
-    for (const p of parts) {
-      this.bins.set(p.bins, off);
-      off += p.binCount * 3;
+    this.bins = [];
+    for (let ch = 0; ch < nCh; ch++) {
+      const parts = [];
+      for (let i = 0; i < nTiles; i++) {
+        parts.push(await api.getWaveformTile(`${trackId}_${ch}`, level, i));
+      }
+      const total = parts.reduce((a, p) => a + p.binCount, 0);
+      const chBins = new Float32Array(total * 3);
+      let off = 0;
+      for (const p of parts) {
+        chBins.set(p.bins, off);
+        off += p.binCount * 3;
+      }
+      this.bins.push(chBins);
     }
     this.gain = await api.getLimiterGain(trackId).catch(() => null);
   }
@@ -76,26 +83,41 @@ export class Overview {
     ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
     ctx.fillStyle = "#111317";
     ctx.fillRect(0, 0, w, h);
-    if (!this.metadata || !this.bins) return;
-    const mid = h / 2, amp = h / 2 * 0.9;
-    const n = this.bins.length / 3;
-    // waveform envelope
+    if (!this.metadata || !this.bins || !this.bins.length) return;
+    // stacked channel lanes
+    const nCh = this.bins.length;
+    const laneH = h / nCh;
     ctx.fillStyle = WAVE_COLOR;
     ctx.globalAlpha = 0.8;
-    ctx.beginPath();
-    for (let i = 0; i < n; i++) {
-      const x = (i / n) * w;
-      const y = mid - this.bins[i * 3 + 1] * amp;
-      if (i === 0) ctx.moveTo(x, y);
-      else ctx.lineTo(x, y);
+    for (let ch = 0; ch < nCh; ch++) {
+      const bins = this.bins[ch];
+      const n = bins.length / 3;
+      if (!n) continue;
+      const mid = laneH * (ch + 0.5), amp = (laneH / 2) * 0.9;
+      ctx.beginPath();
+      for (let i = 0; i < n; i++) {
+        const x = (i / n) * w;
+        const y = mid - bins[i * 3 + 1] * amp;
+        if (i === 0) ctx.moveTo(x, y);
+        else ctx.lineTo(x, y);
+      }
+      for (let i = n - 1; i >= 0; i--) {
+        const x = (i / n) * w;
+        ctx.lineTo(x, mid - bins[i * 3] * amp);
+      }
+      ctx.closePath();
+      ctx.fill();
     }
-    for (let i = n - 1; i >= 0; i--) {
-      const x = (i / n) * w;
-      ctx.lineTo(x, mid - this.bins[i * 3] * amp);
-    }
-    ctx.closePath();
-    ctx.fill();
     ctx.globalAlpha = 1;
+    if (nCh > 1) {
+      ctx.strokeStyle = "#2c3039";
+      for (let ch = 1; ch < nCh; ch++) {
+        ctx.beginPath();
+        ctx.moveTo(0, laneH * ch + 0.5);
+        ctx.lineTo(w, laneH * ch + 0.5);
+        ctx.stroke();
+      }
+    }
     // limiter gain envelope band (gain < 1 regions), orange from top
     if (this.gain && this.gain.length > 1) {
       ctx.fillStyle = GAIN_COLOR;
