@@ -38,6 +38,7 @@ from .framing import SpecSetting, SrWinNfft
 from .stft import make_dft_matrices, reflect_pad_1d, stft_frame_count
 
 _WAV_BUCKET_BASE = 1 << 16
+_FRAME_CAP_STEP = 1024
 
 
 def wav_size_bucket(n: int) -> int:
@@ -45,6 +46,17 @@ def wav_size_bucket(n: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def frame_cap(n_frames: int) -> int:
+    """Frame-count bucket: multiples of 1024.  The pow2 wav bucket alone
+    implies up to ~45% garbage frames past the valid count (all masked but
+    all computed); capping the frame axis separately removes that waste
+    while keeping executable reuse (compile keyed on (bucket, t_cap))."""
+    return max(
+        (n_frames + _FRAME_CAP_STEP - 1) // _FRAME_CAP_STEP * _FRAME_CAP_STEP,
+        _FRAME_CAP_STEP,
+    )
 
 
 def _build_padded_row(raw_row, n, *, pad: int, bucket: int):
@@ -74,20 +86,26 @@ def _build_padded(raw, n, *, pad: int, bucket: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hop_length", "t_overlap", "use_mel", "bucket", "pad", "use_pallas"),
+    static_argnames=(
+        "hop_length", "t_overlap", "use_mel", "bucket", "pad", "use_pallas", "t_cap"
+    ),
 )
 def _spec_full(raw, n, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
-               use_mel: bool, bucket: int, pad: int, use_pallas: bool = False):
+               use_mel: bool, bucket: int, pad: int, use_pallas: bool = False,
+               t_cap: int | None = None):
     """Whole-track fused pipeline.
 
     raw: (C, bucket) with the first n samples valid.  Returns
     (db (C, T_max, F), min_db scalar, max_db scalar) where frames beyond the
-    valid count hold garbage excluded from min/max.
+    valid count hold garbage excluded from min/max.  t_cap bounds the frame
+    axis (frame_cap bucketing) so the pow2 wav bucket doesn't inflate it.
     """
     win_length = hop_length * t_overlap
     padded = _build_padded(raw, n, pad=pad, bucket=bucket)
     c = padded.shape[0]
     t_max = (bucket - win_length) // hop_length + 1
+    if t_cap is not None:
+        t_max = min(t_max, t_cap)
     t_blocks = t_max + t_overlap - 1
     blocks = padded[:, : t_blocks * hop_length].reshape(c, t_blocks, hop_length)
     frames = jnp.concatenate(
@@ -120,10 +138,13 @@ def _spec_full(raw, n, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hop_length", "t_overlap", "use_mel", "bucket", "pad", "shardings"),
+    static_argnames=(
+        "hop_length", "t_overlap", "use_mel", "bucket", "pad", "shardings", "t_cap"
+    ),
 )
 def _spec_full_multi(raw, ns, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
-                     use_mel: bool, bucket: int, pad: int, shardings=None):
+                     use_mel: bool, bucket: int, pad: int, shardings=None,
+                     t_cap: int | None = None):
     """Multi-track batch: raw (C_total, bucket) with PER-ROW valid lengths ns
     (C_total,).  Returns (db (C, T_max, F), row_min (C,), row_max (C,)) with
     per-row masked bounds.  One device program recomputes every track of a
@@ -148,6 +169,8 @@ def _spec_full_multi(raw, ns, cw, sw, mel_fb, *, hop_length: int, t_overlap: int
         lambda row, n: _build_padded_row(row, n, pad=pad, bucket=bucket)
     )(raw, ns)
     t_max = (bucket - win_length) // hop_length + 1
+    if t_cap is not None:
+        t_max = min(t_max, t_cap)
     t_blocks = t_max + t_overlap - 1
     blocks = padded[:, : t_blocks * hop_length].reshape(c, t_blocks, hop_length)
     frames = jnp.concatenate(
@@ -321,6 +344,7 @@ class SpectrogramAnalyzer:
             bucket=bucket,
             pad=pad,
             use_pallas=bool(os.environ.get("THESIA_PALLAS")),
+            t_cap=frame_cap(n_frames),
         )
         return SpecResult(db, n_frames, mn, mx)
 
@@ -444,6 +468,9 @@ class SpectrogramAnalyzer:
             for key, wavs, n, _token in members:
                 spans.append((key, r, wavs.shape[0], n))
                 r += wavs.shape[0]
+            t_cap = frame_cap(
+                max(stft_frame_count(n, win, hop) for _k, _w, n, _t in members)
+            )
             db, row_min, row_max = _spec_full_multi(
                 buf_dev,
                 jnp.asarray(ns),
@@ -456,6 +483,7 @@ class SpectrogramAnalyzer:
                 bucket=bucket,
                 pad=win // 2,
                 shardings=shardings,
+                t_cap=t_cap,
             )
             for key, r0, c, n in spans:
                 n_frames = stft_frame_count(n, win, hop)

@@ -61,6 +61,7 @@ export function jsonNumber(x) {
 
 export const api = {
   init: (colormapRgba) => call("init", { colormapRgba }),
+  setUserSettings: (userSettings) => call("set_user_settings", { userSettings }),
   addTracks: (trackIds, paths) => call("add_tracks", { trackIds, paths }),
   reloadTracks: (trackIds) => call("reload_tracks", { trackIds }),
   removeTracks: (trackIds) => call("remove_tracks", { trackIds }),

@@ -902,6 +902,21 @@ async function setupControls() {
   });
   $("#volume").oninput = (e) => api.setVolumeDb(Number(e.target.value));
 
+  // write -> read-back -> persist, like the reference's useTracks setters
+  const persistSettings = async () => {
+    const [spec, dbRange, guard, norm] = await Promise.all([
+      api.getSpecSetting(), api.getDbRange(),
+      call_get("get_common_guard_clipping"), call_get("get_common_normalize"),
+    ]);
+    await api.setUserSettings({
+      specSetting: spec, dBRange: dbRange, blend: state.blend,
+      commonGuardClipping: guard, commonNormalize: norm,
+    });
+  };
+  const call_get = (name) =>
+    fetch(`/api/${name}`, { method: "POST" }).then((r) => r.json())
+      .then((j) => j.result);
+
   const applySpec = async () => {
     await api.setSpecSetting({
       winMillisec: Number($("#win-ms").value),
@@ -910,6 +925,7 @@ async function setupControls() {
       freqScale: $("#freq-scale").value,
     });
     state.freqScale = $("#freq-scale").value;
+    await persistSettings();
     await refreshAll();
     redraw();
   };
@@ -922,11 +938,15 @@ async function setupControls() {
   };
   $("#db-range").onchange = async (e) => {
     await api.setDbRange(Number(e.target.value));
+    await persistSettings();
     await refreshAll();
     redraw();
   };
+  let blendPersist = null;
   $("#blend").oninput = (e) => {
     state.blend = Number(e.target.value);
+    clearTimeout(blendPersist);
+    blendPersist = setTimeout(persistSettings, 500);
     redraw();
   };
 
@@ -936,6 +956,7 @@ async function setupControls() {
     const target = type === "Off" ? { type: "Off" }
       : { type, target: Number($("#norm-target").value) };
     await api.setCommonNormalize(target);
+    await persistSettings();
     await refreshAll();
     await rebuildAllRowInfo();
     redraw();
@@ -944,6 +965,7 @@ async function setupControls() {
   $("#norm-target").onchange = applyNormalize;
   $("#guard-mode").onchange = async (e) => {
     await api.setCommonGuardClipping(e.target.value);
+    await persistSettings();
     await refreshAll();
     await rebuildAllRowInfo();
     redraw();
@@ -979,7 +1001,34 @@ async function togglePlay() {
   const colormap = await fetch("/api/get_default_colormap", { method: "POST" })
     .then((r) => r.json()).then((j) => j.result);
   colormapRgba = colormap;
-  await api.init(colormap);
+  const initRes = await api.init(colormap);
+  // restore persisted user settings into the controls
+  // (reference: main.tsx passes ConstsAndUserSettings into App)
+  const us = initRes?.userSettings;
+  if (us) {
+    if (us.specSetting) {
+      $("#win-ms").value = String(us.specSetting.winMillisec ?? 40);
+      $("#t-overlap").value = String(us.specSetting.tOverlap ?? 4);
+      $("#freq-scale").value = us.specSetting.freqScale ?? "Mel";
+      state.freqScale = $("#freq-scale").value;
+    }
+    if (us.dBRange !== undefined) {
+      $("#db-range").value = String(us.dBRange);
+      $("#db-range-val").textContent = String(us.dBRange);
+    }
+    if (us.blend !== undefined) {
+      state.blend = us.blend;
+      $("#blend").value = String(us.blend);
+    }
+    if (us.commonGuardClipping) $("#guard-mode").value = us.commonGuardClipping;
+    if (us.commonNormalize) {
+      $("#norm-type").value = us.commonNormalize.type ?? "Off";
+      if (us.commonNormalize.target !== undefined) {
+        $("#norm-target").value = String(us.commonNormalize.target);
+      }
+      $("#norm-target").disabled = $("#norm-type").value === "Off";
+    }
+  }
   overview = new Overview($("#overview"));
   overview.onSeekView = (centerSec) => {
     leaveFit();

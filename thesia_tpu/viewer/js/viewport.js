@@ -174,6 +174,16 @@ export class TrackViewport {
     const ty1 = Math.min(Math.ceil(lodHeight / TILE) - 1, Math.floor(Math.max(rHiLod - 1e-9, 0) / TILE));
     const scaleX = view.pxPerSec / lodPxPerSec;
     const scaleY = h / Math.max(rHiLod - rLoLod, 1e-9);
+    // prefetch one tile column beyond each edge for smoother panning
+    const tMax = Math.ceil(lodWidth / TILE) - 1;
+    for (const tx of [t0 - 1, t1 + 1]) {
+      if (tx < 0 || tx > tMax) continue;
+      for (let ty = ty0; ty <= ty1; ty++) {
+        if (!specTileCache.has(this._specKey(md, levelX, levelY, tx, ty))) {
+          this.fetchSpecTile(levelX, levelY, tx, ty);
+        }
+      }
+    }
     for (let ty = ty0; ty <= ty1; ty++) {
       for (let tx = t0; tx <= t1; tx++) {
         const tile = specTileCache.get(this._specKey(md, levelX, levelY, tx, ty));
