@@ -102,12 +102,17 @@ class EngineService:
         session: EngineSession | None = None,
         viewer_dir: str | None = None,
         media_dirs: list[str] | None = None,
+        open_paths: list[str] | None = None,
     ):
         self.session = session or EngineSession()
         self.axis = AxisApi()
         self.misc = MiscApi()
         self.viewer_dir = viewer_dir
         self.media_dirs = media_dirs or []
+        # argv file-association paths: handed to the first viewer after its
+        # init, like the reference's open-audio-tracks event for argv files
+        # (reference: lib.rs:562-619 argv / deep-link open paths)
+        self.open_paths = list(open_paths or [])
         self._ws_clients: set[web.WebSocketResponse] = set()
         self._loop: asyncio.AbstractEventLoop | None = None
         self.session.add_listener(self._on_event)
@@ -182,6 +187,11 @@ class EngineService:
         self.session.player.tick()
         return web.json_response({"result": self.session.player.state()})
 
+    async def handle_pending_open_paths(self, _request: web.Request) -> web.Response:
+        """One-shot: argv/file-association paths the viewer should open."""
+        paths, self.open_paths = self.open_paths, []
+        return web.json_response({"result": paths})
+
     async def handle_metrics(self, _request: web.Request) -> web.Response:
         """Per-stage timing summary (decode, spec recompute/quantize, tile
         encode) — SURVEY §5 tracing deliverable."""
@@ -247,6 +257,7 @@ class EngineService:
         app.router.add_get("/player/state", self.handle_player_tick)
         app.router.add_get("/debug/metrics", self.handle_metrics)
         app.router.add_post("/debug/profile", self.handle_profile)
+        app.router.add_get("/pending_open_paths", self.handle_pending_open_paths)
         app.router.add_post("/upload", self.handle_upload)
         app.router.add_get("/media", self.handle_list_media)
         if self.viewer_dir:
@@ -312,8 +323,15 @@ def main():
     p.add_argument("--port", type=int, default=8707)
     p.add_argument("--viewer-dir", default=default_viewer)
     p.add_argument("--media-dir", action="append", default=[], help="directory listed in the viewer's server-media dropdown")
+    p.add_argument(
+        "paths", nargs="*",
+        help="audio files to open in the first connecting viewer "
+        "(== the reference's argv file-association open)",
+    )
     args = p.parse_args()
-    EngineService(viewer_dir=args.viewer_dir, media_dirs=args.media_dir).run(args.host, args.port)
+    EngineService(
+        viewer_dir=args.viewer_dir, media_dirs=args.media_dir, open_paths=args.paths
+    ).run(args.host, args.port)
 
 
 if __name__ == "__main__":

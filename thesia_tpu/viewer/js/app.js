@@ -894,6 +894,22 @@ async function setupControls() {
       leaveFit();
       state.pxPerSec = Math.max(state.pxPerSec / 1.5, MIN_PX_PER_SEC);
       redraw();
+    } else if (e.key === "]" || e.key === "[") {
+      // freq-zoom-in/out around the range center (menu.rs freq-zoom events)
+      const maxHz = state.maxTrackHz || 1;
+      const [lo0, hi0] = hzRangeOrFull();
+      const pLo = relativeFreqPos(lo0, maxHz, state.freqScale);
+      const pHi = relativeFreqPos(hi0, maxHz, state.freqScale);
+      const mid = (pLo + pHi) / 2;
+      const span = Math.min(Math.max((pHi - pLo) * (e.key === "]" ? 1 / 1.3 : 1.3), 0.01), 1);
+      let lo = mid - span / 2, hi = mid + span / 2;
+      if (lo < 0) { hi -= lo; lo = 0; }
+      if (hi > 1) { lo -= hi - 1; hi = 1; }
+      state.hzRange = (lo <= 1e-9 && hi >= 1 - 1e-9) ? null : [
+        hzFromRelativePos(lo, maxHz, state.freqScale),
+        hzFromRelativePos(hi, maxHz, state.freqScale),
+      ];
+      redraw();
     } else if (e.code === "Delete" || e.code === "Backspace") {
       if (state.selected.size) {
         await removeTracks([...state.selected]);
@@ -1040,6 +1056,12 @@ async function togglePlay() {
   setupFileDrop();
   connectEvents();
   pollPlayer();
+  // argv/file-association paths (reference: open-audio-tracks event)
+  try {
+    const pending = await fetch("/pending_open_paths").then((r) => r.json())
+      .then((j) => j.result);
+    if (pending && pending.length) await addPaths(pending);
+  } catch { /* none */ }
   window.addEventListener("resize", () => {
     if (state.fitMode) applyFit();
     redraw();
