@@ -1051,6 +1051,14 @@ async function togglePlay() {
     state.startSec = centerSec - viewWidth() / state.pxPerSec / 2;
     redraw();
   };
+  overview.onResizeLens = (s0, s1) => {
+    leaveFit();
+    state.pxPerSec = Math.min(
+      Math.max(viewWidth() / Math.max(s1 - s0, 1e-4), MIN_PX_PER_SEC), MAX_PX_PER_SEC
+    );
+    state.startSec = s0;
+    redraw();
+  };
   await setupControls();
   setupSplitter();
   setupFileDrop();

@@ -16,23 +16,57 @@ export class Overview {
     this.trackId = null;
     this.idChStr = null;
     this.metadata = null;
-    this.bins = null; // Float32Array of (min,max,mean)*N covering whole track
+    this.bins = null; // [Float32Array of (min,max,mean)*N] per channel lane
     this.gain = null;
     this.onSeekView = () => {};
-    this._drag = false;
-    canvas.addEventListener("mousedown", (e) => {
-      this._drag = true;
-      this._moveLens(e);
+    this.onResizeLens = () => {}; // (startSec, endSec) — zoom to range
+    this._drag = null; // "move" | "left" | "right"
+    this._lensPx = [0, 0];
+    canvas.addEventListener("mousemove", (e) => {
+      if (this._drag) return;
+      canvas.style.cursor = this._edgeAt(e) ? "col-resize" : "ew-resize";
     });
-    window.addEventListener("mousemove", (e) => this._drag && this._moveLens(e));
-    window.addEventListener("mouseup", () => (this._drag = false));
+    canvas.addEventListener("mousedown", (e) => {
+      this._drag = this._edgeAt(e) || "move";
+      if (this._drag === "move") this._moveLens(e);
+    });
+    window.addEventListener("mousemove", (e) => {
+      if (this._drag === "move") this._moveLens(e);
+      else if (this._drag) this._resizeLens(e);
+    });
+    window.addEventListener("mouseup", () => (this._drag = null));
+  }
+
+  _edgeAt(e) {
+    // lens edge-drag resize (reference: Overview.tsx lens drag/resize)
+    const rect = this.canvas.getBoundingClientRect();
+    const x = e.clientX - rect.left;
+    const [x0, x1] = this._lensPx;
+    if (Math.abs(x - x0) <= 4) return "left";
+    if (Math.abs(x - x1) <= 4) return "right";
+    return null;
+  }
+
+  _fracAt(e) {
+    const rect = this.canvas.getBoundingClientRect();
+    return Math.min(Math.max((e.clientX - rect.left) / rect.width, 0), 1);
   }
 
   _moveLens(e) {
     if (!this.metadata) return;
-    const rect = this.canvas.getBoundingClientRect();
-    const frac = Math.min(Math.max((e.clientX - rect.left) / rect.width, 0), 1);
-    this.onSeekView(frac * this.metadata.trackSec);
+    this.onSeekView(this._fracAt(e) * this.metadata.trackSec);
+  }
+
+  _resizeLens(e) {
+    if (!this.metadata) return;
+    const sec = this._fracAt(e) * this.metadata.trackSec;
+    const w = this.canvas.getBoundingClientRect().width || 1;
+    const total = this.metadata.trackSec;
+    let s0 = (this._lensPx[0] / w) * total;
+    let s1 = (this._lensPx[1] / w) * total;
+    if (this._drag === "left") s0 = Math.min(sec, s1 - 0.01);
+    else s1 = Math.max(sec, s0 + 0.01);
+    this.onResizeLens(s0, s1);
   }
 
   async setTrack(trackId) {
@@ -54,21 +88,23 @@ export class Overview {
     const spb = 1 << level;
     const tileSamples = 1024 * spb;
     const nTiles = Math.ceil(this.metadata.sampleCount / tileSamples);
-    this.bins = [];
-    for (let ch = 0; ch < nCh; ch++) {
-      const parts = [];
-      for (let i = 0; i < nTiles; i++) {
-        parts.push(await api.getWaveformTile(`${trackId}_${ch}`, level, i));
-      }
-      const total = parts.reduce((a, p) => a + p.binCount, 0);
-      const chBins = new Float32Array(total * 3);
-      let off = 0;
-      for (const p of parts) {
-        chBins.set(p.bins, off);
-        off += p.binCount * 3;
-      }
-      this.bins.push(chBins);
-    }
+    this.bins = await Promise.all(
+      Array.from({ length: nCh }, async (_, ch) => {
+        const parts = await Promise.all(
+          Array.from({ length: nTiles }, (_x, i) =>
+            api.getWaveformTile(`${trackId}_${ch}`, level, i)
+          )
+        );
+        const total = parts.reduce((a, p) => a + p.binCount, 0);
+        const chBins = new Float32Array(total * 3);
+        let off = 0;
+        for (const p of parts) {
+          chBins.set(p.bins, off);
+          off += p.binCount * 3;
+        }
+        return chBins;
+      })
+    );
     this.gain = await api.getLimiterGain(trackId).catch(() => null);
   }
 
@@ -136,6 +172,7 @@ export class Overview {
     const [vs, vw] = pxPerSecViewWidthSec;
     const x0 = (vs / this.metadata.trackSec) * w;
     const x1 = ((vs + vw) / this.metadata.trackSec) * w;
+    this._lensPx = [x0, Math.max(x1, x0 + 2)];
     ctx.fillStyle = LENS_FILL;
     ctx.fillRect(x0, 0, Math.max(x1 - x0, 2), h);
     ctx.strokeStyle = LENS_EDGE;

@@ -127,7 +127,15 @@ export class TrackViewport {
     ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
     ctx.fillStyle = "#0c0d10";
     ctx.fillRect(0, 0, w, h);
-    if (!this.metadata || this.metadata.trackSec === 0) return;
+    if (!this.metadata || this.metadata.trackSec === 0) {
+      // loading state (reference: AudioTrackViewport loading spinner)
+      ctx.fillStyle = "#7b8190";
+      ctx.font = "12px system-ui";
+      ctx.textAlign = "center";
+      ctx.fillText("computing spectrogram…", w / 2, h / 2);
+      ctx.textAlign = "start";
+      return;
+    }
 
     const blend = view.blend ?? 0.5;
     // scrim compositing (reference AudioTrackViewport.tsx:30-35):
