@@ -75,3 +75,120 @@ async def _service_round_trip(tmp_path, samples_dir):
         assert r.status == 400
     finally:
         await client.close()
+
+
+def test_service_debug_and_player_endpoints(tmp_path, samples_dir):
+    import asyncio
+
+    asyncio.run(_debug_and_player(tmp_path, samples_dir))
+
+
+async def _debug_and_player(tmp_path, samples_dir):
+    from thesia_tpu import obs
+
+    service = EngineService(
+        EngineSession(settings_dir=tmp_path),
+        open_paths=["/a.wav", "/b.wav"],
+    )
+    server = TestServer(service.make_app())
+    client = TestClient(server)
+    await client.start_server()
+    try:
+        r = await client.post(
+            "/api/init", json={"colormapRgba": default_colormap_rgba8().reshape(-1).tolist()}
+        )
+        assert r.status == 200
+        r = await client.post(
+            "/api/add_tracks",
+            json={"trackIds": [0], "paths": [str(samples_dir / "sample_8k.wav")]},
+        )
+        assert (await r.json())["result"] == [0]
+        await client.post("/api/apply_track_list_changes", json={})
+
+        # timing metrics populated by the pipeline stages
+        r = await client.get("/debug/metrics")
+        m = (await r.json())["result"]
+        assert "spec.recompute" in m and m["spec.recompute"]["count"] >= 1
+        assert {"count", "total_ms", "p50_ms", "p95_ms", "last_ms"} <= set(
+            m["spec.recompute"]
+        )
+
+        # argv open paths are one-shot
+        r = await client.get("/pending_open_paths")
+        assert (await r.json())["result"] == ["/a.wav", "/b.wav"]
+        r = await client.get("/pending_open_paths")
+        assert (await r.json())["result"] == []
+
+        # player flow through HTTP: set track, resume, state advances
+        r = await client.post("/api/set_track_player", json={"trackId": 0, "sec": 0.0})
+        assert r.status == 200
+        await client.post("/api/resume_player", json={})
+        import asyncio as aio
+
+        await aio.sleep(0.15)
+        r = await client.get("/player/state")
+        st = (await r.json())["result"]
+        assert st["isPlaying"] and st["positionSec"] > 0.0
+        # out-of-range seek clamps to track length
+        await client.post("/api/seek_player", json={"sec": 1e9})
+        r = await client.get("/player/state")
+        st = (await r.json())["result"]
+        assert st["positionSec"] <= 90.0  # sample_8k.wav length ceiling
+        await client.post("/api/pause_player", json={})
+
+        # one-shot profiler capture (tiny duration)
+        r = await client.post("/debug/profile", json={"durationMs": 10})
+        assert r.status in (200, 500)  # 500 only if profiler unavailable
+        if r.status == 200:
+            assert (await r.json())["result"]
+    finally:
+        await client.close()
+
+
+def test_service_reads_are_consistent_during_writes(tmp_path, samples_dir):
+    """A slow write (set_spec_setting) never exposes half-applied state to
+    concurrent reads (the RwLock deliverable, reference lib.rs:36-42)."""
+    import asyncio
+
+    asyncio.run(_reads_during_writes(tmp_path, samples_dir))
+
+
+async def _reads_during_writes(tmp_path, samples_dir):
+    import asyncio as aio
+
+    service = EngineService(EngineSession(settings_dir=tmp_path))
+    server = TestServer(service.make_app())
+    client = TestClient(server)
+    await client.start_server()
+    try:
+        await client.post(
+            "/api/init", json={"colormapRgba": default_colormap_rgba8().reshape(-1).tolist()}
+        )
+        await client.post(
+            "/api/add_tracks",
+            json={"trackIds": [0], "paths": [str(samples_dir / "sample_8k.wav")]},
+        )
+        await client.post("/api/apply_track_list_changes", json={})
+
+        async def writer():
+            for win in (20, 40):
+                r = await client.post(
+                    "/api/set_spec_setting",
+                    json={"specSetting": {"winMillisec": win, "tOverlap": 4,
+                                          "fOverlap": 1, "freqScale": "Mel"}},
+                )
+                assert r.status == 200
+
+        async def reader():
+            for _ in range(12):
+                r = await client.post(
+                    "/api/get_audio_render_metadata", json={"idChStr": "0_0"}
+                )
+                md = (await r.json())["result"]
+                # metadata is always a complete, self-consistent snapshot
+                assert md["spectrogramWidth"] > 0 and md["spectrogramHeight"] > 0
+                await aio.sleep(0.01)
+
+        await aio.gather(writer(), reader())
+    finally:
+        await client.close()
