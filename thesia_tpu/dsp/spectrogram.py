@@ -282,9 +282,12 @@ class SpectrogramAnalyzer:
 
     def _device_wav(self, wavs: np.ndarray, cache_key, token=None) -> tuple[jax.Array, int]:
         """(C, bucket) device array + valid length; uploaded once per
-        (cache_key, token) — the token (e.g. id(audio)) invalidates the cached
-        upload when the track's samples change."""
-        if cache_key is not None:
+        (cache_key, token) — the token (Audio.version) invalidates the cached
+        upload when the track's samples change.  A None token means the
+        caller can't vouch for sample identity, so it NEVER cache-hits
+        (returning another upload's samples for a reused key would be
+        silently wrong)."""
+        if cache_key is not None and token is not None:
             hit = self._wav_cache.get(cache_key)
             if hit is not None and hit[2] == token:
                 return hit[0], hit[1]
@@ -294,7 +297,7 @@ class SpectrogramAnalyzer:
         buf = np.zeros((wavs.shape[0], bucket), np.float32)
         buf[:, :n] = wavs
         dev = jnp.asarray(buf)
-        if cache_key is not None:
+        if cache_key is not None and token is not None:
             self._wav_cache[cache_key] = (dev, n, token)
         return dev, n
 
@@ -380,9 +383,12 @@ class SpectrogramAnalyzer:
         track, ever); the assembled stack itself is cached keyed by the
         member signature so settings-change recomputes touching the same
         tracks do zero transfer AND zero re-assembly (VERDICT r1 item 7).
+        Members with a None token (unverifiable sample identity) disable the
+        group cache for this call.
         """
+        cacheable = all(t is not None for _k, _w, _n, t in members)
         sig = (bucket, c_bucket, tuple((k, t, n) for k, _w, n, t in members))
-        hit = self._group_cache.get(sig)
+        hit = self._group_cache.get(sig) if cacheable else None
         safe_n = max(win + 2, 2 * (win // 2) + 2)
         if hit is not None:
             buf_dev, ns = hit
@@ -407,9 +413,10 @@ class SpectrogramAnalyzer:
         if r < c_bucket:
             row_parts.append(jnp.zeros((c_bucket - r, bucket), jnp.float32))
         buf_dev = row_parts[0] if len(row_parts) == 1 else jnp.concatenate(row_parts, axis=0)
-        self._group_cache[sig] = (buf_dev, ns.copy())
-        while len(self._group_cache) > 8:
-            self._group_cache.pop(next(iter(self._group_cache)))
+        if cacheable:
+            self._group_cache[sig] = (buf_dev, ns.copy())
+            while len(self._group_cache) > 8:
+                self._group_cache.pop(next(iter(self._group_cache)))
         ns[r:] = safe_n
         return buf_dev, ns, sig
 

@@ -309,7 +309,8 @@ def lufs_stats_batched(items) -> dict | None:
             win = 4 * s100
             n_blocks_max = max((bucket - win) // s100 + 1, 1)
             if bucket < win + 1:
-                return None  # shorter than one gating block: host path
+                continue  # group shorter than one gating block: host path
+                # (keys stay absent; callers fill per-key fallbacks)
             b1, a1, b2, a2 = k_weighting_coeffs(sr)
             A1, c1, b01 = _affine_from_biquad(b1, a1)
             A2, c2, b02 = _affine_from_biquad(b2, a2)
@@ -338,16 +339,20 @@ def lufs_stats_batched(items) -> dict | None:
 def calc_stats_batched(items) -> dict | None:
     """items: [(key, wavs (C, n) f32, sr)] -> {key: AudioStats}; None on
     f64-less backends.  Matches dynamics.stats.calc_stats field-for-field
-    (f32 roundings included, stats.rs:56-86)."""
-    from .stats import AudioStats
+    (f32 roundings included, stats.rs:56-86).  Tracks too short for a
+    gating block fall back to the host path individually."""
+    from .stats import AudioStats, calc_stats
     from ..dsp.decibel import db_from_amp_scalar, db_from_power_scalar
 
     raw = lufs_stats_batched(items)
     if raw is None:
         return None
     out = {}
-    for key, wavs, _sr in items:
+    for key, wavs, sr in items:
         wavs = np.atleast_2d(np.asarray(wavs, np.float32))
+        if key not in raw:
+            out[key] = calc_stats(wavs, sr)
+            continue
         lufs, sum_sq, peak = raw[key]
         n_elem = wavs.size
         mean_squared = float(np.float32(sum_sq / n_elem)) if n_elem else 0.0

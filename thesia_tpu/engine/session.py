@@ -180,21 +180,33 @@ class EngineSession:
         }
 
     def set_user_settings(self, user_settings: dict) -> None:
-        """Persist a partial settings update. reference: lib.rs:100-149."""
-        stored = self._load_store("settings.json")
-        allowed = {"specSetting", "blend", "dBRange", "commonGuardClipping", "commonNormalize"}
-        for k, v in user_settings.items():
-            if k in allowed and v is not None:
-                stored[k] = v
-        self._save_store("settings.json", stored)
+        """Persist a partial settings update. reference: lib.rs:100-149.
+        Serialized through the write worker: the JSON read-modify-write
+        would otherwise race with concurrent settings POSTs."""
+
+        def work():
+            stored = self._load_store("settings.json")
+            allowed = {
+                "specSetting", "blend", "dBRange", "commonGuardClipping",
+                "commonNormalize",
+            }
+            for k, v in user_settings.items():
+                if k in allowed and v is not None:
+                    stored[k] = v
+            self._save_store("settings.json", stored)
+
+        self._write(work)
 
     def get_open_files_dialog_path(self) -> str:
         return self._load_store("paths.json").get(OPEN_FILES_DIALOG_PATH_KEY, "")
 
     def set_open_files_dialog_path(self, path: str) -> None:
-        store = self._load_store("paths.json")
-        store[OPEN_FILES_DIALOG_PATH_KEY] = path
-        self._save_store("paths.json", store)
+        def work():
+            store = self._load_store("paths.json")
+            store[OPEN_FILES_DIALOG_PATH_KEY] = path
+            self._save_store("paths.json", store)
+
+        self._write(work)
 
     # ======================================================================
     # track CRUD

@@ -214,10 +214,31 @@ def _try_sounddevice() -> Optional[OutputDevice]:
         def open_stream(self, config: StreamConfig, callback) -> StreamHandle:
             import sounddevice as sd
 
+            class _H(StreamHandle):
+                _error: Optional[str] = None
+
+                @property
+                def error(self) -> Optional[str]:
+                    # a PortAudio abort without a recorded exception still
+                    # surfaces (OutputEngine.poll then rebuilds)
+                    if self._error is None and not stream.active:
+                        return "stream stopped"
+                    return self._error
+
+                def close(self) -> None:
+                    stream.stop()
+                    stream.close()
+
+            handle = _H()
+
             def sd_callback(outdata, frames, _time, status):
-                if status:
-                    raise StreamError(str(status))
-                outdata[:] = callback(frames, config.channels, config.sample_rate)
+                try:
+                    if status:
+                        raise StreamError(str(status))
+                    outdata[:] = callback(frames, config.channels, config.sample_rate)
+                except Exception as exc:  # captured for the rebuild poll
+                    handle._error = f"{type(exc).__name__}: {exc}"
+                    raise sd.CallbackAbort from exc
 
             stream = sd.OutputStream(
                 samplerate=config.sample_rate,
@@ -227,13 +248,7 @@ def _try_sounddevice() -> Optional[OutputDevice]:
                 callback=sd_callback,
             )
             stream.start()
-
-            class _H(StreamHandle):
-                def close(self) -> None:
-                    stream.stop()
-                    stream.close()
-
-            return _H()
+            return handle
 
     try:
         dev = SounddeviceOutputDevice()

@@ -112,7 +112,7 @@ async function refreshAll() {
   state.maxTrackHz = await api.getMaxTrackHz();
   for (const vp of state.viewports.values()) await vp.refreshMetadata();
   if (overview && state.selectedTrack !== null) {
-    await overview.setTrack(state.selectedTrack);
+    await overview.setTrack(state.selectedTrack, true); // revisions changed
   }
   updateColorbar();
   state.needsRedraw = true;
@@ -210,8 +210,12 @@ async function removeTracks(trackIds) {
     }
     if (state.selectedTrack === trackId) state.selectedTrack = null;
   }
-  if (state.selectedTrack === null && state.trackIds.length) {
-    selectOnly(state.trackIds[0]);
+  if (state.selectedTrack === null) {
+    if (state.trackIds.length) {
+      selectOnly(state.trackIds[0]);
+    } else if (overview) {
+      overview.setTrack(null); // last track removed: clear the strip
+    }
   }
   await refreshAll();
   redraw();
@@ -385,32 +389,37 @@ function parseHzLabel(text) {
   return isNaN(f) ? null : f;
 }
 
+// ONE shared drag dispatcher for every axis canvas: rows come and go, so
+// per-row window listeners would leak (and keep removed rows alive)
+let axisDrag = null; // {move(e)} set on axis mousedown, cleared on mouseup
+
+window.addEventListener("mousemove", (e) => axisDrag?.move(e));
+window.addEventListener("mouseup", () => { axisDrag = null; });
+
 function setupFreqAxisEditing(row) {
   const axis = row.querySelector(".freq-axis");
-  let dragStart = null;
   axis.style.cursor = "ns-resize";
   axis.addEventListener("mousedown", (e) => {
-    dragStart = { y: e.clientY, range: hzRangeOrFull() };
+    const start = { y: e.clientY, range: hzRangeOrFull(), h: axis.clientHeight || 1 };
+    axisDrag = {
+      move(ev) {
+        const maxHz = state.maxTrackHz || 1;
+        const dy = (ev.clientY - start.y) / start.h; // drag down -> shift down
+        const pLo = relativeFreqPos(start.range[0], maxHz, state.freqScale);
+        const pHi = relativeFreqPos(start.range[1], maxHz, state.freqScale);
+        const span = pHi - pLo;
+        let lo = pLo + dy * span;
+        let hi = pHi + dy * span;
+        if (lo < 0) { hi -= lo; lo = 0; }
+        if (hi > 1) { lo -= hi - 1; hi = 1; }
+        state.hzRange = [
+          hzFromRelativePos(lo, maxHz, state.freqScale),
+          hzFromRelativePos(hi, maxHz, state.freqScale),
+        ];
+        redraw();
+      },
+    };
   });
-  window.addEventListener("mousemove", (e) => {
-    if (!dragStart) return;
-    const h = axis.clientHeight || 1;
-    const maxHz = state.maxTrackHz || 1;
-    const dy = (e.clientY - dragStart.y) / h; // drag down -> shift view down
-    const pLo = relativeFreqPos(dragStart.range[0], maxHz, state.freqScale);
-    const pHi = relativeFreqPos(dragStart.range[1], maxHz, state.freqScale);
-    const span = pHi - pLo;
-    let lo = pLo + dy * span;
-    let hi = pHi + dy * span;
-    if (lo < 0) { hi -= lo; lo = 0; }
-    if (hi > 1) { lo -= hi - 1; hi = 1; }
-    state.hzRange = [
-      hzFromRelativePos(lo, maxHz, state.freqScale),
-      hzFromRelativePos(hi, maxHz, state.freqScale),
-    ];
-    redraw();
-  });
-  window.addEventListener("mouseup", () => { dragStart = null; });
   axis.addEventListener("dblclick", (e) => {
     // top half edits the upper limit, bottom half the lower
     // (reference menu events edit-freq-upper/lower-limit-{id})
@@ -437,19 +446,19 @@ function setupFreqAxisEditing(row) {
 
 function setupAmpAxisEditing(row, trackId) {
   const axis = row.querySelector(".amp-axis");
-  let dragStart = null;
   axis.style.cursor = "ns-resize";
   axis.addEventListener("mousedown", (e) => {
-    dragStart = { y: e.clientY, max: state.ampRanges.get(trackId) ?? 1.0 };
+    const start = { y: e.clientY, max: state.ampRanges.get(trackId) ?? 1.0 };
+    axisDrag = {
+      move(ev) {
+        if (!state.trackIds.includes(trackId)) return; // row removed mid-drag
+        const factor = Math.exp((ev.clientY - start.y) * 0.01);
+        const v = Math.min(Math.max(start.max * factor, 1e-4), 16);
+        state.ampRanges.set(trackId, v);
+        redraw();
+      },
+    };
   });
-  window.addEventListener("mousemove", (e) => {
-    if (!dragStart) return;
-    const factor = Math.exp((e.clientY - dragStart.y) * 0.01);
-    const v = Math.min(Math.max(dragStart.max * factor, 1e-4), 16);
-    state.ampRanges.set(trackId, v);
-    redraw();
-  });
-  window.addEventListener("mouseup", () => { dragStart = null; });
   axis.addEventListener("dblclick", (e) => {
     const cur = state.ampRanges.get(trackId) ?? 1.0;
     openFloatingInput(e.clientX, e.clientY, String(cur), (text) => {

@@ -69,14 +69,18 @@ export class Overview {
     this.onResizeLens(s0, s1);
   }
 
-  async setTrack(trackId) {
+  async setTrack(trackId, force = false) {
+    if (trackId === this.trackId && !force && this.bins) return; // no refetch
+    const gen = (this._gen = (this._gen || 0) + 1); // kill in-flight races
     this.trackId = trackId;
     if (trackId === null) {
       this.metadata = this.bins = this.gain = null;
       return;
     }
     this.idChStr = `${trackId}_0`;
-    this.metadata = await api.getMetadata(this.idChStr);
+    const metadata = await api.getMetadata(this.idChStr);
+    if (gen !== this._gen) return;
+    this.metadata = metadata;
     if (!this.metadata) return;
     // up to OVERVIEW_MAX_CH stacked channel lanes
     // (reference: OverviewWaveformViewport.tsx:18-143)
@@ -88,7 +92,7 @@ export class Overview {
     const spb = 1 << level;
     const tileSamples = 1024 * spb;
     const nTiles = Math.ceil(this.metadata.sampleCount / tileSamples);
-    this.bins = await Promise.all(
+    const bins = await Promise.all(
       Array.from({ length: nCh }, async (_, ch) => {
         const parts = await Promise.all(
           Array.from({ length: nTiles }, (_x, i) =>
@@ -105,7 +109,10 @@ export class Overview {
         return chBins;
       })
     );
-    this.gain = await api.getLimiterGain(trackId).catch(() => null);
+    const gain = await api.getLimiterGain(trackId).catch(() => null);
+    if (gen !== this._gen) return;
+    this.bins = bins;
+    this.gain = gain;
   }
 
   draw(startSec, pxPerSecViewWidthSec) {
