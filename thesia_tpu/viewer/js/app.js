@@ -163,8 +163,46 @@ async function buildRow(trackId) {
     setupAmpAxisEditing(row, trackId);
     setupFreqAxisEditing(row);
     const vpc = row.querySelector(".viewport");
-    vpc.addEventListener("mousemove", (e) => showTooltip(e, vp, row));
+    vpc.addEventListener("mousemove", (e) => {
+      showTooltip(e, vp, row);
+      // playhead locator affordance (reference: src/modules/Locator.tsx)
+      if (Number(row.dataset.trackId) === state.selectedTrack) {
+        const a = state.playerAnchor;
+        const pos = a.isPlaying
+          ? a.positionSec + (performance.now() - a.at) / 1000 : a.positionSec;
+        const x = (pos - state.startSec) * state.pxPerSec;
+        vpc.style.cursor = Math.abs(e.offsetX - x) <= 4 ? "ew-resize" : "crosshair";
+      }
+    });
     vpc.addEventListener("mouseleave", hideTooltip);
+    vpc.addEventListener("mousedown", (e) => {
+      // drag the playhead locator to scrub
+      if (Number(row.dataset.trackId) !== state.selectedTrack) return;
+      const a = state.playerAnchor;
+      const pos = a.isPlaying
+        ? a.positionSec + (performance.now() - a.at) / 1000 : a.positionSec;
+      const x = (pos - state.startSec) * state.pxPerSec;
+      if (Math.abs(e.offsetX - x) > 4) return;
+      e.preventDefault();
+      const rect = vpc.getBoundingClientRect();
+      let lastSeek = 0;
+      axisDrag = {
+        move(ev) {
+          const sec = Math.max(
+            state.startSec + (ev.clientX - rect.left) / state.pxPerSec, 0
+          );
+          state.playerAnchor = {
+            positionSec: sec, at: performance.now(), isPlaying: false,
+          };
+          const now = performance.now();
+          if (now - lastSeek > 80) {
+            lastSeek = now;
+            api.seekPlayer(sec).then(pollPlayer);
+          }
+          redraw();
+        },
+      };
+    });
     vpc.addEventListener("click", async (e) => {
       const sec = state.startSec + e.offsetX / state.pxPerSec;
       selectClick(trackId, e);
