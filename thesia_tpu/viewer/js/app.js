@@ -7,7 +7,7 @@
 
 import { api, jsonNumber } from "./api.js";
 import { TrackViewport } from "./viewport.js";
-import { updateAmpAxis, updateFreqAxis, updateTimeAxis } from "./axes.js";
+import { timeTickParams, updateAmpAxis, updateFreqAxis, updateTimeAxis } from "./axes.js";
 import { Overview, drawColorbar } from "./overview.js";
 import { hzFromRelativePos, relativeFreqPos } from "./freqscale.js";
 
@@ -571,6 +571,10 @@ function renderFrame() {
       overview.draw(state.startSec, [state.startSec, viewWidth() / state.pxPerSec]);
     }
     updateTimeAxis($("#time-axis"), state.startSec, state.pxPerSec, state.maxSec);
+    // grid-unit readout (reference: TimeUnitSection.tsx)
+    const { tickUnit } = timeTickParams(state.pxPerSec);
+    $("#time-unit").textContent =
+      tickUnit >= 1 ? `grid ${tickUnit} s` : `grid ${(tickUnit * 1000).toPrecision(3)} ms`;
     for (const row of rowsEl.children) {
       const vp = state.viewports.get(row.dataset.idCh);
       if (!vp || !vp.metadata) continue;
@@ -876,6 +880,7 @@ function setupSplitter() {
 
 async function setupControls() {
   $("#btn-add").onclick = () => $("#file-input").click();
+  $("#btn-add-row").onclick = () => $("#file-input").click();
   $("#file-input").onchange = async (e) => {
     const paths = [];
     for (const f of e.target.files) paths.push(await api.upload(f));
