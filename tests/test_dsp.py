@@ -8,6 +8,7 @@ import math
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from thesia_tpu.dsp import (
     SpecSetting,
@@ -236,3 +237,44 @@ def test_calc_specs_batched_mixed_sr():
     for key, w, sr in items:
         hop, win, _ = s.calc_framing_params(sr)
         assert out[key].n_frames == stft_frame_count(w.shape[1], win, hop)
+
+
+@pytest.mark.parametrize(
+    "t_overlap,f_overlap,win_ms,sr",
+    [
+        (1, 1, 40.0, 8000),
+        (2, 1, 20.0, 16000),
+        (8, 1, 40.0, 8000),
+        (32, 1, 80.0, 8000),
+        (4, 2, 40.0, 8000),   # f_overlap: n_fft = 2 * next_pow2(win)
+        (2, 4, 20.0, 16000),
+        (4, 1, 40.0, 22050),  # round-half-away hop case
+    ],
+)
+def test_calc_spec_parameter_sweep_vs_reference_stft(t_overlap, f_overlap, win_ms, sr):
+    """Fused device path == frame-by-frame reference STFT across the full
+    SpecSetting parameter grid (T_OVERLAP_VALUES 1..32, f_overlap pow2;
+    reference: constants/tracks.ts + spectrogram.rs:30-99)."""
+    analyzer = SpectrogramAnalyzer()
+    s = SpecSetting(
+        win_ms=win_ms, t_overlap=t_overlap, f_overlap=f_overlap,
+        freq_scale=FreqScale.Linear,
+    )
+    hop, win, n_fft = s.calc_framing_params(sr)
+    assert win == hop * t_overlap
+    rng = np.random.default_rng(t_overlap * 100 + f_overlap)
+    wav = rng.uniform(-1, 1, int(sr * 0.8)).astype(np.float32)
+    got = np.asarray(analyzer.calc_spec(wav, sr, s))
+    stft = perform_stft(wav, win, hop, n_fft)
+    expected = 20.0 * np.log10(np.maximum(np.abs(stft), 1e-30))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-4)
+
+
+def test_frame_cap_bucketing():
+    from thesia_tpu.dsp.spectrogram import frame_cap
+
+    assert frame_cap(1) == 1024
+    assert frame_cap(1024) == 1024
+    assert frame_cap(1025) == 2048
+    assert frame_cap(6001) == 6144
