@@ -168,3 +168,27 @@ def test_open_files_dialog_path(tmp_path):
     assert s.get_open_files_dialog_path() == ""
     s.set_open_files_dialog_path("/music")
     assert s.get_open_files_dialog_path() == "/music"
+
+
+def test_hostile_args_clean_errors(session, samples_dir):
+    """Malformed tile coords / non-finite player args raise ValueError (the
+    service maps these to 400s, never 500s)."""
+    session.add_tracks([0], [str(samples_dir / "sample_8k.wav")])
+    session.apply_track_list_changes()
+    with pytest.raises(ValueError):
+        session.get_waveform_tile("0_0", -1, 0)
+    with pytest.raises(ValueError):
+        session.get_waveform_tile("0_0", 2, -5)
+    with pytest.raises(ValueError):
+        session.get_spectrogram_tile("0_0", -1, 0, 0, 0)
+    with pytest.raises(ValueError):
+        session.get_spectrogram_tile("0_0", 0, 0, -1, 0)
+    with pytest.raises(ValueError):
+        session.seek_player(float("nan"))
+    with pytest.raises(ValueError):
+        session.set_track_player(0, float("inf"))
+    with pytest.raises(ValueError):
+        session.set_volume_db(float("-inf"))
+    # out-of-range but well-formed coords return empty tiles, not errors
+    assert len(session.get_waveform_tile("0_0", 40, 0)) == 36
+    assert len(session.get_spectrogram_tile("0_0", 30, 30, 0, 0)) == 44

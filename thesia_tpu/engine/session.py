@@ -324,6 +324,9 @@ class EngineSession:
         return self.tile_cache.metadata(len(wav), track.sr, track.sec, is_clipped, shape)
 
     def get_waveform_tile(self, id_ch_str: str, level: int, tile_index: int) -> bytes:
+        # arg validation at command entry (reference: assert! in lib.rs)
+        if level < 0 or tile_index < 0:
+            raise ValueError(f"invalid tile coords level={level} index={tile_index}")
         track_id, ch = parse_id_ch_str(id_ch_str)
         track = self.tracklist.get(track_id)
         if track is None:
@@ -342,6 +345,10 @@ class EngineSession:
     def get_spectrogram_tile(
         self, id_ch_str: str, level_x: int, level_y: int, tile_x: int, tile_y: int
     ) -> bytes:
+        if min(level_x, level_y, tile_x, tile_y) < 0:
+            raise ValueError(
+                f"invalid tile coords ({level_x},{level_y},{tile_x},{tile_y})"
+            )
         track_id, ch = parse_id_ch_str(id_ch_str)
         img = self.tm.get_spectrogram((track_id, ch))
         if img is None:
@@ -422,14 +429,20 @@ class EngineSession:
     # ======================================================================
     # player
     def set_volume_db(self, volume_db: float) -> None:
+        if not math.isfinite(float(volume_db)):
+            raise ValueError(f"invalid volume {volume_db} dB")
         self.player.set_volume_db(volume_db)
 
     def set_track_player(self, track_id: int, sec: float | None = None) -> None:
+        if sec is not None and not math.isfinite(float(sec)):
+            raise ValueError(f"invalid position {sec}")
         if self.tracklist.has(track_id):
             self.player.max_sec = self.tracklist.max_sec
             self.player.set_track(track_id, sec)
 
     def seek_player(self, sec: float) -> None:
+        if not math.isfinite(float(sec)):
+            raise ValueError(f"invalid position {sec}")
         self.player.max_sec = self.tracklist.max_sec
         self.player.seek(sec)
 
