@@ -111,3 +111,25 @@ def test_alac_lossless_vs_wav(samples_dir):
     ww, _ = open_audio_file(wav)
     n = min(aw.shape[1], ww.shape[1])
     np.testing.assert_array_equal(aw[:, :n], ww[:, :n])
+
+
+def test_truncated_compressed_file_decodes_partially(samples_dir, tmp_path):
+    """Per-packet error tolerance: a truncated mp3 yields the decodable
+    prefix instead of failing (reference: core/audio.rs:326-424 packet-skip
+    loop; hard error only when nothing decodable)."""
+    src = samples_dir / "sample_44k1.mp3"
+    if not src.exists():
+        pytest.skip("corpus incomplete")
+    from thesia_tpu.io.decode import DecodeError, open_audio_file
+
+    data = src.read_bytes()
+    trunc = tmp_path / "trunc.mp3"
+    trunc.write_bytes(data[: len(data) // 3])
+    wavs, info = open_audio_file(trunc)
+    assert wavs.shape[0] >= 1 and wavs.shape[1] > 10000
+    assert info.sr == 44100
+
+    garbage = tmp_path / "garbage.wav"
+    garbage.write_bytes(b"RIFF" + b"\x00" * 100)
+    with pytest.raises(DecodeError):
+        open_audio_file(garbage)

@@ -861,18 +861,24 @@ function setupRowContextMenu(row, trackId) {
 
 function setupSplitter() {
   const splitter = $("#info-splitter");
-  let drag = null;
+  // window-state persistence analogue (the reference persists window state
+  // via tauri-plugin-window-state, lib.rs:744-757)
+  const saved = Number(localStorage.getItem("thesia.infoW"));
+  if (saved >= 90 && saved <= 480) {
+    document.documentElement.style.setProperty("--info-w", `${saved}px`);
+  }
   splitter.addEventListener("mousedown", (e) => {
-    drag = { x: e.clientX, w: leftOffset() - 98 };
+    const start = { x: e.clientX, w: leftOffset() - 98 };
+    axisDrag = {
+      move(ev) {
+        const w = Math.min(Math.max(start.w + ev.clientX - start.x, 90), 480);
+        document.documentElement.style.setProperty("--info-w", `${w}px`);
+        localStorage.setItem("thesia.infoW", String(w));
+        redraw();
+      },
+    };
     e.preventDefault();
   });
-  window.addEventListener("mousemove", (e) => {
-    if (!drag) return;
-    const w = Math.min(Math.max(drag.w + e.clientX - drag.x, 90), 480);
-    document.documentElement.style.setProperty("--info-w", `${w}px`);
-    redraw();
-  });
-  window.addEventListener("mouseup", () => { drag = null; });
 }
 
 // ---------------------------------------------------------------------------
