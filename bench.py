@@ -106,6 +106,34 @@ def bench_tile_latency(spec_db, reps: int = 40):
     return spec_p50, wav_p50
 
 
+def bench_sustained(minutes: float = 10.0, reps: int = 3):
+    """Sustained per-chip throughput on one long track.
+
+    The tunneled-TPU setup pays a ~27 ms fixed dispatch round trip per
+    program (measured: T=3072 and T=24576 DFT GEMMs both take ~28-33 ms;
+    marginal device compute is ~0.26 us/frame ~= 30 TFLOPS, near the f32
+    MXU peak).  A long track amortizes the fixed cost and reports what the
+    chip itself sustains."""
+    from thesia_tpu.dsp.framing import SpecSetting
+    from thesia_tpu.dsp.spectrogram import SpectrogramAnalyzer
+
+    _progress("sustained long-track throughput")
+    sr = 48000
+    seconds = minutes * 60.0
+    wavs = synth_stereo(sr, seconds, seed=9)
+    analyzer = SpectrogramAnalyzer()
+    setting = SpecSetting()
+    res = analyzer.calc_spec_multi(wavs, sr, setting, cache_key="long", token=0)
+    res.db_padded.block_until_ready()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = analyzer.calc_spec_multi(wavs, sr, setting, cache_key="long", token=0)
+        res.db_padded.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return seconds / min(times)
+
+
 def bench_multitrack(reps: int = 3):
     """Mixed-rate multi-track batched recompute (BASELINE.json config 3/4)."""
     from thesia_tpu.dsp.framing import SpecSetting
@@ -142,6 +170,7 @@ def main():
     realtime_factor, frames_per_sec, spec = bench_spec_throughput()
     spec_tile_p50, wav_tile_p50 = bench_tile_latency(spec)
     multi_rt = bench_multitrack()
+    sustained_rt = bench_sustained()
     result = {
         "metric": "stft_mel_raster_realtime_factor_48k_stereo",
         "value": round(realtime_factor, 2),
@@ -151,6 +180,7 @@ def main():
         "spec_tile_p50_ms": round(spec_tile_p50, 3),
         "waveform_tile_p50_ms": round(wav_tile_p50, 3),
         "multitrack_mixed_sr_x_realtime": round(multi_rt, 2),
+        "sustained_10min_x_realtime": round(sustained_rt, 2),
     }
     print(json.dumps(result))
 
