@@ -220,3 +220,67 @@ def test_many_tracks_mixed_sr_batched_scale(tmp_path):
     tm.apply_track_list_changes(tl)
     assert set(tm.specs) == set(ids) - {0, 5, 11}
     assert all(k[0] not in {0, 5, 11} for k in tm.spec_imgs)
+
+
+def test_multichannel_5ch_track(tmp_path):
+    """5-channel track: decode keeps all channels, per-channel specs/images
+    exist, LUFS applies the surround weight to ch>=3 (BS.1770 / stats.rs)."""
+    from thesia_tpu.dynamics.loudness import integrated_lufs
+    from thesia_tpu.engine.manager import TrackManager
+    from thesia_tpu.engine.track import TrackList
+    from thesia_tpu.io.wav import encode_wav_s16
+
+    sr = 8000
+    rng = np.random.default_rng(11)
+    w = (rng.uniform(-0.5, 0.5, (5, 6000))).astype(np.float32)
+    p = tmp_path / "five.wav"
+    p.write_bytes(encode_wav_s16(w, sr))
+
+    tl = TrackList()
+    tm = TrackManager()
+    ids = tl.add_tracks([0], [str(p)])
+    assert ids == [0] and tl[0].n_ch == 5
+    tm.add_tracks(tl, ids)
+    tm.apply_track_list_changes(tl)
+    assert {(0, ch) for ch in range(5)} <= set(tm.spec_imgs)
+    # surround weighting: zeroing a surround channel changes LUFS more than
+    # the same-energy front channel would if weights were equal
+    decoded = tl[0].original.wavs
+    full = integrated_lufs(decoded, sr)
+    no_surround = decoded.copy()
+    no_surround[4] = 0.0
+    assert integrated_lufs(no_surround, sr) < full
+
+
+def test_concurrent_tile_fetch_storm(tmp_path):
+    """48 threads hammering waveform+spectrogram tiles while a write runs:
+    no errors, every response well-formed (RwLock + LRU lock soak)."""
+    import concurrent.futures
+
+    from tests.synth import synth_stereo_write
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.render import decode_spectrogram_tile, decode_waveform_tile, default_colormap_rgba8
+
+    p = tmp_path / "t.wav"
+    synth_stereo_write(p, sr=8000, sec=2.0)
+    s = EngineSession(settings_dir=tmp_path / "cfg")
+    s.init(default_colormap_rgba8())
+    s.add_tracks([0], [str(p)])
+    s.apply_track_list_changes()
+
+    def fetch(i):
+        with s.rw.read():
+            if i % 2:
+                t = decode_waveform_tile(s.get_waveform_tile("0_0", i % 6, 0))
+                return t["binCount"] >= 0
+            t = decode_spectrogram_tile(
+                s.get_spectrogram_tile("0_0", i % 3, 0, (i // 3) % 2, 0)
+            )
+            return t["width"] >= 0
+
+    with concurrent.futures.ThreadPoolExecutor(16) as pool:
+        futs = [pool.submit(fetch, i) for i in range(48)]
+        s.set_db_range(90.0)  # concurrent write
+        results = [f.result() for f in futs]
+    assert all(results)
+    assert s.tm.db_range == 90.0
