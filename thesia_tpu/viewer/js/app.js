@@ -534,6 +534,37 @@ function leaveFit() {
   }
 }
 
+// axis markers come from the backend; during continuous zoom/pan a fetch
+// per frame would flood the API (the reference computes these client-side
+// in WASM). Trailing-edge throttle at ~70 Hz — the reference's own control
+// throttle cadence (MainViewer.tsx:357).
+let axisUpdateTimer = null;
+let axisUpdatePending = null;
+
+function scheduleAxisUpdate(hzRange) {
+  axisUpdatePending = { hzRange };
+  if (axisUpdateTimer !== null) return;
+  axisUpdateTimer = setTimeout(() => {
+    axisUpdateTimer = null;
+    const { hzRange: hr } = axisUpdatePending;
+    updateTimeAxis($("#time-axis"), state.startSec, state.pxPerSec, state.maxSec);
+    const { tickUnit } = timeTickParams(state.pxPerSec);
+    $("#time-unit").textContent =
+      tickUnit >= 1 ? `grid ${tickUnit} s` : `grid ${(tickUnit * 1000).toPrecision(3)} ms`;
+    for (const row of rowsEl.children) {
+      const vp = state.viewports.get(row.dataset.idCh);
+      if (!vp || !vp.metadata) continue;
+      updateAmpAxis(
+        row.querySelector(".amp-axis"), ampRangeOf(Number(row.dataset.trackId))
+      );
+      updateFreqAxis(
+        row.querySelector(".freq-axis"), hr, state.freqScale,
+        state.maxTrackHz || vp.metadata.sampleRate / 2
+      );
+    }
+  }, 1000 / 70);
+}
+
 function renderFrame() {
   // playhead extrapolation (reference: usePlayer.ts:44-52)
   const a = state.playerAnchor;
@@ -570,22 +601,7 @@ function renderFrame() {
     if (overview) {
       overview.draw(state.startSec, [state.startSec, viewWidth() / state.pxPerSec]);
     }
-    updateTimeAxis($("#time-axis"), state.startSec, state.pxPerSec, state.maxSec);
-    // grid-unit readout (reference: TimeUnitSection.tsx)
-    const { tickUnit } = timeTickParams(state.pxPerSec);
-    $("#time-unit").textContent =
-      tickUnit >= 1 ? `grid ${tickUnit} s` : `grid ${(tickUnit * 1000).toPrecision(3)} ms`;
-    for (const row of rowsEl.children) {
-      const vp = state.viewports.get(row.dataset.idCh);
-      if (!vp || !vp.metadata) continue;
-      updateAmpAxis(
-        row.querySelector(".amp-axis"), ampRangeOf(Number(row.dataset.trackId))
-      );
-      updateFreqAxis(
-        row.querySelector(".freq-axis"), hzRange, state.freqScale,
-        state.maxTrackHz || vp.metadata.sampleRate / 2
-      );
-    }
+    scheduleAxisUpdate(hzRange);
   }
   // playhead line overlay
   for (const row of rowsEl.children) {
