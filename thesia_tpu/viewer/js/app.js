@@ -205,6 +205,7 @@ async function buildRow(trackId) {
     });
     vpc.addEventListener("click", async (e) => {
       const sec = state.startSec + e.offsetX / state.pxPerSec;
+      state.selectCursorSec = sec; // select cursor (usePlayer.ts select-vs-playback)
       selectClick(trackId, e);
       await api.setTrackPlayer(trackId, sec);
       if (state.playing) await api.resumePlayer();
@@ -603,18 +604,31 @@ function renderFrame() {
     }
     scheduleAxisUpdate(hzRange);
   }
-  // playhead line overlay
+  // locator overlays: dashed select cursor + solid playhead
+  // (reference: src/modules/Locator.tsx select + playback locators)
   for (const row of rowsEl.children) {
     const vp = state.viewports.get(row.dataset.idCh);
     if (!vp) continue;
     if (Number(row.dataset.trackId) === state.selectedTrack) {
-      const x = (pos - state.startSec) * state.pxPerSec;
       const ctx = vp.canvas.getContext("2d");
       const dpr = window.devicePixelRatio || 1;
+      ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
+      if (state.selectCursorSec !== undefined) {
+        const sx = (state.selectCursorSec - state.startSec) * state.pxPerSec;
+        if (sx >= 0 && sx <= vp.canvas.clientWidth && Math.abs(sx - (pos - state.startSec) * state.pxPerSec) > 1) {
+          ctx.strokeStyle = "rgba(245,145,73,0.45)";
+          ctx.setLineDash([4, 4]);
+          ctx.beginPath();
+          ctx.moveTo(sx, 0);
+          ctx.lineTo(sx, vp.canvas.clientHeight);
+          ctx.stroke();
+          ctx.setLineDash([]);
+        }
+      }
+      const x = (pos - state.startSec) * state.pxPerSec;
       if (a.isPlaying || state.playheadX !== x) {
         state.needsRedraw = state.needsRedraw || a.isPlaying;
         if (x >= 0 && x <= vp.canvas.clientWidth) {
-          ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
           ctx.strokeStyle = "#f59149";
           ctx.beginPath();
           ctx.moveTo(x, 0);
