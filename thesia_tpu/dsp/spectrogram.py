@@ -26,6 +26,7 @@ host<->device traffic over the TPU tunnel):
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -44,8 +45,6 @@ def _matmul_precision():
     (12288x1920x1025 + mel): HIGHEST 37.4 ms, HIGH 29.4 ms (+0.0016 dB max
     error ~= 1 u16 quantization step), DEFAULT 27.1 ms (+0.0062 dB).  Set
     THESIA_MATMUL_PRECISION=high|default to trade parity for ~1.3x speed."""
-    import os
-
     name = os.environ.get("THESIA_MATMUL_PRECISION", "highest").lower()
     return {
         "highest": jax.lax.Precision.HIGHEST,
@@ -350,8 +349,6 @@ class SpectrogramAnalyzer:
             if cache_key is not None:
                 self._wav_cache[cache_key] = (raw_dev, n_dev, token)
             bucket = bucket2
-        import os
-
         db, mn, mx = _spec_full(
             raw_dev,
             jnp.int32(n_dev),

@@ -16,7 +16,6 @@ import concurrent.futures
 import json
 import math
 import os
-import threading
 from pathlib import Path
 
 import numpy as np
@@ -69,7 +68,6 @@ class EngineSession:
         self._write_worker = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="write-lock-worker"
         )
-        self._lock = threading.RLock()
         # readers-writer lock mirroring the reference's RwLock'd globals
         # (lib.rs:36-42): service reads take .read(), the write worker takes
         # .write() around every mutation

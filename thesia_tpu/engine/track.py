@@ -227,8 +227,8 @@ class TrackList:
                 t.original.stats = stats[i]
             return
         with concurrent.futures.ThreadPoolExecutor() as pool:
-            computed = list(pool.map(lambda t: t.original.stats, tracks))
-        del computed
+            # touching .stats computes + caches them, rayon-style in parallel
+            list(pool.map(lambda t: t.original.stats, tracks))
 
     def _normalize_tracks(self, tracks: list[AudioTrack]) -> None:
         """Common normalize + guard clipping over a set of tracks.

@@ -25,10 +25,10 @@ from typing import Callable, Optional
 
 import numpy as np
 
-log = logging.getLogger("thesia_tpu.player")
-
-from .mixing import render_block  # noqa: F401  (re-exported test surface)
+from .mixing import mix_frames, slice_frames
 from .resampler import StreamResampler
+
+log = logging.getLogger("thesia_tpu.player")
 
 RESAMPLER_CHUNK = 1024  # input frames per resampler feed (stream.rs chunk)
 DEVICE_POLL_SEC = 0.5  # reference player.rs:24
@@ -294,27 +294,6 @@ def select_output_config(device: OutputDevice, requested_sr: int) -> StreamConfi
     )
 
 
-def mix_frames(src: np.ndarray, out_channels: int) -> np.ndarray:
-    """(n, in_ch) -> (n, out_ch) with the reference mix rules
-    (stream.rs:242-272): mono broadcasts; stereo->mono averages L/R;
-    stereo->N tiles L/R; N->M clamps to the last input channel."""
-    n, in_ch = src.shape
-    if in_ch == out_channels:
-        return src
-    out = np.zeros((n, out_channels), src.dtype)
-    if in_ch == 0:
-        return out
-    if in_ch == 1:
-        out[:] = src
-    elif out_channels == 1:
-        out[:, 0] = (src[:, 0] + src[:, min(1, in_ch - 1)]) * 0.5
-    else:
-        for oc in range(out_channels):
-            sc = oc % 2 if in_ch == 2 else min(oc, in_ch - 1)
-            out[:, oc] = src[:, sc]
-    return out
-
-
 class PlaybackStreamSource:
     """Bridges locked shared playback state to the output callback.
 
@@ -368,14 +347,14 @@ class PlaybackStreamSource:
 
         total = len(samples) // in_ch
         if sr == out_sr:
-            src = _slice_frames(samples, in_ch, int(pos), n_frames)
+            src = slice_frames(samples, in_ch, int(pos), n_frames)
             consumed = float(n_frames)
         else:
             rs = self._ensure_resampler(sr, out_sr, in_ch)
             if self._feed_pos is None:
                 self._feed_pos = int(pos)
             while self._out_queue.shape[0] < n_frames:
-                chunk = _slice_frames(samples, in_ch, self._feed_pos, RESAMPLER_CHUNK)
+                chunk = slice_frames(samples, in_ch, self._feed_pos, RESAMPLER_CHUNK)
                 produced = rs.process(chunk.T).T  # resampler is planar (ch, n)
                 self._feed_pos += RESAMPLER_CHUNK
                 if produced.shape[0]:
@@ -406,18 +385,6 @@ class PlaybackStreamSource:
                     p.is_playing = False
                     self.reached_end = True
         return out
-
-
-def _slice_frames(samples: np.ndarray, in_ch: int, start: int, n: int) -> np.ndarray:
-    """(n, in_ch) from interleaved storage, zero-filled past the end."""
-    total = len(samples) // in_ch
-    out = np.zeros((n, in_ch), np.float32)
-    avail = max(min(n, total - start), 0)
-    if avail > 0:
-        out[:avail] = samples[start * in_ch : (start + avail) * in_ch].reshape(
-            avail, in_ch
-        )
-    return out
 
 
 class OutputEngine:

@@ -56,6 +56,26 @@ function hzRangeOrFull() {
   return state.hzRange || [0, state.maxTrackHz || 1];
 }
 
+// cursor/center-anchored freq-range zoom in relative-position space; a
+// full-range result resets to null (reference: MainViewer.tsx:414-489)
+function zoomFreqRangeAt(factor, anchorFrac) {
+  const maxHz = state.maxTrackHz || 1;
+  const [lo0, hi0] = hzRangeOrFull();
+  const pLo = relativeFreqPos(lo0, maxHz, state.freqScale);
+  const pHi = relativeFreqPos(hi0, maxHz, state.freqScale);
+  const span = pHi - pLo;
+  const anchor = pLo + anchorFrac * span;
+  const newSpan = Math.min(Math.max(span * factor, 0.01), 1);
+  let lo = anchor - anchorFrac * newSpan;
+  let hi = lo + newSpan;
+  if (lo < 0) { hi -= lo; lo = 0; }
+  if (hi > 1) { lo -= hi - 1; hi = 1; }
+  state.hzRange = (lo <= 1e-9 && hi >= 1 - 1e-9) ? null : [
+    hzFromRelativePos(lo, maxHz, state.freqScale),
+    hzFromRelativePos(hi, maxHz, state.freqScale),
+  ];
+}
+
 function ampRangeOf(trackId) {
   const m = state.ampRanges.get(trackId) ?? 1.0;
   return [-m, m];
@@ -713,28 +733,13 @@ rowsEl.addEventListener("wheel", (e) => {
   const rect = rowsEl.getBoundingClientRect();
   const xInView = e.clientX - rect.left - leftOffset();
   if (e.shiftKey && !e.ctrlKey && !e.metaKey) {
-    // vertical freq zoom anchored at cursor
+    // vertical freq zoom anchored at cursor (y=0 is top = high freq)
     const row = e.target.closest?.(".track-row");
     const h = row ? row.clientHeight : 160;
     const yFrac = row
       ? Math.min(Math.max((e.clientY - row.getBoundingClientRect().top) / h, 0), 1)
       : 0.5;
-    const maxHz = state.maxTrackHz || 1;
-    const [lo0, hi0] = hzRangeOrFull();
-    const pLo = relativeFreqPos(lo0, maxHz, state.freqScale);
-    const pHi = relativeFreqPos(hi0, maxHz, state.freqScale);
-    const span = pHi - pLo;
-    const anchor = pLo + (1 - yFrac) * span; // y=0 is top = high freq
-    const factor = Math.exp(e.deltaY * 0.002);
-    const newSpan = Math.min(Math.max(span * factor, 0.01), 1);
-    let lo = anchor - (1 - yFrac) * newSpan;
-    let hi = lo + newSpan;
-    if (lo < 0) { hi -= lo; lo = 0; }
-    if (hi > 1) { lo -= hi - 1; hi = 1; }
-    state.hzRange = (lo <= 1e-9 && hi >= 1 - 1e-9) ? null : [
-      hzFromRelativePos(lo, maxHz, state.freqScale),
-      hzFromRelativePos(hi, maxHz, state.freqScale),
-    ];
+    zoomFreqRangeAt(Math.exp(e.deltaY * 0.002), 1 - yFrac);
   } else if (e.ctrlKey || e.metaKey) {
     leaveFit();
     const anchorSec = state.startSec + xInView / state.pxPerSec;
@@ -984,19 +989,7 @@ async function setupControls() {
       redraw();
     } else if (e.key === "]" || e.key === "[") {
       // freq-zoom-in/out around the range center (menu.rs freq-zoom events)
-      const maxHz = state.maxTrackHz || 1;
-      const [lo0, hi0] = hzRangeOrFull();
-      const pLo = relativeFreqPos(lo0, maxHz, state.freqScale);
-      const pHi = relativeFreqPos(hi0, maxHz, state.freqScale);
-      const mid = (pLo + pHi) / 2;
-      const span = Math.min(Math.max((pHi - pLo) * (e.key === "]" ? 1 / 1.3 : 1.3), 0.01), 1);
-      let lo = mid - span / 2, hi = mid + span / 2;
-      if (lo < 0) { hi -= lo; lo = 0; }
-      if (hi > 1) { lo -= hi - 1; hi = 1; }
-      state.hzRange = (lo <= 1e-9 && hi >= 1 - 1e-9) ? null : [
-        hzFromRelativePos(lo, maxHz, state.freqScale),
-        hzFromRelativePos(hi, maxHz, state.freqScale),
-      ];
+      zoomFreqRangeAt(e.key === "]" ? 1 / 1.3 : 1.3, 0.5);
       redraw();
     } else if (e.code === "Delete" || e.code === "Backspace") {
       if (state.selected.size) {
