@@ -435,17 +435,20 @@ function closeFloatingInput() {
   floatingInput = null;
 }
 
-function parseHzLabel(text) {
-  // accepts "12345", "12.3k", "1k5" (reference: axis freqLabelToHz)
-  const t = text.trim().toLowerCase();
-  const km = t.match(/^(\d+(?:\.\d+)?)k(\d+)?$/);
-  if (km) {
-    let v = parseFloat(km[1]) * 1000;
-    if (km[2]) v += parseFloat(`0.${km[2]}`) * 1000;
-    return v;
+async function parseHzLabel(text) {
+  // exact reference parser (axis.rs freqLabelToHz: "12345", "12.3k", "1k5")
+  // served by the backend axis API
+  try {
+    const r = await fetch("/api/freq_label_to_hz", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ label: text }),
+    });
+    if (!r.ok) return null;
+    const v = (await r.json()).result;
+    return typeof v === "number" && isFinite(v) ? v : null;
+  } catch {
+    return null;
   }
-  const f = parseFloat(t);
-  return isNaN(f) ? null : f;
 }
 
 // ONE shared drag dispatcher for every axis canvas: rows come and go, so
@@ -485,8 +488,8 @@ function setupFreqAxisEditing(row) {
     const h = axis.clientHeight || 1;
     const editUpper = e.offsetY < h / 2;
     const [lo, hi] = hzRangeOrFull();
-    openFloatingInput(e.clientX, e.clientY, String(Math.round(editUpper ? hi : lo)), (text) => {
-      const v = parseHzLabel(text);
+    openFloatingInput(e.clientX, e.clientY, String(Math.round(editUpper ? hi : lo)), async (text) => {
+      const v = await parseHzLabel(text);
       if (v === null) return;
       const maxHz = state.maxTrackHz || 1;
       const r = hzRangeOrFull().slice();
