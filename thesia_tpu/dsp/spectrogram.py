@@ -171,6 +171,16 @@ def _spec_full_multi(raw, ns, cw, sw, mel_fb, *, hop_length: int, t_overlap: int
     reference's rayon per-(id,ch) fan-out, src-tauri/src/core/mod.rs:152-163)
     and, when enabled, DFT/mel operands over "freq" (tensor parallel; GSPMD
     inserts the psum for the contracted mel GEMM)."""
+    return _spec_multi_impl(
+        raw, ns, cw, sw, mel_fb, hop_length=hop_length, t_overlap=t_overlap,
+        use_mel=use_mel, bucket=bucket, pad=pad, shardings=shardings, t_cap=t_cap,
+    )
+
+
+def _spec_multi_impl(raw, ns, cw, sw, mel_fb, *, hop_length, t_overlap,
+                     use_mel, bucket, pad, shardings, t_cap):
+    """Trace-time body shared by _spec_full_multi and the fused multi-group
+    program _spec_groups."""
     win_length = hop_length * t_overlap
     c = raw.shape[0]
     if shardings is not None:
@@ -209,23 +219,81 @@ def _spec_full_multi(raw, ns, cw, sw, mel_fb, *, hop_length: int, t_overlap: int
     return db, row_min, row_max
 
 
+@functools.partial(jax.jit, static_argnames=("specs",))
+def _spec_groups(arrays, *, specs):
+    """Fused multi-group recompute: EVERY (sr, win, n_fft, bucket) group in
+    ONE device program, ONE dispatch.
+
+    The tunneled-TPU setup pays a ~27 ms fixed round trip per program launch
+    (measured; see bench.bench_sustained docstring), so dispatching the
+    groups of a mixed-sample-rate recompute separately costs N x 27 ms of
+    pure latency.  Groups are mutually independent, so XLA also overlaps
+    their compute.
+
+    arrays: tuple of (raw, ns, cw, sw, mel_fb) pytrees, one per group;
+    specs:  matching tuple of (hop_length, t_overlap, use_mel, bucket, pad,
+            t_cap, shardings, spans) static tuples, spans = ((r0, c), ...)
+            row extents per track.  Compilation is keyed on the combination —
+    a settings change over the same track set reuses it.  Per-track dB
+    slices are cut INSIDE the program so no post-hoc device ops (each an
+    extra tunnel launch) are needed."""
+    out = []
+    for (raw, ns, cw, sw, mel), (h, t, m, b, p, tc, sh, spans) in zip(arrays, specs):
+        db, row_min, row_max = _spec_multi_impl(
+            raw, ns, cw, sw, mel, hop_length=h, t_overlap=t, use_mel=m,
+            bucket=b, pad=p, shardings=sh, t_cap=tc,
+        )
+        out.append(
+            (tuple(db[r0 : r0 + c] for r0, c in spans), row_min, row_max)
+        )
+    return tuple(out)
+
+
+class _HostOnce:
+    """Lazy one-time device->host fetch shared by a batch group: the
+    per-track bound lookups then cost host slicing, not extra device
+    launches (each launch is a ~ms-scale tunnel round trip)."""
+
+    __slots__ = ("_dev", "_host")
+
+    def __init__(self, dev):
+        self._dev = dev
+        self._host = None
+
+    def get(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(self._dev)
+            self._dev = None
+        return self._host
+
+
 class SpecResult:
-    """Device-resident spectrogram with lazily-fetched bounds."""
+    """Device-resident spectrogram with lazily-fetched bounds.
 
-    __slots__ = ("db_padded", "n_frames", "n_freq", "_min", "_max")
+    Bounds are either scalars (single-track path) or lazy
+    (_HostOnce row_min/row_max, row span) tuples from a batched group."""
 
-    def __init__(self, db_padded, n_frames: int, min_db, max_db):
+    __slots__ = ("db_padded", "n_frames", "n_freq", "_min", "_max", "_span")
+
+    def __init__(self, db_padded, n_frames: int, min_db, max_db, span=None):
         self.db_padded = db_padded
         self.n_frames = n_frames
         self.n_freq = db_padded.shape[-1]
         self._min = min_db
         self._max = max_db
+        self._span = span
 
     @property
     def shape(self) -> tuple[int, int]:
         return (self.n_frames, self.n_freq)
 
     def min_max_db(self) -> tuple[float, float]:
+        if self._span is not None:
+            r0, c = self._span
+            return (
+                float(self._min.get()[r0 : r0 + c].min()),
+                float(self._max.get()[r0 : r0 + c].max()),
+            )
         return float(self._min), float(self._max)
 
     def to_numpy(self) -> np.ndarray:
@@ -274,7 +342,7 @@ class SpectrogramAnalyzer:
         self._group_cache = {
             sig: v
             for sig, v in self._group_cache.items()
-            if all(k != cache_key for k, _t, _n in sig[2])
+            if all(k != cache_key for k, _t, _n in sig[3])
         }
 
     def clear_wav_cache(self) -> None:
@@ -401,14 +469,12 @@ class SpectrogramAnalyzer:
         group cache for this call.
         """
         cacheable = all(t is not None for _k, _w, _n, t in members)
-        sig = (bucket, c_bucket, tuple((k, t, n) for k, _w, n, t in members))
+        # safe n for dummy rows' reflect slices depends on win -> key on it
+        sig = (bucket, c_bucket, win, tuple((k, t, n) for k, _w, n, t in members))
         hit = self._group_cache.get(sig) if cacheable else None
         safe_n = max(win + 2, 2 * (win // 2) + 2)
         if hit is not None:
-            buf_dev, ns = hit
-            ns = ns.copy()
-            ns[ns == 0] = safe_n  # dummy rows: safe n for the reflect slices
-            return buf_dev, ns, sig
+            return hit[0], hit[1], sig
         row_parts = []
         ns = np.zeros(c_bucket, np.int32)
         r = 0
@@ -427,12 +493,13 @@ class SpectrogramAnalyzer:
         if r < c_bucket:
             row_parts.append(jnp.zeros((c_bucket - r, bucket), jnp.float32))
         buf_dev = row_parts[0] if len(row_parts) == 1 else jnp.concatenate(row_parts, axis=0)
+        ns[r:] = safe_n
+        ns_dev = jnp.asarray(ns)  # device-resident: recomputes re-upload nothing
         if cacheable:
-            self._group_cache[sig] = (buf_dev, ns.copy())
+            self._group_cache[sig] = (buf_dev, ns_dev)
             while len(self._group_cache) > 8:
                 self._group_cache.pop(next(iter(self._group_cache)))
-        ns[r:] = safe_n
-        return buf_dev, ns, sig
+        return buf_dev, ns_dev, sig
 
     def calc_specs_batched(
         self, items, setting: SpecSetting
@@ -472,18 +539,13 @@ class SpectrogramAnalyzer:
             )
 
         use_mel = setting.freq_scale is FreqScale.Mel
+        prepared = []  # (spans, (hop, win), arrays, statics)
         for (sr, hop, win, n_fft, bucket), members in groups.items():
-            if len(members) == 1:
-                key, wavs, n, token = members[0]
-                results[key] = self.calc_spec_multi(
-                    wavs, sr, setting, cache_key=key, token=token
-                )
-                continue
             cw, sw = self._dft_mats(win, n_fft)
             mel = self.mel_fb(sr, n_fft) if use_mel else jnp.zeros((1, 1), jnp.float32)
             rows = sum(w.shape[0] for _, w, _n, _t in members)
             c_bucket = pad_rows_for(shardings, rows)
-            buf_dev, ns, _sig = self._group_buffer(bucket, c_bucket, members, win)
+            buf_dev, ns_dev, _sig = self._group_buffer(bucket, c_bucket, members, win)
             spans = []
             r = 0
             for key, wavs, n, _token in members:
@@ -492,25 +554,35 @@ class SpectrogramAnalyzer:
             t_cap = frame_cap(
                 max(stft_frame_count(n, win, hop) for _k, _w, n, _t in members)
             )
-            db, row_min, row_max = _spec_full_multi(
-                buf_dev,
-                jnp.asarray(ns),
-                cw,
-                sw,
-                mel,
-                hop_length=hop,
-                t_overlap=win // hop,
-                use_mel=use_mel,
-                bucket=bucket,
-                pad=win // 2,
-                shardings=shardings,
-                t_cap=t_cap,
-            )
-            for key, r0, c, n in spans:
-                n_frames = stft_frame_count(n, win, hop)
-                mins = row_min[r0 : r0 + c]
-                maxs = row_max[r0 : r0 + c]
-                results[key] = SpecResult(
-                    db[r0 : r0 + c], n_frames, jnp.min(mins), jnp.max(maxs)
+            prepared.append(
+                (
+                    spans,
+                    (hop, win),
+                    (buf_dev, ns_dev, cw, sw, mel),
+                    (hop, win // hop, use_mel, bucket, win // 2, t_cap),
                 )
+            )
+        if not prepared:
+            return results
+        # all groups in ONE device program: one tunnel dispatch instead of
+        # len(prepared) of them (~27 ms fixed latency each), XLA overlaps
+        # the independent group computations, and per-track dB slices come
+        # out of the same program
+        outs = _spec_groups(
+            tuple(p[2] for p in prepared),
+            specs=tuple(
+                p[3] + (shardings, tuple((r0, c) for _k, r0, c, _n in p[0]))
+                for p in prepared
+            ),
+        )
+        for (spans, (hop, win), _arrays, _st), (db_slices, row_min, row_max) in zip(
+            prepared, outs
+        ):
+            # bounds stay lazy: ONE d2h per group on first use, host slicing
+            # per track (extra device launches are tunnel round trips)
+            mins = _HostOnce(row_min)
+            maxs = _HostOnce(row_max)
+            for (key, r0, c, n), db in zip(spans, db_slices):
+                n_frames = stft_frame_count(n, win, hop)
+                results[key] = SpecResult(db, n_frames, mins, maxs, span=(r0, c))
         return results
