@@ -278,3 +278,17 @@ def test_frame_cap_bucketing():
     assert frame_cap(1024) == 1024
     assert frame_cap(1025) == 2048
     assert frame_cap(6001) == 6144
+
+
+def test_wav_cache_byte_budget_lru():
+    analyzer = SpectrogramAnalyzer()
+    analyzer._wav_cache_budget = 3 * (1 << 16) * 4  # room for ~3 min-bucket rows
+    rng = np.random.default_rng(9)
+    s = SpecSetting()
+    for k in range(5):
+        w = rng.uniform(-1, 1, (1, 40000)).astype(np.float32)
+        analyzer.calc_spec_multi(w, 8000, s, cache_key=k, token=k + 1)
+    # oldest entries evicted; the newest kept, total within budget
+    total = sum(v[0].size * 4 for v in analyzer._wav_cache.values())
+    assert total <= analyzer._wav_cache_budget
+    assert 4 in analyzer._wav_cache and 0 not in analyzer._wav_cache

@@ -314,9 +314,15 @@ class SpectrogramAnalyzer:
         device_warmup(background=True)
         self._dft: dict[tuple[int, int], tuple[jax.Array, jax.Array]] = {}
         self._mel_fbs: dict[tuple[int, int], jax.Array] = {}
+        # device wav uploads, LRU-evicted under a byte budget so long
+        # sessions with many tracks can't exhaust HBM (dict preserves
+        # insertion order; hits re-insert)
         self._wav_cache: dict[object, tuple[jax.Array, int, object]] = {}
+        self._wav_cache_budget = int(
+            os.environ.get("THESIA_WAV_CACHE_BYTES", 4 * 1024**3)
+        )
         # assembled (c_bucket, bucket) device row stacks for batched groups
-        self._group_cache: dict[tuple, tuple[jax.Array, np.ndarray]] = {}
+        self._group_cache: dict[tuple, tuple[jax.Array, jax.Array]] = {}
 
     # -- lifecycle ---------------------------------------------------------
     def prepare(self, params, freq_scale: FreqScale) -> None:
@@ -374,6 +380,9 @@ class SpectrogramAnalyzer:
         if cache_key is not None and token is not None:
             hit = self._wav_cache.get(cache_key)
             if hit is not None and hit[2] == token:
+                # refresh LRU recency
+                self._wav_cache.pop(cache_key)
+                self._wav_cache[cache_key] = hit
                 return hit[0], hit[1]
         wavs = np.atleast_2d(np.asarray(wavs, np.float32))
         n = wavs.shape[-1]
@@ -383,7 +392,15 @@ class SpectrogramAnalyzer:
         dev = jnp.asarray(buf)
         if cache_key is not None and token is not None:
             self._wav_cache[cache_key] = (dev, n, token)
+            self._evict_wav_cache()
         return dev, n
+
+    def _evict_wav_cache(self) -> None:
+        total = sum(v[0].size * 4 for v in self._wav_cache.values())
+        while total > self._wav_cache_budget and len(self._wav_cache) > 1:
+            _key, (dev, _n, _t) = next(iter(self._wav_cache.items()))
+            self._wav_cache.pop(_key)
+            total -= dev.size * 4
 
     # -- compute -----------------------------------------------------------
     def calc_spec_multi(
@@ -414,8 +431,9 @@ class SpectrogramAnalyzer:
             buf = np.zeros((wavs.shape[0], bucket2), np.float32)
             buf[:, :n_dev] = wavs
             raw_dev = jnp.asarray(buf)
-            if cache_key is not None:
+            if cache_key is not None and token is not None:
                 self._wav_cache[cache_key] = (raw_dev, n_dev, token)
+                self._evict_wav_cache()
             bucket = bucket2
         db, mn, mx = _spec_full(
             raw_dev,
