@@ -1072,6 +1072,34 @@ async function setupControls() {
   };
 }
 
+// live engine timing panel fed by /debug/metrics (SURVEY §5 tracing)
+let metricsTimer = null;
+
+function setupMetricsPanel() {
+  const toggle = $("#metrics-toggle");
+  const panel = $("#metrics-panel");
+  const refresh = async () => {
+    try {
+      const m = await fetch("/debug/metrics").then((r) => r.json())
+        .then((j) => j.result);
+      panel.textContent = Object.entries(m)
+        .map(([k, v]) => `${k}\n  n=${v.count} p50=${v.p50_ms}ms p95=${v.p95_ms}ms`)
+        .join("\n") || "(no samples yet)";
+    } catch {
+      panel.textContent = "(metrics unavailable)";
+    }
+  };
+  toggle.onclick = () => {
+    panel.hidden = !panel.hidden;
+    toggle.textContent = panel.hidden ? "Engine stats ▸" : "Engine stats ▾";
+    clearInterval(metricsTimer);
+    if (!panel.hidden) {
+      refresh();
+      metricsTimer = setInterval(refresh, 2000);
+    }
+  };
+}
+
 async function rebuildAllRowInfo() {
   for (const row of rowsEl.children) {
     const trackId = Number(row.dataset.trackId);
@@ -1146,6 +1174,7 @@ async function togglePlay() {
   await setupControls();
   setupSplitter();
   setupFileDrop();
+  setupMetricsPanel();
   connectEvents();
   pollPlayer();
   // argv/file-association paths (reference: open-audio-tracks event)
