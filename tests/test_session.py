@@ -192,3 +192,24 @@ def test_hostile_args_clean_errors(session, samples_dir):
     # out-of-range but well-formed coords return empty tiles, not errors
     assert len(session.get_waveform_tile("0_0", 40, 0)) == 36
     assert len(session.get_spectrogram_tile("0_0", 30, 30, 0, 0)) == 44
+
+
+def test_non_numeric_args_clean_errors(session, samples_dir):
+    """Non-numeric/None command args coerce-or-ValueError (never TypeError,
+    which the service would surface as a 500)."""
+    session.add_tracks([0], [str(samples_dir / "sample_8k.wav")])
+    session.apply_track_list_changes()
+    with pytest.raises(ValueError):
+        session.get_waveform_tile("0_0", "x", 0)
+    with pytest.raises(ValueError):
+        session.get_waveform_tile("0_0", None, 0)
+    with pytest.raises(ValueError):
+        session.get_spectrogram_tile("0_0", 0, "y", 0, 0)
+    with pytest.raises(ValueError):
+        session.seek_player(None)
+    with pytest.raises(ValueError):
+        session.seek_player("NaN")
+    with pytest.raises(ValueError):
+        session.set_volume_db(None)
+    # numeric strings coerce (lenient JSON clients)
+    assert len(session.get_waveform_tile("0_0", "2", "0")) > 24

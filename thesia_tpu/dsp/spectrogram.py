@@ -232,21 +232,22 @@ def _spec_groups(arrays, *, specs):
 
     arrays: tuple of (raw, ns, cw, sw, mel_fb) pytrees, one per group;
     specs:  matching tuple of (hop_length, t_overlap, use_mel, bucket, pad,
-            t_cap, shardings, spans) static tuples, spans = ((r0, c), ...)
-            row extents per track.  Compilation is keyed on the combination —
-    a settings change over the same track set reuses it.  Per-track dB
-    slices are cut INSIDE the program so no post-hoc device ops (each an
-    extra tunnel launch) are needed."""
-    out = []
-    for (raw, ns, cw, sw, mel), (h, t, m, b, p, tc, sh, spans) in zip(arrays, specs):
-        db, row_min, row_max = _spec_multi_impl(
+            t_cap, shardings) static tuples.  Compilation is keyed on the
+    combination of group shapes/params ONLY — per-track row extents stay
+    out of the key so adding a track that fits the same pow2 row bucket
+    reuses the executable (compile stability is a feature).
+
+    Measured on the axon tunnel: the runtime charges ~27 ms per SUBGRAPH,
+    so this fusion does NOT collapse N groups to one fixed cost there; its
+    wins are one host-side dispatch, no intermediate sync points, and true
+    single-launch semantics on non-tunneled TPU runtimes."""
+    return tuple(
+        _spec_multi_impl(
             raw, ns, cw, sw, mel, hop_length=h, t_overlap=t, use_mel=m,
             bucket=b, pad=p, shardings=sh, t_cap=tc,
         )
-        out.append(
-            (tuple(db[r0 : r0 + c] for r0, c in spans), row_min, row_max)
-        )
-    return tuple(out)
+        for (raw, ns, cw, sw, mel), (h, t, m, b, p, tc, sh) in zip(arrays, specs)
+    )
 
 
 class _HostOnce:
@@ -396,11 +397,21 @@ class SpectrogramAnalyzer:
         return dev, n
 
     def _evict_wav_cache(self) -> None:
-        total = sum(v[0].size * 4 for v in self._wav_cache.values())
-        while total > self._wav_cache_budget and len(self._wav_cache) > 1:
+        """Keep wav uploads + assembled group stacks within the HBM budget.
+        Group stacks go first (cheap to rebuild from cached wavs on device);
+        per-track uploads after, oldest first."""
+        wav_total = sum(v[0].size * 4 for v in self._wav_cache.values())
+        group_total = sum(v[0].size * 4 for v in self._group_cache.values())
+        while (
+            wav_total + group_total > self._wav_cache_budget and self._group_cache
+        ):
+            _sig, (buf, _ns) = next(iter(self._group_cache.items()))
+            self._group_cache.pop(_sig)
+            group_total -= buf.size * 4
+        while wav_total + group_total > self._wav_cache_budget and len(self._wav_cache) > 1:
             _key, (dev, _n, _t) = next(iter(self._wav_cache.items()))
             self._wav_cache.pop(_key)
-            total -= dev.size * 4
+            wav_total -= dev.size * 4
 
     # -- compute -----------------------------------------------------------
     def calc_spec_multi(
@@ -517,6 +528,7 @@ class SpectrogramAnalyzer:
             self._group_cache[sig] = (buf_dev, ns_dev)
             while len(self._group_cache) > 8:
                 self._group_cache.pop(next(iter(self._group_cache)))
+            self._evict_wav_cache()  # group stacks count against the budget
         return buf_dev, ns_dev, sig
 
     def calc_specs_batched(
@@ -582,25 +594,23 @@ class SpectrogramAnalyzer:
             )
         if not prepared:
             return results
-        # all groups in ONE device program: one tunnel dispatch instead of
-        # len(prepared) of them (~27 ms fixed latency each), XLA overlaps
-        # the independent group computations, and per-track dB slices come
-        # out of the same program
+        # all groups in ONE device program, one host dispatch (see
+        # _spec_groups docstring for the measured cost model)
         outs = _spec_groups(
             tuple(p[2] for p in prepared),
-            specs=tuple(
-                p[3] + (shardings, tuple((r0, c) for _k, r0, c, _n in p[0]))
-                for p in prepared
-            ),
+            specs=tuple(p[3] + (shardings,) for p in prepared),
         )
-        for (spans, (hop, win), _arrays, _st), (db_slices, row_min, row_max) in zip(
+        for (spans, (hop, win), _arrays, _st), (db, row_min, row_max) in zip(
             prepared, outs
         ):
             # bounds stay lazy: ONE d2h per group on first use, host slicing
-            # per track (extra device launches are tunnel round trips)
+            # per track; db row slices are lazy device views used by the
+            # quantize pass
             mins = _HostOnce(row_min)
             maxs = _HostOnce(row_max)
-            for (key, r0, c, n), db in zip(spans, db_slices):
+            for key, r0, c, n in spans:
                 n_frames = stft_frame_count(n, win, hop)
-                results[key] = SpecResult(db, n_frames, mins, maxs, span=(r0, c))
+                results[key] = SpecResult(
+                    db[r0 : r0 + c], n_frames, mins, maxs, span=(r0, c)
+                )
         return results

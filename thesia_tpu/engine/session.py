@@ -44,6 +44,30 @@ def json_number(value: float) -> dict:
     return {"type": "Finite", "value": float(value)}
 
 
+def _as_finite(value, name: str) -> float:
+    """Coerce a JSON value to a finite float; ValueError (-> HTTP 400)."""
+    try:
+        out = float(value)
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"invalid {name}: {value!r}") from e
+    if not math.isfinite(out):
+        raise ValueError(f"invalid {name}: {value!r}")
+    return out
+
+
+def _as_index(value, name: str) -> int:
+    """Coerce a JSON value to a non-negative int; ValueError (-> HTTP 400)
+    for anything else, incl. None/strings/negatives (assert-at-entry,
+    reference lib.rs style)."""
+    try:
+        out = int(value)
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"invalid {name}: {value!r}") from e
+    if out < 0:
+        raise ValueError(f"invalid {name}: {value!r}")
+    return out
+
+
 def format_id_ch(track_id: int, ch: int) -> str:
     return f"{track_id}_{ch}"
 
@@ -322,9 +346,8 @@ class EngineSession:
         return self.tile_cache.metadata(len(wav), track.sr, track.sec, is_clipped, shape)
 
     def get_waveform_tile(self, id_ch_str: str, level: int, tile_index: int) -> bytes:
-        # arg validation at command entry (reference: assert! in lib.rs)
-        if level < 0 or tile_index < 0:
-            raise ValueError(f"invalid tile coords level={level} index={tile_index}")
+        level = _as_index(level, "level")
+        tile_index = _as_index(tile_index, "tileIndex")
         track_id, ch = parse_id_ch_str(id_ch_str)
         track = self.tracklist.get(track_id)
         if track is None:
@@ -343,10 +366,10 @@ class EngineSession:
     def get_spectrogram_tile(
         self, id_ch_str: str, level_x: int, level_y: int, tile_x: int, tile_y: int
     ) -> bytes:
-        if min(level_x, level_y, tile_x, tile_y) < 0:
-            raise ValueError(
-                f"invalid tile coords ({level_x},{level_y},{tile_x},{tile_y})"
-            )
+        level_x = _as_index(level_x, "levelX")
+        level_y = _as_index(level_y, "levelY")
+        tile_x = _as_index(tile_x, "tileX")
+        tile_y = _as_index(tile_y, "tileY")
         track_id, ch = parse_id_ch_str(id_ch_str)
         img = self.tm.get_spectrogram((track_id, ch))
         if img is None:
@@ -427,20 +450,17 @@ class EngineSession:
     # ======================================================================
     # player
     def set_volume_db(self, volume_db: float) -> None:
-        if not math.isfinite(float(volume_db)):
-            raise ValueError(f"invalid volume {volume_db} dB")
-        self.player.set_volume_db(volume_db)
+        self.player.set_volume_db(_as_finite(volume_db, "volumeDB"))
 
     def set_track_player(self, track_id: int, sec: float | None = None) -> None:
-        if sec is not None and not math.isfinite(float(sec)):
-            raise ValueError(f"invalid position {sec}")
+        if sec is not None:
+            sec = _as_finite(sec, "sec")
         if self.tracklist.has(track_id):
             self.player.max_sec = self.tracklist.max_sec
             self.player.set_track(track_id, sec)
 
     def seek_player(self, sec: float) -> None:
-        if not math.isfinite(float(sec)):
-            raise ValueError(f"invalid position {sec}")
+        sec = _as_finite(sec, "sec")
         self.player.max_sec = self.tracklist.max_sec
         self.player.seek(sec)
 

@@ -204,22 +204,28 @@ async function buildRow(trackId) {
       const x = (pos - state.startSec) * state.pxPerSec;
       if (Math.abs(e.offsetX - x) > 4) return;
       e.preventDefault();
+      clearTimeout(pollTimer); // polls would fight the scrub position
       const rect = vpc.getBoundingClientRect();
       let lastSeek = 0;
+      let lastSec = 0;
+      const secAt = (ev) =>
+        Math.max(state.startSec + (ev.clientX - rect.left) / state.pxPerSec, 0);
       axisDrag = {
         move(ev) {
-          const sec = Math.max(
-            state.startSec + (ev.clientX - rect.left) / state.pxPerSec, 0
-          );
+          lastSec = secAt(ev);
           state.playerAnchor = {
-            positionSec: sec, at: performance.now(), isPlaying: false,
+            positionSec: lastSec, at: performance.now(), isPlaying: false,
           };
           const now = performance.now();
           if (now - lastSeek > 80) {
             lastSeek = now;
-            api.seekPlayer(sec).then(pollPlayer);
+            api.seekPlayer(lastSec); // no poll until the drag ends
           }
           redraw();
+        },
+        up(ev) {
+          lastSec = ev ? secAt(ev) : lastSec;
+          api.seekPlayer(lastSec).then(pollPlayer); // final position flush
         },
       };
     });
@@ -456,7 +462,10 @@ async function parseHzLabel(text) {
 let axisDrag = null; // {move(e)} set on axis mousedown, cleared on mouseup
 
 window.addEventListener("mousemove", (e) => axisDrag?.move(e));
-window.addEventListener("mouseup", () => { axisDrag = null; });
+window.addEventListener("mouseup", (e) => {
+  axisDrag?.up?.(e); // final flush (e.g. last scrub position)
+  axisDrag = null;
+});
 
 function setupFreqAxisEditing(row) {
   const axis = row.querySelector(".freq-axis");
@@ -606,6 +615,8 @@ function renderFrame() {
     }
   }
 
+  if (a.isPlaying) state.needsRedraw = true; // animate the playhead
+  const drewThisFrame = state.needsRedraw;
   if (state.needsRedraw) {
     state.needsRedraw = false;
     const hzRange = hzRangeOrFull();
@@ -627,18 +638,21 @@ function renderFrame() {
     }
     scheduleAxisUpdate(hzRange);
   }
-  // locator overlays: dashed select cursor + solid playhead
-  // (reference: src/modules/Locator.tsx select + playback locators)
-  for (const row of rowsEl.children) {
-    const vp = state.viewports.get(row.dataset.idCh);
-    if (!vp) continue;
-    if (Number(row.dataset.trackId) === state.selectedTrack) {
+  // locator overlays: dashed select cursor + solid playhead — drawn ONLY on
+  // frames where the viewport canvases were freshly repainted, so strokes
+  // never accumulate (reference: src/modules/Locator.tsx locators)
+  if (drewThisFrame) {
+    for (const row of rowsEl.children) {
+      const vp = state.viewports.get(row.dataset.idCh);
+      if (!vp) continue;
+      if (Number(row.dataset.trackId) !== state.selectedTrack) continue;
       const ctx = vp.canvas.getContext("2d");
       const dpr = window.devicePixelRatio || 1;
       ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
+      const x = (pos - state.startSec) * state.pxPerSec;
       if (state.selectCursorSec !== undefined) {
         const sx = (state.selectCursorSec - state.startSec) * state.pxPerSec;
-        if (sx >= 0 && sx <= vp.canvas.clientWidth && Math.abs(sx - (pos - state.startSec) * state.pxPerSec) > 1) {
+        if (sx >= 0 && sx <= vp.canvas.clientWidth && Math.abs(sx - x) > 1) {
           ctx.strokeStyle = "rgba(245,145,73,0.45)";
           ctx.setLineDash([4, 4]);
           ctx.beginPath();
@@ -648,16 +662,12 @@ function renderFrame() {
           ctx.setLineDash([]);
         }
       }
-      const x = (pos - state.startSec) * state.pxPerSec;
-      if (a.isPlaying || state.playheadX !== x) {
-        state.needsRedraw = state.needsRedraw || a.isPlaying;
-        if (x >= 0 && x <= vp.canvas.clientWidth) {
-          ctx.strokeStyle = "#f59149";
-          ctx.beginPath();
-          ctx.moveTo(x, 0);
-          ctx.lineTo(x, vp.canvas.clientHeight);
-          ctx.stroke();
-        }
+      if (x >= 0 && x <= vp.canvas.clientWidth) {
+        ctx.strokeStyle = "#f59149";
+        ctx.beginPath();
+        ctx.moveTo(x, 0);
+        ctx.lineTo(x, vp.canvas.clientHeight);
+        ctx.stroke();
       }
     }
   }
