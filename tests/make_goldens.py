@@ -123,6 +123,23 @@ def main() -> None:
             (GOLDENS / fname).write_bytes(data)
             out["tiles"][fname] = {"len": len(data), "sha": sha(data)}
 
+        # settings-change recompute path (set_spec_setting, SURVEY §3.3):
+        # 20 ms Linear config pins a second executable family end-to-end
+        from thesia_tpu.dsp.framing import SpecSetting
+
+        s.set_spec_setting(
+            SpecSetting.from_json(
+                {"winMillisec": 20, "tOverlap": 4, "fOverlap": 1, "freqScale": "Linear"}
+            ).to_json()
+        )
+        md20 = s.get_audio_render_metadata("0_0")
+        out["synth48k_metadata_20ms_linear"] = md20
+        data = s.get_spectrogram_tile("0_0", 1, 1, 1, 0)
+        (GOLDENS / "synth48k_spec_20ms_linear.bin").write_bytes(data)
+        out["tiles"]["synth48k_spec_20ms_linear.bin"] = {
+            "len": len(data), "sha": sha(data),
+        }
+
     (GOLDENS / "goldens.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out["synth48k"]["stats"], indent=1))
     print("tiles:", {k: v["len"] for k, v in out["tiles"].items()})

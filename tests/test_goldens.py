@@ -217,3 +217,24 @@ def test_lanczos3_cross_validated_vs_pillow():
     assert np.percentile(diff, 99) <= 1.0
     assert (diff <= 1.0).mean() > 0.99
     assert diff.mean() < 2.0
+
+
+def test_settings_change_recompute_anchors(G, session):
+    """set_spec_setting -> full recompute: 20ms/Linear metadata + tile bytes
+    match the pinned goldens (SURVEY §3.3 recompute-everything path).
+    Runs LAST in this module: it mutates the shared session's settings."""
+    session.set_spec_setting(
+        {"winMillisec": 20, "tOverlap": 4, "fOverlap": 1, "freqScale": "Linear"}
+    )
+    md = session.get_audio_render_metadata("0_0")
+    g = dict(G["synth48k_metadata_20ms_linear"])
+    got = dict(md)
+    # revisions depend on how many invalidations this process performed
+    for k in ("waveformRevision", "spectrogramRevision"):
+        g.pop(k), got.pop(k)
+    assert got == g
+    data = session.get_spectrogram_tile("0_0", 1, 1, 1, 0)
+    golden = (GOLDENS / "synth48k_spec_20ms_linear.bin").read_bytes()
+    # tile headers carry the revision (first 8 bytes); compare payloads
+    assert data[8:] == golden[8:]
+    assert len(data) == G["tiles"]["synth48k_spec_20ms_linear.bin"]["len"]
