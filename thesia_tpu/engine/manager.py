@@ -18,6 +18,7 @@ from ..common.freqscale import FreqScale
 from ..dsp.framing import SpecSetting
 from ..dsp.spectrogram import SpectrogramAnalyzer
 from ..obs import span
+from ..render.mips import SpecImage
 from ..render.visualize import convert_spectrogram_to_img
 from .track import TrackList
 
@@ -204,5 +205,5 @@ class TrackManager:
                 )
                 host = np.asarray(imgs_dev)[:, :, : res.n_frames]
                 for ch in range(self._spec_n_ch.get(track_id, host.shape[0])):
-                    self.spec_imgs[(track_id, ch)] = np.ascontiguousarray(host[ch])
+                    self.spec_imgs[(track_id, ch)] = SpecImage(host[ch])
         return ids_need_update

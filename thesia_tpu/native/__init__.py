@@ -63,6 +63,13 @@ def _load():
             c.c_int, c.c_int, c.POINTER(c.c_uint8), c.c_int,
             c.POINTER(c.c_uint8),
         ]
+        lib.halve_x_u16.argtypes = [
+            c.POINTER(c.c_uint16), c.c_int64, c.c_int64, c.POINTER(c.c_uint16),
+        ]
+        lib.u16_rgba_rows_bottom_up.argtypes = [
+            c.POINTER(c.c_uint16), c.c_int64, c.c_int64,
+            c.POINTER(c.c_uint8), c.POINTER(c.c_uint8),
+        ]
         lib.waveform_bin_stats.argtypes = [
             c.POINTER(c.c_float), c.c_int64, c.c_int64, c.c_int64, c.c_int64,
             c.POINTER(c.c_float),
@@ -120,6 +127,32 @@ def spectrogram_tile_rgba(
         _ptr(spec, ctypes.c_uint16), spec.shape[0], spec.shape[1],
         left, top, right, bottom, width, height,
         _ptr(cm, ctypes.c_uint8), cm.shape[0], _ptr(out, ctypes.c_uint8),
+    )
+    return out
+
+
+def halve_x_u16(src: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    src = np.ascontiguousarray(src, np.uint16)
+    h, w = src.shape
+    out = np.empty((h, (w + 1) // 2), np.uint16)
+    lib.halve_x_u16(_ptr(src, ctypes.c_uint16), h, w, _ptr(out, ctypes.c_uint16))
+    return out
+
+
+def u16_rgba_rows_bottom_up(pixels: np.ndarray, lut_rgba: np.ndarray) -> np.ndarray:
+    """pixels (h, w) u16 + LUT (65536, 4) u8 -> flat RGBA bytes, rows
+    bottom-up."""
+    lib = _load()
+    assert lib is not None
+    pixels = np.ascontiguousarray(pixels, np.uint16)
+    lut = np.ascontiguousarray(lut_rgba, np.uint8)
+    h, w = pixels.shape
+    out = np.empty(h * w * 4, np.uint8)
+    lib.u16_rgba_rows_bottom_up(
+        _ptr(pixels, ctypes.c_uint16), h, w,
+        _ptr(lut, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
     )
     return out
 

@@ -147,6 +147,36 @@ void spectrogram_tile_rgba(const uint16_t *spec, int src_h, int src_w,
   }
 }
 
+// X-axis mip halving: (h, w) u16 -> (h, ceil(w/2)) u16, pairwise
+// round-half-up average, odd trailing column copied through.  Used by the
+// render mip chain (render/mips.py) that replaces the reference's
+// per-request full-res LOD resize (render_tiles.rs:281-315).
+void halve_x_u16(const uint16_t *src, int64_t h, int64_t w, uint16_t *out) {
+  const int64_t half = w / 2;
+  const int64_t out_w = (w + 1) / 2;
+  for (int64_t y = 0; y < h; ++y) {
+    const uint16_t *row = src + y * w;
+    uint16_t *orow = out + y * out_w;
+    for (int64_t x = 0; x < half; ++x)
+      orow[x] =
+          (uint16_t)(((uint32_t)row[2 * x] + (uint32_t)row[2 * x + 1] + 1) >> 1);
+    if (w & 1) orow[out_w - 1] = row[w - 1];
+  }
+}
+
+// Colormap a u16 image through a prebuilt 65536-entry RGBA LUT, emitting
+// rows bottom-up (high freq first) — the identity-LOD tile fast path.
+void u16_rgba_rows_bottom_up(const uint16_t *pixels, int64_t h, int64_t w,
+                             const uint8_t *lut_rgba /* 65536*4 */,
+                             uint8_t *out_rgba) {
+  const uint32_t *lut = (const uint32_t *)lut_rgba;
+  for (int64_t row = 0; row < h; ++row) {
+    const uint16_t *prow = pixels + (h - 1 - row) * w;
+    uint32_t *orow = (uint32_t *)(out_rgba + (size_t)row * w * 4);
+    for (int64_t x = 0; x < w; ++x) orow[x] = lut[prow[x]];
+  }
+}
+
 // Waveform bins: (min, max, mean) per bin.  out: bin_count*3 f32 (min,max,mean)
 // (reference: render_tiles.rs:249-279)
 void waveform_bin_stats(const float *wav, int64_t start, int64_t end,

@@ -123,30 +123,77 @@ def encode_spectrogram_tile(
     if width == 0 or height == 0:
         return header
 
-    left = origin_x * src_w / lod_width
+    # coarse LODs read from the X mip chain instead of the full-res image
+    # (render/mips.py); mip level m has width == ceil(src_w / 2^m), so the
+    # same fractional-crop mapping applies with src_w -> mip width.
+    src = spectrogram
+    m = 0
+    if level_x >= 1 and hasattr(spectrogram, "mip_for_level"):
+        src, m = spectrogram.mip_for_level(level_x)
+    src_mw = src.shape[1]
+
+    if m == level_x:
+        # X axis is identity at the matching chain entry: crop columns first
+        # so the residual (Y-only) resize reads a tile-sized window
+        src = np.ascontiguousarray(src[:, origin_x : origin_x + width])
+        if level_y == 0:
+            # full identity: pure crop + colormap LUT
+            lod_pixels = src[origin_y : origin_y + height]
+            return header + _colormap_rows_bottom_up(lod_pixels, colormap_rgba)
+        left, right = 0.0, float(width)
+    else:
+        left = origin_x * src_mw / lod_width
+        right = (origin_x + width) * src_mw / lod_width
     top = origin_y * src_h / lod_height
-    right = (origin_x + width) * src_w / lod_width
     bottom = (origin_y + height) * src_h / lod_height
 
     from .. import native
 
     if native.available():
         rgba_bytes = native.spectrogram_tile_rgba(
-            spectrogram, (left, top, right, bottom), width, height,
+            np.asarray(src), (left, top, right, bottom), width, height,
             np.ascontiguousarray(colormap_rgba),
         )
         return header + rgba_bytes.tobytes()
 
     lod_pixels = lanczos3_crop_resize_u16(
-        spectrogram, (left, top, right, bottom), width, height
+        np.asarray(src), (left, top, right, bottom), width, height
     )
-    n_colors = colormap_rgba.shape[0]
-    if n_colors <= 1:
-        color_index = np.zeros_like(lod_pixels, np.int64)
-    else:
-        color_index = (lod_pixels.astype(np.int64) * (n_colors - 1) + 32767) // 65535
-    rgba = colormap_rgba[color_index]  # (h, w, 4)
-    return header + rgba[::-1].tobytes()  # rows bottom-up: high freq first
+    return header + _colormap_rows_bottom_up(lod_pixels, colormap_rgba)
+
+
+_U16_LUT_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _u16_rgba_lut(colormap_rgba: np.ndarray) -> np.ndarray:
+    """(65536, 4) u8 lookup folding the index math of render_tiles.rs:345
+    ((v*(n-1)+32767)/65535) into one gather; cached per colormap content."""
+    key = (colormap_rgba.shape[0], hash(colormap_rgba.tobytes()))
+    lut = _U16_LUT_CACHE.get(key)
+    if lut is None:
+        n_colors = colormap_rgba.shape[0]
+        v = np.arange(65536, dtype=np.int64)
+        idx = (
+            np.zeros(65536, np.int64)
+            if n_colors <= 1
+            else (v * (n_colors - 1) + 32767) // 65535
+        )
+        lut = np.ascontiguousarray(colormap_rgba[idx])
+        if len(_U16_LUT_CACHE) > 4:
+            _U16_LUT_CACHE.clear()
+        _U16_LUT_CACHE[key] = lut
+    return lut
+
+
+def _colormap_rows_bottom_up(lod_pixels: np.ndarray, colormap_rgba: np.ndarray) -> bytes:
+    """u16 LOD pixels -> RGBA bytes, rows bottom-up (high freq first)."""
+    from .. import native
+
+    lut = _u16_rgba_lut(colormap_rgba)
+    if native.available():
+        return native.u16_rgba_rows_bottom_up(lod_pixels, lut).tobytes()
+    rgba = lut[lod_pixels]  # (h, w, 4)
+    return rgba[::-1].tobytes()
 
 
 def decode_waveform_tile(data: bytes):
