@@ -84,6 +84,7 @@ def main() -> None:
             "max_peak_db": st.max_peak_db,
         }
 
+        s.tm.images.drain()  # settle isComputing for a deterministic golden
         md0 = s.get_audio_render_metadata("0_0")
         md1 = s.get_audio_render_metadata("1_0")
         out["synth48k"]["metadata"] = md0
@@ -132,6 +133,7 @@ def main() -> None:
                 {"winMillisec": 20, "tOverlap": 4, "fOverlap": 1, "freqScale": "Linear"}
             ).to_json()
         )
+        s.tm.images.drain()
         md20 = s.get_audio_render_metadata("0_0")
         out["synth48k_metadata_20ms_linear"] = md20
         data = s.get_spectrogram_tile("0_0", 1, 1, 1, 0)

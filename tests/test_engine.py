@@ -136,7 +136,9 @@ def test_device_quantizer_matches_host(corpus):
     quantizer (drawing.rs semantics) on real audio."""
     import jax.numpy as jnp
 
-    from thesia_tpu.engine.manager import _quantize_multi
+    from thesia_tpu.dsp.spectrogram import frame_cap
+    from thesia_tpu.engine.images import _quantize_and_mips, mip_plan
+    from thesia_tpu.render.mips import build_mip_chain
     from thesia_tpu.render.visualize import convert_spectrogram_to_img
 
     tl = TrackList()
@@ -145,15 +147,26 @@ def test_device_quantizer_matches_host(corpus):
     tm.add_tracks(tl, added)
     tm.apply_track_list_changes(tl)
     res = tm.specs[0]
-    i_freq_range = tm.setting.freq_scale.hz_range_to_idx(
+    i_start, i_end = tm.setting.freq_scale.hz_range_to_idx(
         (0.0, tm.max_sr / 2.0), tl[0].sr, res.n_freq
     )
-    dev = np.asarray(
-        _quantize_multi(res.db_padded, i_freq_range, (tm.min_db, tm.max_db), tm.colormap_length)
-    )[0, :, : res.n_frames]
+    levels = tuple(mip_plan(res.n_frames))
+    outs = _quantize_and_mips(
+        res.db_padded,
+        jnp.float32(tm.min_db),
+        jnp.float32(tm.max_db - tm.min_db),
+        jnp.int32(res.n_frames),
+        i_start=i_start,
+        n_rows=max(min(i_end, res.n_freq) - i_start, 0),
+        height=i_end - i_start,
+        min_value=max(int(np.round(65535.0 / tm.colormap_length)), 1),
+        mip_levels=levels,
+        t_valid_static=frame_cap(res.n_frames),
+    )
+    dev = np.asarray(outs[0])[0, :, : res.n_frames]
     host = convert_spectrogram_to_img(
         np.asarray(res.db_padded)[0, : res.n_frames],
-        i_freq_range,
+        (i_start, i_end),
         (tm.min_db, tm.max_db),
         tm.colormap_length,
     )
@@ -162,6 +175,14 @@ def test_device_quantizer_matches_host(corpus):
     diff = np.abs(dev.astype(int) - host.astype(int))
     assert diff.max() <= 1
     assert (diff == 0).mean() > 0.999
+    # device mip chain == host chain built on the exactly-sliced image
+    # (garbage-column clamping makes odd-width tails match the host's
+    # copy-through at every level)
+    host_chain = build_mip_chain(dev, min_width=1)
+    for lvl, mip_dev in zip(levels, outs[1:]):
+        want_w = -(-res.n_frames // (1 << lvl))
+        got = np.asarray(mip_dev)[0, :, :want_w]
+        np.testing.assert_array_equal(got, host_chain[lvl - 1][:, :want_w])
 
 
 def test_many_tracks_mixed_sr_batched_scale(tmp_path):

@@ -135,6 +135,7 @@ def test_synth48k_u16_image_anchors(G, session):
 
 
 def test_metadata_anchors(G, session):
+    session.tm.images.drain()  # goldens pin the settled (isComputing=False) state
     assert session.get_audio_render_metadata("0_0") == G["synth48k"]["metadata"]
     assert session.get_audio_render_metadata("1_0") == G["sample16k_metadata"]
 
@@ -226,6 +227,7 @@ def test_settings_change_recompute_anchors(G, session):
     session.set_spec_setting(
         {"winMillisec": 20, "tOverlap": 4, "fOverlap": 1, "freqScale": "Linear"}
     )
+    session.tm.images.drain()
     md = session.get_audio_render_metadata("0_0")
     g = dict(G["synth48k_metadata_20ms_linear"])
     got = dict(md)

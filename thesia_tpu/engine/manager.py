@@ -16,41 +16,12 @@ import jax.numpy as jnp
 
 from ..common.freqscale import FreqScale
 from ..dsp.framing import SpecSetting
-from ..dsp.spectrogram import SpectrogramAnalyzer
+from ..dsp.spectrogram import SpectrogramAnalyzer, frame_cap
 from ..obs import span
-from ..render.mips import SpecImage
-from ..render.visualize import convert_spectrogram_to_img
+from .images import SpecImageStore, TrackImages, _quantize_and_mips, mip_plan
 from .track import TrackList
 
 IdCh = tuple[int, int]
-
-
-def _quantize_multi(db_padded, i_freq_range, db_range, colormap_length):
-    """(C, T_pad, F) dB -> (C, H, T_pad) u16 on device.
-
-    Same semantics as render.visualize.convert_spectrogram_to_img
-    (drawing.rs:6-36), batched over channels; invalid trailing frames carry
-    garbage that the caller slices off.
-    """
-    import jax.numpy as jnp
-
-    i_start, i_end = i_freq_range
-    height = i_end - i_start
-    c, t_pad, f_avail = db_padded.shape
-    if db_range[0] == db_range[1] and np.isneginf(db_range[1]):
-        return jnp.zeros((c, height, t_pad), jnp.uint16)
-    min_value = max(int(np.round(65535.0 / colormap_length)), 1) if colormap_length else 1
-    u16_span = np.float32(65535 - min_value)
-    db_span = np.float32(db_range[1] - db_range[0])
-    n_rows = max(min(i_end, f_avail) - i_start, 0)
-    out = jnp.zeros((c, height, t_pad), jnp.uint16)
-    if n_rows > 0:
-        sub = jnp.swapaxes(db_padded[:, :, i_start : i_start + n_rows], 1, 2)
-        vals = (sub - np.float32(db_range[0])) / db_span * u16_span + np.float32(min_value)
-        vals = jnp.where(jnp.isnan(vals), 0.0, vals)
-        rounded = jnp.sign(vals) * jnp.floor(jnp.abs(vals) + 0.5)
-        out = out.at[:, :n_rows].set(jnp.clip(rounded, 0.0, 65535.0).astype(jnp.uint16))
-    return out
 
 
 class TrackManager:
@@ -64,9 +35,16 @@ class TrackManager:
         self.spec_analyzer = SpectrogramAnalyzer()
         # per-track SpecResult covering all channels (device-resident)
         self.specs: dict[int, object] = {}
-        self.spec_imgs: dict[IdCh, np.ndarray] = {}  # u16 images (H, T)
+        # device-resident u16 images + background host streaming
+        self.images = SpecImageStore()
         self._spec_n_ch: dict[int, int] = {}
         self._no_spec_img_ids: set[int] = set()
+
+    @property
+    def spec_imgs(self) -> dict[IdCh, np.ndarray]:
+        """Blocking host view of every landed image — test/golden surface
+        (drains the streamer; interactive paths use self.images directly)."""
+        return self.images.completed_images()
 
     # -- lifecycle mirrors of the reference API ----------------------------
     def add_tracks(self, tracklist: TrackList, added_ids: list[int]) -> None:
@@ -79,7 +57,7 @@ class TrackManager:
 
     def remove_tracks(self, tracklist: TrackList, removed_id_ch: list[IdCh]) -> None:
         for tup in removed_id_ch:
-            self.spec_imgs.pop(tup, None)
+            self.images.remove(tup[0])
             self.specs.pop(tup[0], None)
             self._spec_n_ch.pop(tup[0], None)
             self.spec_analyzer.drop_wav(tup[0])
@@ -111,7 +89,10 @@ class TrackManager:
         self._update_spec_imgs(tracklist, force_update_all=True)
 
     def get_spectrogram(self, id_ch: IdCh) -> np.ndarray | None:
-        return self.spec_imgs.get(id_ch)
+        """Host image, waiting for streaming to land (test/back-compat
+        surface; interactive tile serving goes through self.images)."""
+        self.images.drain()
+        return self.images.host_image(*id_ch)
 
     # -- internals ---------------------------------------------------------
     def _update_specs(self, tracklist: TrackList, id_ch_tuples, params) -> None:
@@ -185,25 +166,51 @@ class TrackManager:
             ids_need_update = set(self._no_spec_img_ids)
             self._no_spec_img_ids.clear()
 
-        if ids_need_update:
-            if need_update_all:
-                self.spec_imgs.clear()
-            for track_id, res in self.specs.items():
-                if track_id not in ids_need_update:
-                    continue
-                sr = tracklist[track_id].sr
-                i_freq_range = self.setting.freq_scale.hz_range_to_idx(
-                    (0.0, self.max_sr / 2.0), sr, res.n_freq
-                )
-                # quantize on device (u16 halves the transfer), one bulk
-                # d2h per track covering all channels
-                imgs_dev = _quantize_multi(
-                    res.db_padded,
-                    i_freq_range,
-                    (self.min_db, self.max_db),
-                    self.colormap_length,
-                )
-                host = np.asarray(imgs_dev)[:, :, : res.n_frames]
-                for ch in range(self._spec_n_ch.get(track_id, host.shape[0])):
-                    self.spec_imgs[(track_id, ch)] = SpecImage(host[ch])
+        for track_id, res in self.specs.items():
+            if track_id not in ids_need_update:
+                continue
+            self._dispatch_quantize(tracklist, track_id, res)
         return ids_need_update
+
+    def _dispatch_quantize(self, tracklist: TrackList, track_id: int, res) -> None:
+        """ONE device program per track: quantize + device mip chain, with
+        the dB range as dynamic scalars (range changes never recompile).
+        Returns after dispatch — no host transfer happens here; the image
+        store streams bytes to the host in the background and serves interim
+        tiles by per-region d2h (measured tunnel d2h is ~10 MB/s, so eager
+        full-image transfers were the round-2 latency tail: 93 s for a
+        1-hour track)."""
+        track = tracklist.get(track_id)
+        if track is None or res.n_frames == 0:
+            return
+        i_start, i_end = self.setting.freq_scale.hz_range_to_idx(
+            (0.0, self.max_sr / 2.0), track.sr, res.n_freq
+        )
+        height = i_end - i_start
+        n_rows = max(min(i_end, res.n_freq) - i_start, 0)
+        min_value = (
+            max(int(np.round(65535.0 / self.colormap_length)), 1)
+            if self.colormap_length
+            else 1
+        )
+        levels = tuple(mip_plan(res.n_frames))
+        outs = _quantize_and_mips(
+            res.db_padded,
+            jnp.float32(self.min_db),
+            jnp.float32(self.max_db - self.min_db),
+            jnp.int32(res.n_frames),
+            i_start=i_start,
+            n_rows=n_rows,
+            height=height,
+            min_value=min_value,
+            mip_levels=levels,
+            t_valid_static=frame_cap(res.n_frames),
+        )
+        n_ch = self._spec_n_ch.get(track_id, res.db_padded.shape[0])
+        self.images.set_images(
+            track_id,
+            TrackImages(
+                track_id, n_ch, res.n_frames, height,
+                outs[0], dict(zip(levels, outs[1:])),
+            ),
+        )

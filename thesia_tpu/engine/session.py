@@ -26,7 +26,11 @@ from ..dsp.framing import SpecSetting
 from ..dynamics.guard import GuardClippingMode
 from ..dynamics.normalize import NormalizeTarget
 from ..player.player import PLAY_BIG_JUMP_SEC, PLAY_JUMP_SEC, Player
-from ..render.tiles import RenderTileCache, encode_waveform_tile
+from ..render.tiles import (
+    RenderTileCache,
+    encode_waveform_tile,
+    spectrogram_tile_header,
+)
 from .manager import TrackManager
 from .track import TrackList
 
@@ -165,6 +169,7 @@ class EngineSession:
         def work():
             if not self.tracklist.is_empty:
                 self.tracklist = TrackList()
+                self.tm.images.shutdown()
                 self.tm = TrackManager()
             self.tm.set_colormap_length(self.tracklist, len(colormap_rgba) // 4)
             if "specSetting" in stored:
@@ -341,9 +346,15 @@ class EngineSession:
         if ch >= track.n_ch:
             raise KeyError(f"Track {track_id} has no channel {ch}")
         wav, is_clipped = track.channel_for_drawing(ch)
-        img = self.tm.get_spectrogram((track_id, ch))
-        shape = tuple(img.shape) if img is not None else None
-        return self.tile_cache.metadata(len(wav), track.sr, track.sec, is_clipped, shape)
+        # shape comes from the image store's geometry — known as soon as the
+        # quantize program is DISPATCHED, long before the bytes land on the
+        # host (VERDICT r2 #1: metadata must not wait for the image)
+        shape = self.tm.images.geometry(track_id)
+        md = self.tile_cache.metadata(len(wav), track.sr, track.sec, is_clipped, shape)
+        # still streaming from the device: the viewer keeps polling/backoff
+        # instead of giving up after its metadata retry budget
+        md["isComputing"] = self.tm.images.is_computing(track_id)
+        return md
 
     def get_waveform_tile(self, id_ch_str: str, level: int, tile_index: int) -> bytes:
         level = _as_index(level, "level")
@@ -371,11 +382,22 @@ class EngineSession:
         tile_x = _as_index(tile_x, "tileX")
         tile_y = _as_index(tile_y, "tileY")
         track_id, ch = parse_id_ch_str(id_ch_str)
-        img = self.tm.get_spectrogram((track_id, ch))
-        if img is None:
+        geo = self.tm.images.geometry(track_id)
+        if geo is None:
             raise KeyError(f"Spectrogram {id_ch_str} does not exist")
+        height, n_frames = geo
         with span("tile.spectrogram_encode"):
-            return self.tile_cache.spectrogram_tile(img, level_x, level_y, tile_x, tile_y)
+            body = self.tm.images.tile_body(
+                track_id, ch, self.tile_cache.colormap_rgba,
+                level_x, level_y, tile_x, tile_y,
+            )
+            if body is None:
+                raise KeyError(f"Spectrogram {id_ch_str} does not exist")
+            header = spectrogram_tile_header(
+                self.tile_cache.spectrogram_revision, height, n_frames,
+                level_x, level_y, tile_x, tile_y,
+            )
+            return header + body
 
     def get_limiter_gain(self, track_id: int) -> list[float] | None:
         track = self.tracklist.get(track_id)

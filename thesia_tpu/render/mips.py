@@ -51,6 +51,15 @@ def halve_x_u16(img: np.ndarray) -> np.ndarray:
     return out
 
 
+def chain_len(width: int, min_width: int = MIP_MIN_WIDTH) -> int:
+    """Number of chain entries build_mip_chain produces for a given width."""
+    n = 0
+    while width > min_width:
+        width = (width + 1) // 2
+        n += 1
+    return n
+
+
 def build_mip_chain(img: np.ndarray, min_width: int = MIP_MIN_WIDTH) -> list[np.ndarray]:
     """[level1, level2, ...] box-halved copies; empty for narrow images."""
     chain: list[np.ndarray] = []

@@ -81,19 +81,13 @@ def encode_waveform_tile(wav: np.ndarray, revision: int, level: int, tile_index:
     return header + body.tobytes()
 
 
-def encode_spectrogram_tile(
-    spectrogram: np.ndarray,
-    colormap_rgba: np.ndarray,
-    revision: int,
-    level_x: int,
-    level_y: int,
-    tile_x: int,
-    tile_y: int,
-) -> bytes:
-    """spectrogram: (H, W) u16 full-res image. reference: render_tiles.rs:281-352."""
+def spectrogram_tile_geometry(
+    src_h: int, src_w: int, level_x: int, level_y: int, tile_x: int, tile_y: int
+) -> dict:
+    """Tile geometry in LOD coordinates for a full-res (src_h, src_w) image.
+    reference: render_tiles.rs:281-352 (core + interior gutters)."""
     scale_x = 1 << level_x
     scale_y = 1 << level_y
-    src_h, src_w = spectrogram.shape
     lod_width = -(-src_w // scale_x)
     lod_height = -(-src_h // scale_y)
     start_x = tile_x * SPECTROGRAM_TILE_SIZE
@@ -107,18 +101,77 @@ def encode_spectrogram_tile(
     else:
         width = min(lod_width, start_x + core_w + SPECTROGRAM_TILE_GUTTER) - origin_x
         height = min(lod_height, start_y + core_h + SPECTROGRAM_TILE_GUTTER) - origin_y
+    return {
+        "width": width,
+        "height": height,
+        "origin_x": origin_x,
+        "origin_y": origin_y,
+        "lod_width": lod_width,
+        "lod_height": lod_height,
+    }
 
-    header = struct.pack(
+
+def spectrogram_tile_source_cols(
+    src_w: int, level_x: int, tile_x: int, mip_level: int, src_h: int = 1,
+    level_y: int = 0, tile_y: int = 0,
+) -> tuple[int, int] | None:
+    """Column range [x0, x1) of the level-`mip_level` source that fully
+    covers a tile's Lanczos3 taps (support 3 * scale around each center, so
+    a source cropped to this range encodes byte-identically to the full
+    image).  None for an empty tile.  Coordinates are in mip-level space
+    (mip m width == ceil(src_w / 2^m))."""
+    g = spectrogram_tile_geometry(src_h, src_w, level_x, level_y, tile_x, tile_y)
+    if g["width"] == 0:
+        return None
+    mw = -(-src_w // (1 << mip_level))
+    left = g["origin_x"] * mw / g["lod_width"]
+    right = (g["origin_x"] + g["width"]) * mw / g["lod_width"]
+    scale = max((right - left) / g["width"], 1.0)
+    margin = int(np.ceil(3.0 * scale)) + 2
+    x0 = max(int(np.floor(left)) - margin, 0)
+    x1 = min(int(np.ceil(right)) + margin, mw)
+    return x0, x1
+
+
+def spectrogram_tile_header(
+    revision: int, src_h: int, src_w: int,
+    level_x: int, level_y: int, tile_x: int, tile_y: int,
+) -> bytes:
+    """40 B header for a tile of a full-res (src_h, src_w) image."""
+    g = spectrogram_tile_geometry(src_h, src_w, level_x, level_y, tile_x, tile_y)
+    return struct.pack(
         "<QIIIIIIII",
         revision,
-        width,
-        height,
+        g["width"],
+        g["height"],
         level_x,
         level_y,
         tile_x,
         tile_y,
-        origin_x,
-        origin_y,
+        g["origin_x"],
+        g["origin_y"],
+    )
+
+
+def encode_spectrogram_tile(
+    spectrogram: np.ndarray,
+    colormap_rgba: np.ndarray,
+    revision: int,
+    level_x: int,
+    level_y: int,
+    tile_x: int,
+    tile_y: int,
+) -> bytes:
+    """spectrogram: (H, W) u16 full-res image (optionally a SpecImage
+    carrying an X mip chain). reference: render_tiles.rs:281-352."""
+    src_h, src_w = spectrogram.shape
+    g = spectrogram_tile_geometry(src_h, src_w, level_x, level_y, tile_x, tile_y)
+    width, height = g["width"], g["height"]
+    origin_x, origin_y = g["origin_x"], g["origin_y"]
+    lod_width, lod_height = g["lod_width"], g["lod_height"]
+
+    header = spectrogram_tile_header(
+        revision, src_h, src_w, level_x, level_y, tile_x, tile_y
     )
     if width == 0 or height == 0:
         return header
@@ -130,20 +183,48 @@ def encode_spectrogram_tile(
     m = 0
     if level_x >= 1 and hasattr(spectrogram, "mip_for_level"):
         src, m = spectrogram.mip_for_level(level_x)
-    src_mw = src.shape[1]
+    return header + encode_tile_body_from_source(
+        np.asarray(src), m, 0, src_w, colormap_rgba,
+        level_x, level_y, width, height, origin_x, origin_y, lod_width, lod_height,
+    )
 
-    if m == level_x:
+
+def encode_tile_body_from_source(
+    src: np.ndarray,
+    mip_level: int,
+    src_x0: int,
+    full_src_w: int,
+    colormap_rgba: np.ndarray,
+    level_x: int,
+    level_y: int,
+    width: int,
+    height: int,
+    origin_x: int,
+    origin_y: int,
+    lod_width: int,
+    lod_height: int,
+) -> bytes:
+    """RGBA body of a tile from a (possibly partial, possibly mip-level)
+    source.  `src` holds columns [src_x0, src_x0 + src.shape[1]) of the
+    level-`mip_level` image (all rows); the caller guarantees the Lanczos3
+    support window fits (spectrogram_tile_source_cols).  Border-clamp
+    renormalization only engages at true image borders, so a sufficiently
+    wide partial source is byte-identical to the full one."""
+    src_h = src.shape[0]
+    src_mw = -(-full_src_w // (1 << mip_level))
+
+    if mip_level == level_x:
         # X axis is identity at the matching chain entry: crop columns first
         # so the residual (Y-only) resize reads a tile-sized window
-        src = np.ascontiguousarray(src[:, origin_x : origin_x + width])
+        src = np.ascontiguousarray(src[:, origin_x - src_x0 : origin_x - src_x0 + width])
         if level_y == 0:
             # full identity: pure crop + colormap LUT
             lod_pixels = src[origin_y : origin_y + height]
-            return header + _colormap_rows_bottom_up(lod_pixels, colormap_rgba)
+            return _colormap_rows_bottom_up(lod_pixels, colormap_rgba)
         left, right = 0.0, float(width)
     else:
-        left = origin_x * src_mw / lod_width
-        right = (origin_x + width) * src_mw / lod_width
+        left = origin_x * src_mw / lod_width - src_x0
+        right = (origin_x + width) * src_mw / lod_width - src_x0
     top = origin_y * src_h / lod_height
     bottom = (origin_y + height) * src_h / lod_height
 
@@ -154,12 +235,12 @@ def encode_spectrogram_tile(
             np.asarray(src), (left, top, right, bottom), width, height,
             np.ascontiguousarray(colormap_rgba),
         )
-        return header + rgba_bytes.tobytes()
+        return rgba_bytes.tobytes()
 
     lod_pixels = lanczos3_crop_resize_u16(
         np.asarray(src), (left, top, right, bottom), width, height
     )
-    return header + _colormap_rows_bottom_up(lod_pixels, colormap_rgba)
+    return _colormap_rows_bottom_up(lod_pixels, colormap_rgba)
 
 
 _U16_LUT_CACHE: dict[tuple, np.ndarray] = {}

@@ -30,12 +30,18 @@ export class TrackViewport {
   }
 
   async refreshMetadata() {
-    // retry while spectrogram is still computing (reference retries 20x100ms)
-    for (let i = 0; i < 20; i++) {
+    // retry while spectrogram is still computing (reference retries 20x100ms;
+    // our engine additionally reports isComputing while the image streams
+    // from the device, so long tracks keep polling with backoff instead of
+    // sitting empty after 2 s)
+    let delay = 100;
+    for (let i = 0; i < 60; i++) {
       this.metadata = await api.getMetadata(this.idChStr);
       if (!this.metadata) return;
       if (this.metadata.spectrogramWidth > 0) break;
-      await new Promise((r) => setTimeout(r, 100));
+      if (i >= 19 && !this.metadata.isComputing) break;
+      await new Promise((r) => setTimeout(r, delay));
+      delay = Math.min(delay * 1.25, 2000);
     }
     const md = this.metadata;
     // drop stale revisions for this row (server bumped on settings change)
