@@ -76,10 +76,9 @@ def _loudness(energy):
         return -0.691 + 10.0 * np.log10(energy)
 
 
-def integrated_lufs(wavs: np.ndarray, sr: int) -> float:
-    """Integrated (gated) loudness in LUFS; -inf if no gating blocks pass."""
-    wavs = np.atleast_2d(np.asarray(wavs))
-    z = _block_energies(k_weight(wavs, sr), sr)
+def gated_lufs_from_blocks(z: np.ndarray) -> float:
+    """BS.1770 gating over 400 ms block energies: -70 LUFS absolute gate,
+    then -10 LU relative gate, energy-averaged."""
     if z.size == 0:
         return -np.inf
     l_j = _loudness(z)
@@ -91,6 +90,24 @@ def integrated_lufs(wavs: np.ndarray, sr: int) -> float:
     if gated.size == 0:
         return -np.inf
     return float(_loudness(gated.mean()))
+
+
+def blocks_from_segment_energies(segs: np.ndarray, sr: int) -> np.ndarray:
+    """Per-100ms weighted K-energy sums (native.audio_stats output) ->
+    400 ms gating-block energies (4-segment sliding sums / win)."""
+    n_segs = segs.shape[0]
+    if n_segs < 4:
+        return np.zeros(0)
+    win = 4 * ((sr + 5) // 10)
+    c = np.concatenate([[0.0], np.cumsum(segs)])
+    return (c[4:] - c[:-4]) / win
+
+
+def integrated_lufs(wavs: np.ndarray, sr: int) -> float:
+    """Integrated (gated) loudness in LUFS; -inf if no gating blocks pass."""
+    wavs = np.atleast_2d(np.asarray(wavs))
+    z = _block_energies(k_weight(wavs, sr), sr)
+    return gated_lufs_from_blocks(z)
 
 
 def momentary_loudness(wavs: np.ndarray, sr: int) -> np.ndarray:

@@ -37,7 +37,10 @@ class Audio:
     @property
     def stats(self) -> AudioStats:
         if self._stats is None:
-            self._stats = calc_stats(self.wavs, self.sr)
+            from ..obs import span
+
+            with span("stats"):
+                self._stats = calc_stats(self.wavs, self.sr)
         return self._stats
 
     @stats.setter
@@ -84,10 +87,14 @@ class Audio:
         """f(wavs)->wavs, then guard clipping, then stats recompute (lazy).
         gain_seq: precomputed limiter gains (batched device path).
         reference: audio.rs:50-63."""
-        new_wavs = f(self.wavs)
-        new_wavs, result = guard_clipping(
-            new_wavs, self.sr, guard_clipping_mode, gain_seq=gain_seq
-        )
+        from ..obs import span
+
+        with span("gain_apply"):
+            new_wavs = f(self.wavs)
+        with span("guard_clipping"):
+            new_wavs, result = guard_clipping(
+                new_wavs, self.sr, guard_clipping_mode, gain_seq=gain_seq
+            )
         self.wavs = new_wavs
         self.version = next(_audio_versions)
         self.guard_clip_result = result

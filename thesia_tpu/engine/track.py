@@ -215,11 +215,13 @@ class TrackList:
         if len(tracks) < 2:
             return
         from ..dynamics import stats_device
+        from ..obs import span
 
         items = [(i, t.original.wavs, t.sr) for i, t in enumerate(tracks)]
         stats = None
         try:
-            stats = stats_device.calc_stats_batched(items)
+            with span("stats.batched"):
+                stats = stats_device.calc_stats_batched(items)
         except Exception:
             stats = None
         if stats is not None:
@@ -237,12 +239,19 @@ class TrackList:
         into one device program per (sr, bucket) group
         (dynamics.stats_device); other modes (and f64-less backends) take
         the per-track path.  reference: track.rs:152-170 + mod.rs loop."""
+        from ..obs import span
+
         mode = self.common_guard_clipping
         target = self.common_normalize
         if mode is not GuardClippingMode.Limiter or len(tracks) < 2:
-            for track in tracks:
-                track.normalize(target, mode)
+            with span("normalize"):
+                for track in tracks:
+                    track.normalize(target, mode)
             return
+        with span("normalize"):
+            self._normalize_tracks_limiter_batched(tracks, target, mode)
+
+    def _normalize_tracks_limiter_batched(self, tracks, target, mode) -> None:
         plan: list[tuple[AudioTrack, float, np.ndarray]] = []
         rest: list[tuple[AudioTrack, float]] = []
         for track in tracks:

@@ -82,6 +82,17 @@ def _load():
         lib.limiter_apply.argtypes = [
             c.POINTER(c.c_float), c.c_int64, c.c_int64, c.POINTER(c.c_double),
         ]
+        lib.pcm_to_f32_planar.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int64, c.c_int64, c.c_int,
+            c.POINTER(c.c_float),
+        ]
+        lib.audio_stats.argtypes = [
+            c.POINTER(c.c_float), c.c_int64, c.c_int64, c.c_uint32,
+            c.POINTER(c.c_double), c.POINTER(c.c_double),
+            c.POINTER(c.c_double), c.POINTER(c.c_double),
+            c.POINTER(c.c_double), c.c_int64,
+            c.POINTER(c.c_double), c.POINTER(c.c_double),
+        ]
         lib.flac_decode.argtypes = [
             c.POINTER(c.c_uint8), c.c_size_t, c.POINTER(c.POINTER(c.c_float)),
             c.POINTER(c.c_uint32), c.POINTER(c.c_uint32),
@@ -190,6 +201,47 @@ def limiter_apply(wavs: np.ndarray, gain: np.ndarray) -> np.ndarray:
     gain = np.ascontiguousarray(gain, np.float64)
     lib.limiter_apply(_ptr(wavs, ctypes.c_float), wavs.shape[0], wavs.shape[1], _ptr(gain, ctypes.c_double))
     return wavs
+
+
+_PCM_FMT = {"f32": 0, "f64": 1, "u8": 2, "s16": 3, "s24": 4, "s32": 5}
+_PCM_BYTES = {"f32": 4, "f64": 8, "u8": 1, "s16": 2, "s24": 3, "s32": 4}
+
+
+def pcm_to_f32_planar(payload: bytes | np.ndarray, n_ch: int, fmt: str) -> np.ndarray:
+    """Interleaved PCM payload -> planar (n_ch, n) f32."""
+    lib = _load()
+    assert lib is not None
+    src = np.frombuffer(payload, np.uint8) if isinstance(payload, (bytes, bytearray, memoryview)) else np.ascontiguousarray(payload, np.uint8)
+    bpp = _PCM_BYTES[fmt]
+    n = len(src) // (bpp * n_ch)
+    out = np.empty((n_ch, n), np.float32)
+    lib.pcm_to_f32_planar(
+        _ptr(src, ctypes.c_uint8), n, n_ch, _PCM_FMT[fmt], _ptr(out, ctypes.c_float)
+    )
+    return out
+
+
+def audio_stats(wavs: np.ndarray, sr: int, coeffs) -> tuple[np.ndarray, float, float]:
+    """One streaming pass: (per-100ms weighted K-energies, sum_sq, abs_max).
+    coeffs = (b1, a1, b2, a2) f64 arrays from loudness.k_weighting_coeffs."""
+    lib = _load()
+    assert lib is not None
+    wavs = np.ascontiguousarray(np.atleast_2d(wavs), np.float32)
+    n_ch, n = wavs.shape
+    s100 = (sr + 5) // 10
+    n_segs = n // s100 if s100 else 0
+    segs = np.empty(max(n_segs, 1), np.float64)
+    b1, a1, b2, a2 = (np.ascontiguousarray(c, np.float64) for c in coeffs)
+    sum_sq = ctypes.c_double()
+    abs_max = ctypes.c_double()
+    lib.audio_stats(
+        _ptr(wavs, ctypes.c_float), n_ch, n, sr,
+        _ptr(b1, ctypes.c_double), _ptr(a1, ctypes.c_double),
+        _ptr(b2, ctypes.c_double), _ptr(a2, ctypes.c_double),
+        _ptr(segs, ctypes.c_double), n_segs,
+        ctypes.byref(sum_sq), ctypes.byref(abs_max),
+    )
+    return segs[:n_segs], sum_sq.value, abs_max.value
 
 
 def flac_decode(data: bytes):

@@ -631,6 +631,123 @@ int flac_decode(const uint8_t *data, size_t len, float **out, uint32_t *sr_out,
   return 0;
 }
 
+// PCM payload -> planar f32 (n_ch, n).  fmt: 0=f32le 1=f64le 2=u8 3=s16le
+// 4=s24le 5=s32le.  Replaces numpy's astype+transpose (measured ~30x slower
+// than memcpy on the build host for GB-scale tracks).
+// Decode one interleaved buffer to f32 (sequential read + sequential write;
+// trivially vectorized).
+static void pcm_to_f32_seq(const uint8_t *src, int64_t count, int fmt,
+                           float *__restrict out) {
+  switch (fmt) {
+    case 1: {
+      const double *s = (const double *)src;
+      for (int64_t i = 0; i < count; ++i) out[i] = (float)s[i];
+      break;
+    }
+    case 2:
+      for (int64_t i = 0; i < count; ++i)
+        out[i] = ((float)src[i] - 128.0f) / 128.0f;
+      break;
+    case 3: {
+      const int16_t *s = (const int16_t *)src;
+      for (int64_t i = 0; i < count; ++i) out[i] = (float)s[i] / 32768.0f;
+      break;
+    }
+    case 4:
+      for (int64_t i = 0; i < count; ++i) {
+        const uint8_t *p = src + 3 * i;
+        int32_t v = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                              ((uint32_t)p[2] << 16));
+        v = (v << 8) >> 8;  // sign-extend 24 -> 32
+        out[i] = (float)v / 8388608.0f;
+      }
+      break;
+    case 5: {
+      const int32_t *s = (const int32_t *)src;
+      for (int64_t i = 0; i < count; ++i)
+        out[i] = (float)((double)s[i] / 2147483648.0);
+      break;
+    }
+  }
+}
+
+void pcm_to_f32_planar(const uint8_t *src, int64_t n, int64_t n_ch, int fmt,
+                       float *out /* n_ch * n */) {
+  // two memory-speed passes: fmt -> interleaved f32, then deinterleave with
+  // alias-free local cursors (an earlier pointer-array formulation defeated
+  // the optimizer: 73 ns/elem vs ~3 ns here)
+  const float *inter;
+  float *tmp = nullptr;
+  if (fmt == 0) {
+    inter = (const float *)src;
+  } else {
+    tmp = (float *)std::malloc((size_t)n * n_ch * 4);
+    pcm_to_f32_seq(src, n * n_ch, fmt, tmp);
+    inter = tmp;
+  }
+  if (n_ch == 1) {
+    std::memcpy(out, inter, (size_t)n * 4);
+  } else if (n_ch == 2) {
+    float *__restrict o0 = out;
+    float *__restrict o1 = out + n;
+    for (int64_t i = 0; i < n; ++i) {
+      o0[i] = inter[2 * i];
+      o1[i] = inter[2 * i + 1];
+    }
+  } else {
+    for (int64_t ch = 0; ch < n_ch; ++ch) {
+      float *__restrict o = out + ch * n;
+      const float *s = inter + ch;
+      for (int64_t i = 0; i < n; ++i) o[i] = s[i * n_ch];
+    }
+  }
+  std::free(tmp);
+}
+
+// Streaming per-track statistics in one pass (reference:
+// src-tauri/src/core/dynamics/stats.rs:44-109 via the ebur128 crate):
+// K-weighting biquad cascade (f64, direct form II transposed) ->
+// per-100ms-segment energies (the caller assembles 400 ms gating blocks and
+// applies BS.1770 gating), plus sum of squares and abs peak of the RAW
+// samples.  seg_energies must hold n / s100 doubles where
+// s100 = (sr + 5) / 10; channels beyond 2 carry weight handled by caller
+// via per-channel calls? No: all channels accumulated here with BS.1770
+// weights (>=3 -> 1.41).
+void audio_stats(const float *wavs, int64_t n_ch, int64_t n, uint32_t sr,
+                 const double *b1, const double *a1, const double *b2,
+                 const double *a2, double *seg_energies, int64_t n_segs,
+                 double *sum_sq_out, double *abs_max_out) {
+  const int64_t s100 = (sr + 5) / 10;
+  for (int64_t k = 0; k < n_segs; ++k) seg_energies[k] = 0.0;
+  double sum_sq = 0.0;
+  double abs_max = 0.0;
+  for (int64_t ch = 0; ch < n_ch; ++ch) {
+    const float *x = wavs + ch * n;
+    const double w = ch >= 3 ? 1.41 : 1.0;
+    double z11 = 0.0, z12 = 0.0, z21 = 0.0, z22 = 0.0;  // DF2T states
+    double sq_acc = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+      const double v = (double)x[i];
+      const double av = v < 0 ? -v : v;
+      if (av > abs_max) abs_max = av;
+      sq_acc += v * v;
+      // stage 1 (shelf): y = b0*v + z1; z1 = b1*v - a1*y + z2; z2 = b2*v - a2*y
+      const double y1 = b1[0] * v + z11;
+      z11 = b1[1] * v - a1[1] * y1 + z12;
+      z12 = b1[2] * v - a1[2] * y1;
+      // stage 2 (high-pass)
+      const double y2 = b2[0] * y1 + z21;
+      z21 = b2[1] * y1 - a2[1] * y2 + z22;
+      z22 = b2[2] * y1 - a2[2] * y2;
+      const int64_t seg = i / s100;
+      if (seg < n_segs) seg_energies[seg] += w * y2 * y2;
+    }
+    sum_sq += sq_acc;
+  }
+  *sum_sq_out = sum_sq;
+  *abs_max_out = abs_max;
+}
+
 void thesia_free(void *p) { std::free(p); }
 
 }  // extern "C"
