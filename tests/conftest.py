@@ -4,6 +4,9 @@ sharding paths compile/execute without TPU hardware."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# don't let throwaway test managers spend CPU warming neighbor-settings
+# shapes (tests that exercise the warmer enable it explicitly)
+os.environ.setdefault("THESIA_PRECOMPILE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

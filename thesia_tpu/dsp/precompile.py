@@ -1,0 +1,255 @@
+"""Background shape precompilation (SURVEY §7 "pre-compile tile kernels …
+at track-add time"; VERDICT r2 #4).
+
+A cold settings change measured 30.3 s on the tunneled TPU: the fused
+spectrogram program for an unseen (sr, win, n_fft, bucket) shape has to
+compile inside the user's set_spec_setting call.  This module prepays that:
+after every add/settings change, a daemon thread AOT-lowers and compiles the
+EXACT `_spec_groups` + `_quantize_and_mips` signatures the session would use
+under neighboring settings (the t_overlap detents, the win_ms presets, and
+the other freq scale — the knobs the reference Control panel exposes,
+reference: src/prototypes/constants/tracks.ts T_OVERLAP_VALUES).
+
+`jit.lower(...).compile()` does not populate the in-process jit dispatch
+cache, but it writes the persistent XLA compilation cache
+(runtime.configure_jax_cache), so the later real call retraces cheaply and
+deserializes the cached executable instead of compiling.
+
+Shapes are lowered from ShapeDtypeStructs only — no device buffers are
+allocated and no data is uploaded.  Disable with THESIA_PRECOMPILE=0
+(tests do: dozens of throwaway managers would otherwise warm shapes
+nobody uses).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.freqscale import FreqScale
+from .framing import SpecSetting
+from .spectrogram import frame_cap, wav_size_bucket, _spec_groups
+from .stft import stft_frame_count
+
+log = logging.getLogger("thesia_tpu")
+
+# t_overlap detents and win_ms presets the UI exposes
+T_OVERLAP_VALUES = (1, 2, 4, 8, 16, 32)
+WIN_MS_PRESETS = (10.0, 20.0, 40.0, 80.0)
+
+
+def enabled() -> bool:
+    return os.environ.get("THESIA_PRECOMPILE", "1") != "0"
+
+
+def neighbor_settings(cur: SpecSetting) -> list[SpecSetting]:
+    """Settings one knob away from `cur`, most-likely-first."""
+    out: list[SpecSetting] = []
+    seen = {(cur.win_ms, cur.t_overlap, cur.f_overlap, cur.freq_scale)}
+
+    def add(s: SpecSetting):
+        k = (s.win_ms, s.t_overlap, s.f_overlap, s.freq_scale)
+        if k not in seen:
+            seen.add(k)
+            out.append(s)
+
+    for t in T_OVERLAP_VALUES:
+        add(dataclasses.replace(cur, t_overlap=t))
+    other = FreqScale.Linear if cur.freq_scale is FreqScale.Mel else FreqScale.Mel
+    add(dataclasses.replace(cur, freq_scale=other))
+    for wm in WIN_MS_PRESETS:
+        add(dataclasses.replace(cur, win_ms=wm))
+    return out
+
+
+def group_signature(analyzer, items, setting: SpecSetting, shardings=None):
+    """Mirror calc_specs_batched's grouping with shapes only.
+
+    items: [(key, (n_ch, n), sr)].  Returns (arrays_sds, specs) for
+    _spec_groups.lower, or None if nothing batches.  Builds (and caches) the
+    analyzer's DFT/mel device constants for the setting — those are needed
+    at switch time anyway.
+    """
+    from ..parallel.sharding import pad_rows_for
+
+    groups: dict[tuple, list] = {}
+    for _key, (c, n), sr in items:
+        hop, win, n_fft = setting.calc_framing_params(sr)
+        pad = win // 2
+        if n <= pad + 1 or n < win:
+            continue
+        bucket = wav_size_bucket(n + 2 * pad)
+        groups.setdefault((sr, hop, win, n_fft, bucket), []).append((c, n))
+    if not groups:
+        return None
+    use_mel = setting.freq_scale is FreqScale.Mel
+    sds = jax.ShapeDtypeStruct
+    arrays, specs = [], []
+    for (sr, hop, win, n_fft, bucket), members in groups.items():
+        cw, _sw = analyzer._dft_mats(win, n_fft)
+        mel_shape = (
+            tuple(analyzer.mel_fb(sr, n_fft).shape) if use_mel else (1, 1)
+        )
+        rows = sum(c for c, _n in members)
+        c_bucket = pad_rows_for(shardings, rows)
+        t_cap = frame_cap(
+            max(stft_frame_count(n, win, hop) for _c, n in members)
+        )
+        arrays.append(
+            (
+                sds((c_bucket, bucket), jnp.float32),
+                sds((c_bucket,), jnp.int32),
+                sds(tuple(cw.shape), jnp.float32),
+                sds(tuple(cw.shape), jnp.float32),
+                sds(mel_shape, jnp.float32),
+            )
+        )
+        specs.append((hop, win // hop, use_mel, bucket, win // 2, t_cap, shardings))
+    return tuple(arrays), tuple(specs)
+
+
+class ShapeWarmer:
+    """Serial background compiler; new submissions supersede pending work."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._gen = 0
+        self._pending = None  # (gen, jobs)
+        self._wake = threading.Condition(self._lock)
+        self._thread: threading.Thread | None = None
+        self._compiled: set = set()
+        self.compiled_count = 0
+
+    def submit(self, jobs) -> None:
+        """jobs: list of zero-arg callables returning a (dedup_key, lower_fn)
+        pair; lower_fn() must perform the lower+compile."""
+        if not enabled():
+            return
+        with self._lock:
+            self._gen += 1
+            self._pending = (self._gen, list(jobs))
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(
+                    target=self._run, name="shape-warmer", daemon=True
+                )
+                self._thread.start()
+            self._wake.notify_all()
+
+    def drain(self, timeout: float | None = None) -> bool:
+        with self._lock:
+            return self._wake.wait_for(lambda: self._pending is None, timeout=timeout)
+
+    def _run(self) -> None:
+        while True:
+            with self._lock:
+                while self._pending is None:
+                    self._wake.wait(timeout=5.0)
+                    if self._pending is None:
+                        return  # idle exit; next submit restarts the thread
+                gen, jobs = self._pending
+            for make in jobs:
+                with self._lock:
+                    if self._pending is not None and self._pending[0] != gen:
+                        break  # superseded
+                try:
+                    key, lower_fn = make()
+                except Exception:
+                    continue
+                if key in self._compiled:
+                    continue
+                try:
+                    lower_fn()
+                    self._compiled.add(key)
+                    self.compiled_count += 1
+                except Exception as e:  # pragma: no cover - backend-specific
+                    log.debug("shape warm failed: %s", e)
+            with self._lock:
+                if self._pending is not None and self._pending[0] == gen:
+                    self._pending = None
+                    self._wake.notify_all()
+
+
+def quantize_jobs(analyzer, items, setting: SpecSetting, max_sr: int, colormap_length: int):
+    """Job callables warming _quantize_and_mips for every track shape the
+    session would quantize under `setting` (mirrors
+    engine.manager.TrackManager._dispatch_quantize statics)."""
+    from ..engine.images import _quantize_and_mips, mip_plan
+
+    groups: dict[tuple, list] = {}
+    for key, (c, n), sr in items:
+        hop, win, n_fft = setting.calc_framing_params(sr)
+        pad = win // 2
+        if n <= pad + 1 or n < win:
+            continue
+        bucket = wav_size_bucket(n + 2 * pad)
+        groups.setdefault((sr, hop, win, n_fft, bucket), []).append((c, n))
+    use_mel = setting.freq_scale is FreqScale.Mel
+    jobs = []
+    for (sr, hop, win, n_fft, bucket), members in groups.items():
+        group_t_cap = frame_cap(
+            max(stft_frame_count(n, win, hop) for _c, n in members)
+        )
+        n_freq = (
+            int(analyzer.mel_fb(sr, n_fft).shape[1]) if use_mel else n_fft // 2 + 1
+        )
+        i_start, i_end = setting.freq_scale.hz_range_to_idx(
+            (0.0, max_sr / 2.0), sr, n_freq
+        )
+        height = i_end - i_start
+        n_rows = max(min(i_end, n_freq) - i_start, 0)
+        min_value = (
+            max(int(np.round(65535.0 / colormap_length)), 1) if colormap_length else 1
+        )
+        for c, n in members:
+            n_frames = stft_frame_count(n, win, hop)
+
+            def make(c=c, n_frames=n_frames, group_t_cap=group_t_cap,
+                     n_freq=n_freq, i_start=i_start, n_rows=n_rows,
+                     height=height, min_value=min_value):
+                sds = jax.ShapeDtypeStruct
+                statics = dict(
+                    i_start=i_start, n_rows=n_rows, height=height,
+                    min_value=min_value,
+                    mip_levels=tuple(mip_plan(n_frames)),
+                    t_valid_static=frame_cap(n_frames),
+                )
+                key = ("quantize", (c, group_t_cap, n_freq), tuple(sorted(statics.items())))
+
+                def lower():
+                    _quantize_and_mips.lower(
+                        sds((c, group_t_cap, n_freq), jnp.float32),
+                        sds((), jnp.float32),
+                        sds((), jnp.float32),
+                        sds((), jnp.int32),
+                        **statics,
+                    ).compile()
+
+                return key, lower
+
+            jobs.append(make)
+    return jobs
+
+
+def spec_groups_job(analyzer, items, setting: SpecSetting, shardings=None):
+    """Job callable for ShapeWarmer: warms the fused recompute program the
+    session would run under `setting`."""
+
+    def make():
+        sig = group_signature(analyzer, items, setting, shardings)
+        if sig is None:
+            raise ValueError("nothing to warm")
+        arrays, specs = sig
+        key = ("spec_groups", specs, tuple(tuple((a.shape, str(a.dtype)) for a in g) for g in arrays))
+
+        def lower():
+            _spec_groups.lower(arrays, specs=specs).compile()
+
+        return key, lower
+
+    return make

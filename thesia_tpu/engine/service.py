@@ -195,7 +195,13 @@ class EngineService:
     async def handle_metrics(self, _request: web.Request) -> web.Response:
         """Per-stage timing summary (decode, spec recompute/quantize, tile
         encode) — SURVEY §5 tracing deliverable."""
-        return web.json_response({"result": obs.summary()})
+        out = obs.summary()
+        warmer = self.session.tm.shape_warmer
+        out["shape_warmer"] = {
+            "compiled": warmer.compiled_count,
+            "idle": warmer._pending is None,
+        }
+        return web.json_response({"result": out})
 
     async def handle_profile(self, request: web.Request) -> web.Response:
         """One-shot JAX profiler capture: POST {"durationMs": 1000} ->
