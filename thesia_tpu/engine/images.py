@@ -145,7 +145,8 @@ class TrackImages:
 
     __slots__ = (
         "track_id", "n_ch", "n_frames", "height", "dev_img", "dev_mips",
-        "host", "host_cols", "host_mips", "complete", "dropped", "nbytes",
+        "host", "host_cols", "host_mips", "complete", "dropped", "evicted",
+        "nbytes", "last_use",
     )
 
     def __init__(self, track_id, n_ch, n_frames, height, dev_img, dev_mips):
@@ -157,16 +158,27 @@ class TrackImages:
         self.dev_mips = dev_mips  # {level: (C, H, ceil(T/2^l)) device u16}
         self.host: list[np.ndarray | None] = [None] * n_ch
         self.host_cols = 0
-        self.host_mips: dict[int, np.ndarray] = {}  # level -> (C*H stacked per ch?) see below
+        self.host_mips: dict[int, np.ndarray] = {}
         self.complete = False
         self.dropped = False
+        self.evicted = False  # host bytes dropped by the budget; geometry kept
         self.nbytes = n_ch * height * n_frames * 2
+        self.last_use = 0
 
     def host_image(self, ch: int) -> SpecImage | None:
         if not self.complete or ch >= self.n_ch:
             return None
         img = self.host[ch]
         return img if isinstance(img, SpecImage) else None
+
+    def host_bytes(self) -> int:
+        total = 0
+        for img in self.host:
+            if img is not None:
+                total += img.nbytes
+                if isinstance(img, SpecImage):
+                    total += img.mip_bytes()
+        return total
 
 
 class SpecImageStore:
@@ -181,6 +193,21 @@ class SpecImageStore:
         self._interactive_waiters = 0
         self._worker: threading.Thread | None = None
         self._shutdown = False
+        # host-RAM budget for landed images (+ their mip chains); LRU beyond
+        # it is evicted down to geometry and requantized on demand via the
+        # reloader (VERDICT r2 #5)
+        self._host_budget = int(
+            os.environ.get("THESIA_IMG_CACHE_BYTES", 4 * 1024**3)
+        )
+        self._use_tick = 0
+        self._reloader = None  # fn(track_id) -> bool, set by TrackManager
+
+    def set_reloader(self, fn) -> None:
+        self._reloader = fn
+
+    def needs_reload(self, track_id: int) -> bool:
+        t = self._tracks.get(track_id)
+        return t is not None and t.evicted
 
     # -- lifecycle ----------------------------------------------------------
     def set_images(self, track_id: int, images: TrackImages) -> None:
@@ -223,11 +250,18 @@ class SpecImageStore:
 
     def is_computing(self, track_id: int) -> bool:
         t = self._tracks.get(track_id)
-        return t is not None and not t.complete
+        return t is not None and not t.complete and not t.evicted
+
+    def _touch(self, t: TrackImages) -> None:
+        self._use_tick += 1
+        t.last_use = self._use_tick
 
     def host_image(self, track_id: int, ch: int) -> SpecImage | None:
         t = self._tracks.get(track_id)
-        return None if t is None else t.host_image(ch)
+        if t is None:
+            return None
+        self._touch(t)
+        return t.host_image(ch)
 
     def track_ids(self) -> list[int]:
         return list(self._tracks)
@@ -254,6 +288,15 @@ class SpecImageStore:
         t = self._tracks.get(track_id)
         if t is None or ch >= t.n_ch:
             return None
+        if t.evicted:
+            # budget dropped this image: requantize (and maybe recompute the
+            # spec) through the manager, then serve from the fresh entry
+            if self._reloader is None or not self._reloader(track_id):
+                return None
+            t = self._tracks.get(track_id)
+            if t is None or t.evicted:
+                return None
+        self._touch(t)
         g = spectrogram_tile_geometry(
             t.height, t.n_frames, level_x, level_y, tile_x, tile_y
         )
@@ -402,3 +445,24 @@ class SpecImageStore:
             t.dev_img = None
             t.dev_mips = {}
             t.host_mips = {}
+            self._evict_host()
+
+    def _evict_host(self) -> None:
+        """Keep landed images within the host budget; oldest-use first.
+        Evicted entries keep their geometry and requantize on demand."""
+        with self._lock:
+            completed = [
+                t for t in self._tracks.values() if t.complete and not t.dropped
+            ]
+            total = sum(t.host_bytes() for t in completed)
+            if total <= self._host_budget:
+                return
+            completed.sort(key=lambda t: t.last_use)
+            for t in completed[:-1]:  # never evict the most recent
+                if total <= self._host_budget:
+                    break
+                total -= t.host_bytes()
+                t.complete = False
+                t.evicted = True
+                t.host = [None] * t.n_ch
+                t.host_mips = {}

@@ -10,6 +10,8 @@ change, every image is requantized; otherwise only freshly added tracks.
 from __future__ import annotations
 
 import math
+import os
+import threading
 
 import numpy as np
 import jax.numpy as jnp
@@ -33,10 +35,21 @@ class TrackManager:
         self.db_range = 100.0
         self.colormap_length = 258
         self.spec_analyzer = SpectrogramAnalyzer()
-        # per-track SpecResult covering all channels (device-resident)
+        # per-track SpecResult covering all channels (device-resident);
+        # LRU-evicted under a byte budget with recompute-on-miss from the
+        # cached device wavs (VERDICT r2 #5) — dict order IS the LRU order
         self.specs: dict[int, object] = {}
+        self._spec_budget = int(
+            os.environ.get("THESIA_SPEC_CACHE_BYTES", 6 * 1024**3)
+        )
+        # per-track (min_db, max_db) survives spec eviction so the global
+        # dB range never needs an evicted array
+        self._spec_bounds: dict[int, tuple[float, float]] = {}
         # device-resident u16 images + background host streaming
         self.images = SpecImageStore()
+        self.images.set_reloader(self._reload_track_images)
+        self._reload_lock = threading.Lock()
+        self._last_tracklist: TrackList | None = None
         self._spec_n_ch: dict[int, int] = {}
         self._no_spec_img_ids: set[int] = set()
         # background AOT compiler for neighbor-settings shapes (VERDICT r2 #4)
@@ -64,6 +77,7 @@ class TrackManager:
         for tup in removed_id_ch:
             self.images.remove(tup[0])
             self.specs.pop(tup[0], None)
+            self._spec_bounds.pop(tup[0], None)
             self._spec_n_ch.pop(tup[0], None)
             self.spec_analyzer.drop_wav(tup[0])
         self.spec_analyzer.retain(
@@ -134,10 +148,13 @@ class TrackManager:
             self._update_specs_inner(tracklist, id_ch_tuples, params)
 
     def _update_specs_inner(self, tracklist: TrackList, id_ch_tuples, params) -> None:
+        self._last_tracklist = tracklist
         if params is None:
             params = tracklist.construct_all_sr_win_nfft_set(self.setting)
         self.spec_analyzer.prepare(params, self.setting.freq_scale)
         track_ids = sorted({t for t, _ in id_ch_tuples})
+        for tid in track_ids:
+            self._spec_bounds.pop(tid, None)  # stale under the new spec
         if len(track_ids) > 1:
             # one device program per (sr, win, n_fft, bucket) group
             items = [
@@ -171,13 +188,18 @@ class TrackManager:
 
     def _update_spec_imgs_inner(self, tracklist: TrackList, force_update_all: bool) -> set[int]:
         """reference: mod.rs:168-230."""
+        self._last_tracklist = tracklist
         gmin, gmax = math.inf, -math.inf
-        for res in self.specs.values():
+        for tid, res in self.specs.items():
             if res.n_frames == 0:
                 continue
-            smin, smax = res.min_max_db()
-            gmin = min(gmin, smin)
-            gmax = max(gmax, smax)
+            self._spec_bounds[tid] = res.min_max_db()
+        for tid in tracklist.all_ids():
+            bounds = self._spec_bounds.get(tid)
+            if bounds is None:
+                continue
+            gmin = min(gmin, bounds[0])
+            gmax = max(gmax, bounds[1])
         gmax = min(gmax, 0.0)
         gmin = max(gmin, gmax - self.db_range)
 
@@ -200,11 +222,63 @@ class TrackManager:
             ids_need_update = set(self._no_spec_img_ids)
             self._no_spec_img_ids.clear()
 
-        for track_id, res in self.specs.items():
-            if track_id not in ids_need_update:
-                continue
-            self._dispatch_quantize(tracklist, track_id, res)
+        for track_id in sorted(ids_need_update):
+            res = self._ensure_spec(tracklist, track_id)
+            if res is not None:
+                self._dispatch_quantize(tracklist, track_id, res)
+        self._evict_specs(keep=set())
         return ids_need_update
+
+    # -- spec residency budget ---------------------------------------------
+    def _ensure_spec(self, tracklist: TrackList, track_id: int):
+        """Spec for a track, recomputing from the (device-cached) wav if the
+        budget evicted it; refreshes LRU recency."""
+        res = self.specs.get(track_id)
+        if res is not None:
+            self.specs.pop(track_id)
+            self.specs[track_id] = res  # move to MRU
+            return res
+        track = tracklist.get(track_id)
+        if track is None:
+            return None
+        res = self.spec_analyzer.calc_spec_multi(
+            track.audio.wavs, track.sr, self.setting,
+            cache_key=track_id, token=track.audio.version,
+        )
+        self.specs[track_id] = res
+        self._spec_n_ch[track_id] = track.n_ch
+        return res
+
+    def _evict_specs(self, keep: set[int]) -> None:
+        def nbytes(r):
+            return int(np.prod(r.db_padded.shape)) * 4
+
+        total = sum(nbytes(r) for r in self.specs.values())
+        if total <= self._spec_budget:
+            return
+        for tid in list(self.specs):
+            if total <= self._spec_budget or len(self.specs) <= 1:
+                break
+            if tid in keep:
+                continue
+            res = self.specs.pop(tid)
+            total -= nbytes(res)
+
+    def _reload_track_images(self, track_id: int) -> bool:
+        """Image-store miss callback: requantize an evicted track's image
+        (recomputing its spec first if that was evicted too)."""
+        tracklist = self._last_tracklist
+        if tracklist is None or not tracklist.has(track_id):
+            return False
+        with self._reload_lock:
+            if not self.images.needs_reload(track_id):
+                return True  # another thread already reloaded it
+            res = self._ensure_spec(tracklist, track_id)
+            if res is None:
+                return False
+            self._dispatch_quantize(tracklist, track_id, res)
+            self._evict_specs(keep={track_id})
+            return True
 
     def _dispatch_quantize(self, tracklist: TrackList, track_id: int, res) -> None:
         """ONE device program per track: quantize + device mip chain, with
