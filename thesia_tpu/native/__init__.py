@@ -82,6 +82,11 @@ def _load():
         lib.limiter_apply.argtypes = [
             c.POINTER(c.c_float), c.c_int64, c.c_int64, c.POINTER(c.c_double),
         ]
+        lib.resample_block.argtypes = [
+            c.POINTER(c.c_float), c.c_int64, c.c_int64,
+            c.POINTER(c.c_double), c.c_int64, c.c_int64,
+            c.c_double, c.c_double, c.c_int64, c.POINTER(c.c_float),
+        ]
         lib.pcm_to_f32_planar.argtypes = [
             c.POINTER(c.c_uint8), c.c_int64, c.c_int64, c.c_int,
             c.POINTER(c.c_float),
@@ -201,6 +206,27 @@ def limiter_apply(wavs: np.ndarray, gain: np.ndarray) -> np.ndarray:
     gain = np.ascontiguousarray(gain, np.float64)
     lib.limiter_apply(_ptr(wavs, ctypes.c_float), wavs.shape[0], wavs.shape[1], _ptr(gain, ctypes.c_double))
     return wavs
+
+
+def resample_block(
+    buf: np.ndarray, bank: np.ndarray, pos0: float, ratio: float, n_out: int
+) -> np.ndarray:
+    """buf (n_ch, n_total) f32 + bank (n_phases+1, sinc_len) f64 ->
+    (n_ch, n_out) f32 resampled output starting at input position pos0."""
+    lib = _load()
+    assert lib is not None
+    buf = np.ascontiguousarray(buf, np.float32)
+    bank = np.ascontiguousarray(bank, np.float64)
+    n_ch, n_total = buf.shape
+    n_phases = bank.shape[0] - 1
+    sinc_len = bank.shape[1]
+    out = np.empty((n_ch, n_out), np.float32)
+    lib.resample_block(
+        _ptr(buf, ctypes.c_float), n_ch, n_total,
+        _ptr(bank, ctypes.c_double), n_phases, sinc_len,
+        pos0, ratio, n_out, _ptr(out, ctypes.c_float),
+    )
+    return out
 
 
 _PCM_FMT = {"f32": 0, "f64": 1, "u8": 2, "s16": 3, "s24": 4, "s32": 5}

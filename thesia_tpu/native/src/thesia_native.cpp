@@ -748,6 +748,48 @@ void audio_stats(const float *wavs, int64_t n_ch, int64_t n, uint32_t sr,
   *abs_max_out = abs_max;
 }
 
+// Polyphase windowed-sinc resampler hot loop (player/resampler.py): for
+// each output frame, linear-interpolate between two adjacent phase filters
+// and convolve a sinc_len window around the (fractional) input position.
+// Matches the numpy fallback's math incl. edge clamping.  The playback
+// callback budget makes this native (numpy measured ~30 s per second of
+// stereo audio on the build host).
+void resample_block(const float *buf /* n_ch * n_total */, int64_t n_ch,
+                    int64_t n_total, const double *bank /* (n_phases+1)*L */,
+                    int64_t n_phases, int64_t sinc_len, double pos0,
+                    double ratio, int64_t n_out, float *out /* n_ch*n_out */) {
+  const int64_t half = sinc_len / 2;
+  for (int64_t o = 0; o < n_out; ++o) {
+    const double pos = pos0 + (double)o * ratio;
+    const int64_t ip = (int64_t)std::floor(pos);
+    const double frac = pos - (double)ip;
+    const double ph = frac * (double)n_phases;
+    int64_t ph_i = (int64_t)std::floor(ph);
+    if (ph_i > n_phases - 1) ph_i = n_phases - 1;
+    const double ph_f = ph - (double)ph_i;
+    const double *f0 = bank + ph_i * sinc_len;
+    const double *f1 = f0 + sinc_len;
+    const int64_t start = ip - half + 1;
+    for (int64_t ch = 0; ch < n_ch; ++ch) {
+      const float *x = buf + ch * n_total;
+      double acc = 0.0;
+      if (start >= 0 && start + sinc_len <= n_total) {
+        const float *xw = x + start;
+        for (int64_t k = 0; k < sinc_len; ++k)
+          acc += (double)xw[k] * (f0[k] + (f1[k] - f0[k]) * ph_f);
+      } else {
+        for (int64_t k = 0; k < sinc_len; ++k) {
+          int64_t idx = start + k;
+          if (idx < 0) idx = 0;
+          if (idx > n_total - 1) idx = n_total - 1;
+          acc += (double)x[idx] * (f0[k] + (f1[k] - f0[k]) * ph_f);
+        }
+      }
+      out[ch * n_out + o] = (float)acc;
+    }
+  }
+}
+
 void thesia_free(void *p) { std::free(p); }
 
 }  // extern "C"

