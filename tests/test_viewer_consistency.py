@@ -94,3 +94,153 @@ def test_non_api_routes_exist():
         if not any(p == rp or rp.endswith("{command}") or p.startswith(rp.rstrip("/")) for rp in route_paths)
     }
     assert not unmatched, f"viewer fetches unrouted paths: {sorted(unmatched)} vs {sorted(route_paths)}"
+
+
+# ---------------------------------------------------------------------------
+# Executed numeric twins (VERDICT r2 #8): the viewer's numeric tables and
+# formulas are mirrored in thesia_tpu/viewer/twin.py, exercised here, and
+# the JS literals are parsed to prove the twin and the JS cannot drift.
+
+import math
+
+from thesia_tpu.viewer import twin
+
+# Reference literals transcribed from
+# /root/reference/src/prototypes/constants/tracks.ts:47-80 (TIME_TICK_SIZE),
+# :90-125 (AMP_TICK_NUM), :135-155 (FREQ_TICK_NUM), :169-175 (DB_TICK_NUM).
+REF_TIME_TICK_SIZE = {
+    0.00091: (3600, 5), 0.00241: (3600, 2), 0.00544: (600, 6),
+    0.02444: (600, 3), 0.03251: (600, 2), 0.0611: (120, 5),
+    0.12221: (60, 5), 0.32507: (60, 2), 0.73325: (10, 6), 2.28: (10, 3),
+    3.0324: (10, 2), 5.7: (2, 5), 11.4: (1, 5), 30.324: (1, 2),
+    57.0: (0.2, 5), 136.375: (0.1, 5), 362.757: (0.1, 2),
+    681.875: (0.02, 5), 1527.0: (0.01, 5), 4061.0: (0.01, 2),
+    7635.0: (0.002, 5), 16902.5: (0.001, 5), 44960.7: (0.001, 2),
+    84512.5: (0.001, 1), 159384: (0.0005, 2), 234256: (0.0002, 5),
+    309128: (0.0001, 10),
+}
+REF_AMP_TICK_NUM = {
+    80: 5, 230: 13, 300: 15, 305: 17, 320: 19, 340: 21, 405: 23, 480: 25,
+    495: 25, 505: 27, 530: 29, 560: 31, 590: 33, 610: 35, 635: 37, 660: 39,
+    740: 41, 765: 43, 790: 45, 835: 47, 920: 49, 940: 51, 985: 53, 995: 55,
+    1035: 57, 1070: 59, 1165: 61, 1185: 63, 1210: 65, 2000: 101, 3500: 203,
+}
+REF_FREQ_TICK_NUM = {
+    80: (4, 2), 90: (6, 3), 100: (6, 4), 120: (9, 5), 150: (10, 6),
+    200: (11, 7), 240: (12, 8), 280: (14, 9), 320: (15, 10), 360: (18, 12),
+    400: (22, 14), 450: (25, 16), 500: (28, 18), 600: (30, 20),
+    700: (40, 25), 850: (50, 30), 1000: (60, 40), 1500: (100, 60),
+}
+REF_DB_TICK_NUM = {80: (4, 4), 120: (6, 6), 250: (13, 13), 520: (25, 25), 1000: (60, 60)}
+
+
+def test_twin_tables_match_reference_literals():
+    assert {b: (a, c) for b, a, c in twin.TIME_TICK_SIZE} == REF_TIME_TICK_SIZE
+    assert {b: t for b, t, l in twin.AMP_TICK_NUM} == REF_AMP_TICK_NUM
+    assert all(t == l for _b, t, l in twin.AMP_TICK_NUM)
+    assert {b: (t, l) for b, t, l in twin.FREQ_TICK_NUM} == REF_FREQ_TICK_NUM
+    assert {b: (t, l) for b, t, l in twin.DB_TICK_NUM} == REF_DB_TICK_NUM
+    # boundaries strictly descending (the lookup relies on it)
+    for table in (twin.TIME_TICK_SIZE, twin.AMP_TICK_NUM, twin.FREQ_TICK_NUM, twin.DB_TICK_NUM):
+        bs = [b for b, _a, _c in table]
+        assert bs == sorted(bs, reverse=True)
+    assert twin.MAX_PX_PER_SEC == 384000  # tracks.ts:189
+
+
+def _parse_js_table(src: str, name: str):
+    m = re.search(rf"export const {name} = \[(.*?)\];", src, re.S)
+    assert m, f"{name} not found in axes.js"
+    rows = re.findall(r"\[([^\[\]]+)\]", m.group(1))
+    return [tuple(float(x) for x in row.split(",")) for row in rows]
+
+
+def test_js_tables_match_twin():
+    src = _js_sources()["axes.js"]
+    for name, table in [
+        ("TIME_TICK_SIZE", twin.TIME_TICK_SIZE),
+        ("AMP_TICK_NUM", twin.AMP_TICK_NUM),
+        ("FREQ_TICK_NUM", twin.FREQ_TICK_NUM),
+        ("DB_TICK_NUM", twin.DB_TICK_NUM),
+    ]:
+        js = _parse_js_table(src, name)
+        assert js == [tuple(float(v) for v in row) for row in table], name
+
+
+def test_js_constants_match_twin():
+    srcs = _js_sources()
+    assert f"CROSSFADE_MS = {twin.CROSSFADE_MS}" in srcs["viewport.js"]
+    assert "const TILE = 512" in srcs["viewport.js"]
+    assert "SPEC_TILE_CACHE_BYTES = 128 * 1024 * 1024" in srcs["caches.js"]
+    assert "WAVE_TILE_CACHE_BYTES = 32 * 1024 * 1024" in srcs["caches.js"]
+    assert twin.SPEC_TILE_CACHE_BYTES == 128 * 1024 * 1024
+    assert twin.WAVE_TILE_CACHE_BYTES == 32 * 1024 * 1024
+    assert "MAX_PX_PER_SEC = 384000" in srcs["app.js"]
+
+
+def test_tick_scale_lookup_semantics():
+    # boundary inclusive; below smallest -> None (useAxisMarkers getTickScale)
+    assert twin.tick_scale(twin.AMP_TICK_NUM, 80) == (5, 5)
+    assert twin.tick_scale(twin.AMP_TICK_NUM, 79.9) is None
+    assert twin.tick_scale(twin.AMP_TICK_NUM, 229) == (5, 5)
+    assert twin.tick_scale(twin.AMP_TICK_NUM, 230) == (13, 13)
+    assert twin.tick_scale(twin.AMP_TICK_NUM, 10000) == (203, 203)
+    assert twin.tick_scale(twin.TIME_TICK_SIZE, 100.0) == (0.2, 5)
+    assert twin.tick_scale(twin.TIME_TICK_SIZE, 384000) == (0.0001, 10)
+    assert twin.tick_scale(twin.TIME_TICK_SIZE, 0.0005) is None
+    assert twin.tick_scale(twin.DB_TICK_NUM, 300) == (13, 13)
+
+
+def test_spec_level_selection_golden():
+    # 44.031875 s track, 4404 frames, 385 rows (sample_16k defaults):
+    # basePxPerSec = 100.0163...
+    lx, ly = twin.spec_levels(4404, 44.031875, 385, 100.0, 385)
+    assert (lx, ly) == (0, 0)
+    lx, ly = twin.spec_levels(4404, 44.031875, 385, 50.0, 385)
+    assert lx == 1
+    lx, ly = twin.spec_levels(4404, 44.031875, 385, 0.5, 385)
+    assert lx == 7  # floor(log2(200.03))
+    # vertical: 385 rows shown in a 100 px viewport -> ceil(log2(3.85)) = 2
+    assert twin.spec_levels(4404, 44.031875, 385, 100.0, 100)[1] == 2
+    # zoomed past native resolution stays at level 0
+    assert twin.spec_levels(4404, 44.031875, 385, 100000.0, 385) == (0, 0)
+
+
+def test_wave_level_selection_golden():
+    # reference waveform-renderer.ts:44-50 semantics
+    assert twin.wave_level(48000, 13000, 1) == 0  # pxPerSec*2*dpr >= sr/2
+    assert twin.wave_level(48000, 30000, 2) == 0
+    assert twin.wave_level(48000, 10000, 1) == 3  # ceil(log2(4.8))
+    assert twin.wave_level(48000, 100, 1) == 9  # ceil(log2(480))
+    assert twin.wave_level(8000, 1, 1) == 13  # ceil(log2(8000))
+
+
+def test_crossfade_weights_equal_power():
+    w0, w1 = twin.crossfade_weights(0)
+    assert (w0, w1) == (1.0, 0.0)
+    w0, w1 = twin.crossfade_weights(twin.CROSSFADE_MS)
+    assert abs(w0) < 1e-12 and w1 == 1.0
+    for t in (25, 50, 100, 150, 175):
+        w0, w1 = twin.crossfade_weights(t)
+        assert abs(w0 * w0 + w1 * w1 - 1.0) < 1e-12  # constant power
+    # clamps outside the window
+    assert twin.crossfade_weights(-5)[0] == 1.0
+    assert twin.crossfade_weights(10_000)[1] == 1.0
+
+
+def test_lru_byte_cache_twin_semantics():
+    c = twin.LruByteCache(100)
+    c.set("a", 1, 40)
+    c.set("b", 2, 40)
+    assert c.get("a") == 1  # refresh recency
+    c.set("c", 3, 40)  # evicts b (oldest), not a
+    assert c.has("a") and not c.has("b") and c.has("c")
+    assert c.bytes == 80
+    # replacing a key keeps budget accounting right
+    c.set("a", 9, 70)
+    assert not c.has("c") or c.bytes <= 100
+    # retain drops by predicate (revision invalidation)
+    c.set("rev1:x", 0, 1)
+    c.retain(lambda k: not str(k).startswith("rev1"))
+    assert not c.has("rev1:x")
+    c.clear()
+    assert c.bytes == 0 and not c.keys()

@@ -581,7 +581,8 @@ function scheduleAxisUpdate(hzRange) {
     axisUpdateTimer = null;
     const { hzRange: hr } = axisUpdatePending;
     updateTimeAxis($("#time-axis"), state.startSec, state.pxPerSec, state.maxSec);
-    const { tickUnit } = timeTickParams(state.pxPerSec);
+    const tickParams = timeTickParams(state.pxPerSec);
+    const tickUnit = tickParams ? tickParams.tickUnit : 3600;
     $("#time-unit").textContent =
       tickUnit >= 1 ? `grid ${tickUnit} s` : `grid ${(tickUnit * 1000).toPrecision(3)} ms`;
     for (const row of rowsEl.children) {

@@ -4,21 +4,59 @@
 
 import { api } from "./api.js";
 
-// px/sec -> time tick unit + label interval (condensed from the reference's
-// scale table, src/prototypes/constants/tracks.ts:39-211)
-const TIME_TICK_TABLE = [
-  [0.0009765625, 3600, 1], [0.001953125, 1800, 2], [0.00390625, 600, 3],
-  [0.015625, 300, 2], [0.0625, 60, 5], [0.25, 30, 2], [0.5, 10, 3],
-  [2, 5, 2], [5, 1, 5], [20, 0.5, 2], [40, 0.1, 5], [150, 0.05, 2],
-  [400, 0.01, 5], [1500, 0.005, 2], [4000, 0.001, 5], [15000, 0.0005, 2],
-  [40000, 0.0001, 5], [150000, 0.00005, 2], [Infinity, 0.00001, 5],
+// Tick scale tables, values IDENTICAL to the reference's
+// (reference: src/prototypes/constants/tracks.ts:47-80 TIME_TICK_SIZE,
+// :90-125 AMP_TICK_NUM, :135-155 FREQ_TICK_NUM, :169-175 DB_TICK_NUM).
+// Lookup rule mirrors useAxisMarkers.ts getTickScale: boundaries DESC,
+// first boundary <= value wins; below the smallest boundary -> no markers.
+// Entries: [boundary, a, b] where (a, b) = (minor tick sec, subtick count)
+// for time and (max ticks, max labels) for the vertical axes.
+export const TIME_TICK_SIZE = [
+  [309128, 0.0001, 10], [234256, 0.0002, 5], [159384, 0.0005, 2],
+  [84512.5, 0.001, 1], [44960.7, 0.001, 2], [16902.5, 0.001, 5],
+  [7635.0, 0.002, 5], [4061.0, 0.01, 2], [1527.0, 0.01, 5],
+  [681.875, 0.02, 5], [362.757, 0.1, 2], [136.375, 0.1, 5],
+  [57.0, 0.2, 5], [30.324, 1, 2], [11.4, 1, 5], [5.7, 2, 5],
+  [3.0324, 10, 2], [2.28, 10, 3], [0.73325, 10, 6], [0.32507, 60, 2],
+  [0.12221, 60, 5], [0.0611, 120, 5], [0.03251, 600, 2],
+  [0.02444, 600, 3], [0.00544, 600, 6], [0.00241, 3600, 2],
+  [0.00091, 3600, 5],
 ];
 
-export function timeTickParams(pxPerSec) {
-  for (const [maxPps, unit, interval] of TIME_TICK_TABLE) {
-    if (pxPerSec <= maxPps) return { tickUnit: unit, labelInterval: interval };
+export const AMP_TICK_NUM = [
+  [3500, 203, 203], [2000, 101, 101], [1210, 65, 65], [1185, 63, 63],
+  [1165, 61, 61], [1070, 59, 59], [1035, 57, 57], [995, 55, 55],
+  [985, 53, 53], [940, 51, 51], [920, 49, 49], [835, 47, 47],
+  [790, 45, 45], [765, 43, 43], [740, 41, 41], [660, 39, 39],
+  [635, 37, 37], [610, 35, 35], [590, 33, 33], [560, 31, 31],
+  [530, 29, 29], [505, 27, 27], [495, 25, 25], [480, 25, 25],
+  [405, 23, 23], [340, 21, 21], [320, 19, 19], [305, 17, 17],
+  [300, 15, 15], [230, 13, 13], [80, 5, 5],
+];
+
+export const FREQ_TICK_NUM = [
+  [1500, 100, 60], [1000, 60, 40], [850, 50, 30], [700, 40, 25],
+  [600, 30, 20], [500, 28, 18], [450, 25, 16], [400, 22, 14],
+  [360, 18, 12], [320, 15, 10], [280, 14, 9], [240, 12, 8],
+  [200, 11, 7], [150, 10, 6], [120, 9, 5], [100, 6, 4],
+  [90, 6, 3], [80, 4, 2],
+];
+
+export const DB_TICK_NUM = [
+  [1000, 60, 60], [520, 25, 25], [250, 13, 13], [120, 6, 6], [80, 4, 4],
+];
+
+export function tickScale(table, value) {
+  for (const [boundary, a, b] of table) {
+    if (value >= boundary) return [a, b];
   }
-  return { tickUnit: 0.00001, labelInterval: 5 };
+  return null;
+}
+
+export function timeTickParams(pxPerSec) {
+  const scale = tickScale(TIME_TICK_SIZE, pxPerSec);
+  if (!scale) return null;
+  return { tickUnit: scale[0], labelInterval: scale[1] };
 }
 
 export function drawMarkersH(canvas, markers, startFrac = 0) {
@@ -73,28 +111,28 @@ export function drawMarkersV(canvas, markers) {
 export async function updateTimeAxis(canvas, startSec, pxPerSec, maxSec) {
   const w = canvas.clientWidth;
   const endSec = startSec + w / pxPerSec;
-  const { tickUnit, labelInterval } = timeTickParams(pxPerSec);
+  const params = timeTickParams(pxPerSec);
+  if (!params) return drawMarkersH(canvas, []);
   const markers = await api.calcTimeAxisMarkers(
-    startSec, endSec, tickUnit, labelInterval, maxSec
+    startSec, endSec, params.tickUnit, params.labelInterval, maxSec
   );
   drawMarkersH(canvas, markers);
 }
 
 export async function updateAmpAxis(canvas, ampRange = [-1, 1]) {
-  const h = canvas.clientHeight;
-  let maxTicks = Math.max(3, Math.min(Math.floor(h / 24), 25));
-  if (maxTicks % 2 === 0) maxTicks -= 1; // amp axis needs odd tick count
+  const scale = tickScale(AMP_TICK_NUM, canvas.clientHeight);
+  if (!scale) return drawMarkersV(canvas, []);
   const markers = await api.calcAmpAxisMarkers(
-    maxTicks, Math.max(Math.ceil(maxTicks / 2), 2), ampRange[0], ampRange[1]
+    scale[0], scale[1], ampRange[0], ampRange[1]
   );
   drawMarkersV(canvas, markers);
 }
 
 export async function updateFreqAxis(canvas, hzRange, freqScale, maxTrackHz) {
-  const h = canvas.clientHeight;
-  const maxTicks = Math.max(3, Math.min(Math.floor(h / 28) | 1, 25));
+  const scale = tickScale(FREQ_TICK_NUM, canvas.clientHeight);
+  if (!scale) return drawMarkersV(canvas, []);
   const markers = await api.calcFreqAxisMarkers(
-    hzRange[0], hzRange[1], freqScale, maxTicks, maxTicks, maxTrackHz
+    hzRange[0], hzRange[1], freqScale, scale[0], scale[1], maxTrackHz
   );
   drawMarkersV(canvas, markers);
 }

@@ -207,12 +207,13 @@ export async function drawColorbar(canvas, colormap, minDb, maxDb) {
     ctx.fillRect(0, y, barW, 1);
   }
   if (isFinite(minDb) && isFinite(maxDb) && maxDb > minDb) {
-    const maxTicks = Math.max(2, Math.min(Math.floor(h / 30), 9));
+    const { DB_TICK_NUM, tickScale } = await import("./axes.js");
+    const scale = tickScale(DB_TICK_NUM, h) || [4, 4];
     const markers = await fetch("/api/calc_dB_axis_markers", {
       method: "POST",
       headers: { "Content-Type": "application/json" },
       body: JSON.stringify({
-        maxNumTicks: maxTicks, maxNumLabels: maxTicks,
+        maxNumTicks: scale[0], maxNumLabels: scale[1],
         dBRangeMin: minDb, dBRangeMax: maxDb,
       }),
     }).then((r) => r.json()).then((j) => j.result);
