@@ -261,18 +261,19 @@ def _spec_groups(arrays, *, specs):
 class _HostOnce:
     """Lazy one-time device->host fetch shared by a batch group: the
     per-track bound lookups then cost host slicing, not extra device
-    launches (each launch is a ~ms-scale tunnel round trip)."""
+    launches (each launch is a ~ms-scale tunnel round trip).  The device
+    array is kept (it is a few floats) so the device-side global-range
+    program can consume it without re-uploading."""
 
-    __slots__ = ("_dev", "_host")
+    __slots__ = ("dev", "_host")
 
     def __init__(self, dev):
-        self._dev = dev
+        self.dev = dev
         self._host = None
 
     def get(self) -> np.ndarray:
         if self._host is None:
-            self._host = np.asarray(self._dev)
-            self._dev = None
+            self._host = np.asarray(self.dev)
         return self._host
 
 
@@ -304,6 +305,15 @@ class SpecResult:
                 float(self._max.get()[r0 : r0 + c].max()),
             )
         return float(self._min), float(self._max)
+
+    def bounds_device(self):
+        """((row_min, row_max) device arrays, (r0, c) static span) without
+        forcing a host sync — feeds the device-side global-range program."""
+        if self._span is not None:
+            return (self._min.dev, self._max.dev), self._span
+        mn = self._min if hasattr(self._min, "shape") else jnp.float32(self._min)
+        mx = self._max if hasattr(self._max, "shape") else jnp.float32(self._max)
+        return (jnp.reshape(mn, (1,)), jnp.reshape(mx, (1,))), (0, 1)
 
     def to_numpy(self) -> np.ndarray:
         """(n_frames, F) host array (single bulk transfer, sliced on host)."""

@@ -9,11 +9,13 @@ change, every image is requantized; otherwise only freshly added tracks.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import threading
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..common.freqscale import FreqScale
@@ -26,10 +28,33 @@ from .track import TrackList
 IdCh = tuple[int, int]
 
 
+@functools.partial(jax.jit, static_argnames=("spans",))
+def _global_range_device(bounds, db_range, *, spans):
+    """Global dB range entirely on device: bounds = tuple of per-track
+    (row_min, row_max) device arrays, spans = matching static (r0, c).
+
+    Returns (gmin, gmax, span) f32 scalars (reference semantics,
+    mod.rs:168-230: gmax = min(max, 0); gmin = max(min, gmax - db_range)).
+    Keeping this on device lets set_spec_setting/set_dB_range return at
+    dispatch instead of blocking until the spec recompute finishes just to
+    read two scalars (the round-3 warm settings change measured 1.23 s, of
+    which ~1 s was that sync)."""
+    gmin = jnp.float32(jnp.inf)
+    gmax = jnp.float32(-jnp.inf)
+    for (row_min, row_max), (r0, c) in zip(bounds, spans):
+        gmin = jnp.minimum(gmin, row_min[r0 : r0 + c].min())
+        gmax = jnp.maximum(gmax, row_max[r0 : r0 + c].max())
+    gmax = jnp.minimum(gmax, 0.0)
+    gmin = jnp.maximum(gmin, gmax - db_range)
+    return gmin, gmax, gmax - gmin
+
+
 class TrackManager:
     def __init__(self):
-        self.max_db = -math.inf
-        self.min_db = math.inf
+        # global dB range: host floats once known, or lazy device scalars
+        # from _global_range_device (force-update paths never block on them)
+        self._range_host: tuple[float, float] | None = (math.inf, -math.inf)
+        self._range_dev = None  # (gmin, gmax, span) device f32 scalars
         self.max_sr = 0
         self.setting = SpecSetting()
         self.db_range = 100.0
@@ -42,9 +67,10 @@ class TrackManager:
         self._spec_budget = int(
             os.environ.get("THESIA_SPEC_CACHE_BYTES", 6 * 1024**3)
         )
-        # per-track (min_db, max_db) survives spec eviction so the global
-        # dB range never needs an evicted array
-        self._spec_bounds: dict[int, tuple[float, float]] = {}
+        # per-track ((row_min, row_max) small device arrays, (r0, c)) —
+        # independent of db_padded, so they survive spec eviction and the
+        # global dB range never needs an evicted array
+        self._spec_bounds: dict[int, tuple] = {}
         # device-resident u16 images + background host streaming
         self.images = SpecImageStore()
         self.images.set_reloader(self._reload_track_images)
@@ -56,6 +82,35 @@ class TrackManager:
         from ..dsp.precompile import ShapeWarmer
 
         self.shape_warmer = ShapeWarmer()
+
+    # -- lazy global dB range ---------------------------------------------
+    def _sync_range(self) -> None:
+        if self._range_host is None:
+            if self._range_dev is None:
+                self._range_host = (math.inf, -math.inf)
+            else:
+                gmin, gmax, _ = self._range_dev
+                self._range_host = (float(np.asarray(gmin)), float(np.asarray(gmax)))
+
+    @property
+    def min_db(self) -> float:
+        self._sync_range()
+        return self._range_host[0]
+
+    @property
+    def max_db(self) -> float:
+        self._sync_range()
+        return self._range_host[1]
+
+    def _quant_scalars(self):
+        """(lo, span) f32 scalars for quantize dispatch — device scalars
+        when the range lives on device (no host sync), else host-derived
+        (f64 subtraction then f32, the golden-pinned bit pattern)."""
+        if self._range_dev is not None:
+            gmin, _gmax, span = self._range_dev
+            return gmin, span
+        lo, hi = self._range_host
+        return jnp.float32(lo), jnp.float32(hi - lo)
 
     @property
     def spec_imgs(self) -> dict[IdCh, np.ndarray]:
@@ -187,45 +242,66 @@ class TrackManager:
             return self._update_spec_imgs_inner(tracklist, force_update_all)
 
     def _update_spec_imgs_inner(self, tracklist: TrackList, force_update_all: bool) -> set[int]:
-        """reference: mod.rs:168-230."""
+        """reference: mod.rs:168-230.
+
+        Force-update paths (settings/dB-range/colormap changes — everything
+        requantizes anyway) compute the global range ON DEVICE and return at
+        dispatch; only the incremental apply path (did adding tracks move
+        the range?) fetches the two scalars to the host for the comparison.
+        """
         self._last_tracklist = tracklist
-        gmin, gmax = math.inf, -math.inf
+        # refresh per-track bounds handles from resident specs (small device
+        # arrays, independent of the evictable db_padded)
         for tid, res in self.specs.items():
-            if res.n_frames == 0:
-                continue
-            self._spec_bounds[tid] = res.min_max_db()
-        for tid in tracklist.all_ids():
-            bounds = self._spec_bounds.get(tid)
-            if bounds is None:
-                continue
-            gmin = min(gmin, bounds[0])
-            gmax = max(gmax, bounds[1])
-        gmax = min(gmax, 0.0)
-        gmin = max(gmin, gmax - self.db_range)
+            if res.n_frames > 0:
+                self._spec_bounds[tid] = res.bounds_device()
 
-        need_update_all = force_update_all
-        if self.max_db != gmax:
-            self.max_db = gmax
-            need_update_all = True
-        if self.min_db != gmin:
-            self.min_db = gmin
-            need_update_all = True
         max_sr = tracklist.max_sr()
-        if self.max_sr != max_sr:
-            self.max_sr = max_sr
-            need_update_all = True
+        sr_changed = self.max_sr != max_sr
+        self.max_sr = max_sr
 
-        if need_update_all:
+        bounds, spans = [], []
+        for tid in tracklist.all_ids():
+            bs = self._spec_bounds.get(tid)
+            if bs is not None:
+                bounds.append(bs[0])
+                spans.append(bs[1])
+
+        if force_update_all or sr_changed:
             ids_need_update = set(tracklist.all_ids())
             self._no_spec_img_ids.clear()
+            if bounds:
+                self._range_dev = _global_range_device(
+                    tuple(bounds), jnp.float32(self.db_range), spans=tuple(spans)
+                )
+                self._range_host = None
+            else:
+                self._range_dev = None
+                self._range_host = (math.inf, -math.inf)
         else:
-            ids_need_update = set(self._no_spec_img_ids)
-            self._no_spec_img_ids.clear()
+            gmin, gmax = math.inf, -math.inf
+            for b, (r0, c) in zip(bounds, spans):
+                gmin = min(gmin, float(np.asarray(b[0])[r0 : r0 + c].min()))
+                gmax = max(gmax, float(np.asarray(b[1])[r0 : r0 + c].max()))
+            gmax = min(gmax, 0.0)
+            # f32 subtraction like the reference's Rust f32 math (and the
+            # device range program) — keeps both paths bit-identical
+            gmin = max(gmin, float(np.float32(gmax) - np.float32(self.db_range)))
+            prev_min, prev_max = self.min_db, self.max_db  # syncs device range
+            self._range_host = (gmin, gmax)
+            self._range_dev = None
+            if prev_max != gmax or prev_min != gmin:
+                ids_need_update = set(tracklist.all_ids())
+                self._no_spec_img_ids.clear()
+            else:
+                ids_need_update = set(self._no_spec_img_ids)
+                self._no_spec_img_ids.clear()
 
+        lo, span = self._quant_scalars()
         for track_id in sorted(ids_need_update):
             res = self._ensure_spec(tracklist, track_id)
             if res is not None:
-                self._dispatch_quantize(tracklist, track_id, res)
+                self._dispatch_quantize(tracklist, track_id, res, lo, span)
         self._evict_specs(keep=set())
         return ids_need_update
 
@@ -276,11 +352,12 @@ class TrackManager:
             res = self._ensure_spec(tracklist, track_id)
             if res is None:
                 return False
-            self._dispatch_quantize(tracklist, track_id, res)
+            lo, span = self._quant_scalars()
+            self._dispatch_quantize(tracklist, track_id, res, lo, span)
             self._evict_specs(keep={track_id})
             return True
 
-    def _dispatch_quantize(self, tracklist: TrackList, track_id: int, res) -> None:
+    def _dispatch_quantize(self, tracklist: TrackList, track_id: int, res, lo, span) -> None:
         """ONE device program per track: quantize + device mip chain, with
         the dB range as dynamic scalars (range changes never recompile).
         Returns after dispatch — no host transfer happens here; the image
@@ -304,8 +381,8 @@ class TrackManager:
         levels = tuple(mip_plan(res.n_frames))
         outs = _quantize_and_mips(
             res.db_padded,
-            jnp.float32(self.min_db),
-            jnp.float32(self.max_db - self.min_db),
+            lo,
+            span,
             jnp.int32(res.n_frames),
             i_start=i_start,
             n_rows=n_rows,
