@@ -6,7 +6,7 @@
 // src/hooks/useSelectedTracks.ts:5-126, SplitView src/modules/SplitView.tsx.
 
 import { api, jsonNumber } from "./api.js";
-import { TrackViewport } from "./viewport.js";
+import { Compositor, TrackViewport } from "./viewport.js";
 import { timeTickParams, updateAmpAxis, updateFreqAxis, updateTimeAxis } from "./axes.js";
 import { Overview, drawColorbar } from "./overview.js";
 import { hzFromRelativePos, relativeFreqPos } from "./freqscale.js";
@@ -38,6 +38,11 @@ const state = {
 
 const $ = (sel) => document.querySelector(sel);
 const rowsEl = $("#rows");
+// ONE canvas composites all visible rows (reference: single PixiJS WebGL
+// canvas, AudioTrackViewport.tsx:93+); scrolling/resizing just repaints it
+const compositor = new Compositor($("#compositor"), rowsEl);
+rowsEl.addEventListener("scroll", () => { state.needsRedraw = true; });
+window.addEventListener("resize", () => { state.needsRedraw = true; });
 let overview = null;
 let colormapRgba = null;
 
@@ -159,7 +164,7 @@ async function buildRow(trackId) {
     row.dataset.idCh = idChStr;
     row.dataset.trackId = trackId;
     rowsEl.appendChild(row);
-    const vp = new TrackViewport(row.querySelector(".viewport"), idChStr);
+    const vp = new TrackViewport(idChStr);
     vp.onNeedsRedraw = () => { state.needsRedraw = true; };
     await vp.refreshMetadata();
     state.viewports.set(idChStr, vp);
@@ -617,14 +622,13 @@ function renderFrame() {
   }
 
   if (a.isPlaying) state.needsRedraw = true; // animate the playhead
-  const drewThisFrame = state.needsRedraw;
   if (state.needsRedraw) {
     state.needsRedraw = false;
     const hzRange = hzRangeOrFull();
-    for (const row of rowsEl.children) {
+    compositor.render((ctx, row, w, h, dpr) => {
       const vp = state.viewports.get(row.dataset.idCh);
-      if (!vp) continue;
-      vp.draw({
+      if (!vp) return;
+      vp.draw(ctx, w, h, dpr, {
         startSec: state.startSec,
         pxPerSec: state.pxPerSec,
         blend: state.blend,
@@ -633,44 +637,35 @@ function renderFrame() {
         freqScale: state.freqScale,
         ampRange: ampRangeOf(Number(row.dataset.trackId)),
       });
-    }
-    if (overview) {
-      overview.draw(state.startSec, [state.startSec, viewWidth() / state.pxPerSec]);
-    }
-    scheduleAxisUpdate(hzRange);
-  }
-  // locator overlays: dashed select cursor + solid playhead — drawn ONLY on
-  // frames where the viewport canvases were freshly repainted, so strokes
-  // never accumulate (reference: src/modules/Locator.tsx locators)
-  if (drewThisFrame) {
-    for (const row of rowsEl.children) {
-      const vp = state.viewports.get(row.dataset.idCh);
-      if (!vp) continue;
-      if (Number(row.dataset.trackId) !== state.selectedTrack) continue;
-      const ctx = vp.canvas.getContext("2d");
-      const dpr = window.devicePixelRatio || 1;
-      ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
+      // locator overlays: dashed select cursor + solid playhead — the
+      // compositor clears the whole canvas each frame, so strokes never
+      // accumulate (reference: src/modules/Locator.tsx locators)
+      if (Number(row.dataset.trackId) !== state.selectedTrack) return;
       const x = (pos - state.startSec) * state.pxPerSec;
       if (state.selectCursorSec !== undefined) {
         const sx = (state.selectCursorSec - state.startSec) * state.pxPerSec;
-        if (sx >= 0 && sx <= vp.canvas.clientWidth && Math.abs(sx - x) > 1) {
+        if (sx >= 0 && sx <= w && Math.abs(sx - x) > 1) {
           ctx.strokeStyle = "rgba(245,145,73,0.45)";
           ctx.setLineDash([4, 4]);
           ctx.beginPath();
           ctx.moveTo(sx, 0);
-          ctx.lineTo(sx, vp.canvas.clientHeight);
+          ctx.lineTo(sx, h);
           ctx.stroke();
           ctx.setLineDash([]);
         }
       }
-      if (x >= 0 && x <= vp.canvas.clientWidth) {
+      if (x >= 0 && x <= w) {
         ctx.strokeStyle = "#f59149";
         ctx.beginPath();
         ctx.moveTo(x, 0);
-        ctx.lineTo(x, vp.canvas.clientHeight);
+        ctx.lineTo(x, h);
         ctx.stroke();
       }
+    });
+    if (overview) {
+      overview.draw(state.startSec, [state.startSec, viewWidth() / state.pxPerSec]);
     }
+    scheduleAxisUpdate(hzRange);
   }
   requestAnimationFrame(renderFrame);
 }

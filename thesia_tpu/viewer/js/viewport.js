@@ -4,7 +4,10 @@
 // Design follows the reference compositor (src/modules/AudioTrackViewport.tsx:
 // LOD math :385-476, crossfade :30-35,642-684, scrim blend :30-35; waveform
 // mesh styling src/lib/waveform-renderer.ts:6-11,227-407) with a 2D-canvas
-// backend instead of PixiJS.
+// backend instead of PixiJS: like the reference's single WebGL canvas over
+// all rows (AudioTrackViewport.tsx:93+), ONE shared Compositor canvas draws
+// every visible row — one dpr-scaled backing store and one present pass per
+// frame instead of one per row, with visible-row culling.
 
 import { api } from "./api.js";
 import { pendingFetches, specTileCache, waveTileCache } from "./caches.js";
@@ -18,10 +21,56 @@ const CLIP_COLOR = "#e05252";
 const CLIP_LINE_COLOR = "#f2948f";
 const CROSSFADE_MS = 200; // reference: AudioTrackViewport.tsx:30-35
 
-export class TrackViewport {
-  constructor(canvas, idChStr) {
+// ONE canvas composites every visible row's viewport.  Absolutely
+// positioned over the scrolling rows pane with pointer-events: none, so
+// hit-testing stays on the per-row .viewport divs; rows scrolled out of
+// view are culled (reference culls rows the same way).
+export class Compositor {
+  constructor(canvas, rowsEl) {
     this.canvas = canvas;
     this.ctx = canvas.getContext("2d");
+    this.rowsEl = rowsEl;
+  }
+
+  // drawRow(ctx, rowEl, w, h, dpr) is called once per visible row with the
+  // context translated to the row's viewport origin and clipped to its rect.
+  render(drawRow) {
+    const { canvas, ctx, rowsEl } = this;
+    const dpr = window.devicePixelRatio || 1;
+    // clientWidth/Height exclude the scrollbar, so the overlay never covers it
+    const w = rowsEl.clientWidth, h = rowsEl.clientHeight;
+    canvas.style.left = `${rowsEl.offsetLeft}px`;
+    canvas.style.top = `${rowsEl.offsetTop}px`;
+    canvas.style.width = `${w}px`;
+    canvas.style.height = `${h}px`;
+    const bw = Math.max(1, Math.round(w * dpr));
+    const bh = Math.max(1, Math.round(h * dpr));
+    if (canvas.width !== bw || canvas.height !== bh) {
+      canvas.width = bw;
+      canvas.height = bh;
+    }
+    ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
+    ctx.clearRect(0, 0, w, h);
+    const host = rowsEl.getBoundingClientRect();
+    for (const row of rowsEl.children) {
+      const vpEl = row.querySelector(".viewport");
+      if (!vpEl) continue;
+      const r = vpEl.getBoundingClientRect();
+      const x = r.left - host.left, y = r.top - host.top;
+      if (y + r.height <= 0 || y >= h || r.width <= 0 || r.height <= 0) continue;
+      ctx.save();
+      ctx.translate(x, y);
+      ctx.beginPath();
+      ctx.rect(0, 0, r.width, r.height);
+      ctx.clip();
+      drawRow(ctx, row, r.width, r.height, dpr);
+      ctx.restore();
+    }
+  }
+}
+
+export class TrackViewport {
+  constructor(idChStr) {
     this.idChStr = idChStr;
     this.metadata = null;
     this.onNeedsRedraw = () => {};
@@ -120,17 +169,10 @@ export class TrackViewport {
   }
 
   // ---- drawing ----
-  draw(view) {
+  draw(ctx, w, h, dpr, view) {
     // view: {startSec, pxPerSec, blend, hzRange, maxTrackHz, freqScale,
-    //        ampRange}
-    const { canvas, ctx } = this;
-    const dpr = window.devicePixelRatio || 1;
-    const w = canvas.clientWidth, h = canvas.clientHeight;
-    if (canvas.width !== w * dpr || canvas.height !== h * dpr) {
-      canvas.width = w * dpr;
-      canvas.height = h * dpr;
-    }
-    ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
+    //        ampRange}; ctx is the shared Compositor context, already
+    // translated to this row's viewport origin and clipped to (w, h)
     ctx.fillStyle = "#0c0d10";
     ctx.fillRect(0, 0, w, h);
     if (!this.metadata || this.metadata.trackSec === 0) {
@@ -149,7 +191,7 @@ export class TrackViewport {
     //   Below 0.5 a black scrim dims the spectrogram; above 0.5 the
     //   waveform's alpha fades out.
     if (blend > 0 && this.metadata.spectrogramWidth > 0) {
-      this.drawSpectrogram(view, w, h);
+      this.drawSpectrogram(ctx, view, w, h);
       if (blend < 0.5) {
         ctx.fillStyle = `rgba(12,13,16,${1 - 2 * blend})`;
         ctx.fillRect(0, 0, w, h);
@@ -158,12 +200,12 @@ export class TrackViewport {
     const wavAlpha = blend > 0.5 ? 2 * (1 - blend) : 1;
     if (wavAlpha > 0.02) {
       ctx.globalAlpha = wavAlpha;
-      this.drawWaveform(view, w, h, dpr);
+      this.drawWaveform(ctx, view, w, h, dpr);
       ctx.globalAlpha = 1;
     }
   }
 
-  drawSpectrogram(view, w, h) {
+  drawSpectrogram(ctx, view, w, h) {
     const md = this.metadata;
     const maxHz = view.maxTrackHz || md.sampleRate / 2;
     const hzRange = view.hzRange || [0, maxHz];
@@ -210,14 +252,14 @@ export class TrackViewport {
         // (originY + height) from the bottom
         const dx = (tile.originX - xStart) * scaleX;
         const dy = h - (tile.originY + tile.height - rLoLod) * scaleY;
-        this.ctx.drawImage(
+        ctx.drawImage(
           tile.bitmap, dx, dy, tile.width * scaleX, tile.height * scaleY
         );
       }
     }
   }
 
-  drawWaveform(view, w, h, dpr) {
+  drawWaveform(ctx, view, w, h, dpr) {
     const level = this.waveLevel(view.pxPerSec, dpr);
     // LOD crossfade, 200 ms equal-power
     // (reference: AudioTrackViewport.tsx:30-35,642-684)
@@ -234,23 +276,21 @@ export class TrackViewport {
         fadeT = 1;
       }
     }
-    const ctx = this.ctx;
     const baseAlpha = ctx.globalAlpha;
     if (this._waveFade) {
       ctx.globalAlpha = baseAlpha * Math.cos((fadeT * Math.PI) / 2);
-      this._drawWaveformLevel(view, w, h, this._waveFade.fromLevel);
+      this._drawWaveformLevel(ctx, view, w, h, this._waveFade.fromLevel);
       ctx.globalAlpha = baseAlpha * Math.sin((fadeT * Math.PI) / 2);
-      this._drawWaveformLevel(view, w, h, level);
+      this._drawWaveformLevel(ctx, view, w, h, level);
       ctx.globalAlpha = baseAlpha;
       this.onNeedsRedraw(); // keep animating until the fade completes
     } else {
-      this._drawWaveformLevel(view, w, h, level);
+      this._drawWaveformLevel(ctx, view, w, h, level);
     }
   }
 
-  _drawWaveformLevel(view, w, h, level) {
+  _drawWaveformLevel(ctx, view, w, h, level) {
     const md = this.metadata;
-    const ctx = this.ctx;
     const spb = 1 << level;
     const tileSamples = WAVE_BINS * spb;
     const sr = md.sampleRate;
