@@ -171,21 +171,26 @@ def bench_long_track_interactive(minutes: float = 60.0):
     be INTERACTIVE — apply (quantize dispatch) and the first whole-track
     tile must come back in seconds, and once the background stream lands
     every LOD level must encode under the 5 ms viewport budget.  Round-2
-    measured 93 s of blocking d2h in apply and 479 ms coarse tiles."""
+    measured 93 s of blocking d2h in apply and 479 ms coarse tiles.
+
+    The track is written at 16-bit depth (how hour-long material actually
+    ships); the engine's s16-grid detector then uploads int16 and converts
+    on device — the tunneled runtime pins h2d to ~35 MB/s once any d2h has
+    happened in the process, so halving the bytes halves the dominant cost."""
     import os
     import pathlib
     import tempfile
 
     from thesia_tpu.engine.session import EngineSession
-    from thesia_tpu.io.wav import encode_wav_f32
+    from thesia_tpu.io.wav import encode_wav_s16
     from thesia_tpu.render import default_colormap_rgba8
 
-    _progress(f"long-track interactive ({minutes:.0f} min stereo 48k)")
+    _progress(f"long-track interactive ({minutes:.0f} min stereo 48k s16)")
     sr = 48000
     td = pathlib.Path(tempfile.mkdtemp(prefix="thesia_bench_"))
     wavs = synth_stereo(sr, minutes * 60.0, seed=4)
     path = td / "long.wav"
-    path.write_bytes(encode_wav_f32(wavs, sr))
+    path.write_bytes(encode_wav_s16(wavs, sr))
     del wavs
 
     session = EngineSession(settings_dir=str(td))

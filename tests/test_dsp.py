@@ -292,3 +292,75 @@ def test_wav_cache_byte_budget_lru():
     total = sum(v[0].size * 4 for v in analyzer._wav_cache.values())
     assert total <= analyzer._wav_cache_budget
     assert 4 in analyzer._wav_cache and 0 not in analyzer._wav_cache
+
+
+def test_upload_padded_chunked_bitexact():
+    """Chunked h2d assembly (big buckets upload as pipelined
+    _WAV_BUCKET_BIG_STEP column blocks + one device concat) must be
+    bit-identical to the single-put padded buffer, including the zero tail
+    and a partial final block."""
+    from thesia_tpu.dsp.spectrogram import _WAV_BUCKET_BIG_STEP, wav_size_bucket
+
+    analyzer = SpectrogramAnalyzer()
+    rng = np.random.default_rng(11)
+    # n crosses one full chunk plus a partial tail; bucket = 2 chunks
+    n = _WAV_BUCKET_BIG_STEP + 12_345
+    bucket = wav_size_bucket(n)
+    assert bucket % _WAV_BUCKET_BIG_STEP == 0 and bucket // _WAV_BUCKET_BIG_STEP >= 2
+    wavs = rng.uniform(-1, 1, (2, n)).astype(np.float32)
+    dev = analyzer._upload_padded(wavs, n, bucket)
+    assert dev.shape == (2, bucket) and dev.dtype == np.float32
+    got = np.asarray(dev)
+    np.testing.assert_array_equal(got[:, :n], wavs)
+    assert not got[:, n:].any()
+    # small buckets keep the single-put path
+    small = rng.uniform(-1, 1, (1, 50_000)).astype(np.float32)
+    sb = wav_size_bucket(50_000)
+    sd = analyzer._upload_padded(small, 50_000, sb)
+    np.testing.assert_array_equal(np.asarray(sd)[:, :50_000], small)
+
+
+def test_s16_grid_detection_and_device_convert(monkeypatch):
+    """16-bit-source samples (every value k/32768) upload as int16 (half the
+    h2d bytes) and convert on device bit-exactly; anything off-grid must be
+    rejected so the f32 path stays authoritative."""
+    from thesia_tpu.dsp import spectrogram as S
+
+    monkeypatch.setattr(S, "_S16_GRID_MIN_BYTES", 0)
+    rng = np.random.default_rng(12)
+    ints = rng.integers(-32768, 32768, (2, 50_000), np.int64).astype(np.int16)
+    wavs = ints.astype(np.float32) / 32768.0
+    got = S._as_s16_grid(wavs)
+    assert got is not None and got.dtype == np.int16
+    np.testing.assert_array_equal(got, ints)
+    # device conversion reproduces the host floats bit-for-bit
+    back = np.asarray(S._s16_to_f32(jnp.asarray(got)))
+    np.testing.assert_array_equal(back, wavs)
+    # -1.0 (= -32768) is on-grid; +1.0 and float-source noise are not
+    w2 = wavs.copy(); w2[0, 0] = -1.0
+    assert S._as_s16_grid(w2) is not None
+    w3 = wavs.copy(); w3[0, 0] = 1.0
+    assert S._as_s16_grid(w3) is None
+    w4 = wavs.copy(); w4[1, 123] = 0.3333333
+    assert S._as_s16_grid(w4) is None
+    # gained tracks fall off the grid
+    assert S._as_s16_grid(wavs * np.float32(10 ** (-3 / 20))) is None
+    # below the size threshold the host passes are skipped entirely
+    monkeypatch.setattr(S, "_S16_GRID_MIN_BYTES", 1 << 30)
+    assert S._as_s16_grid(wavs) is None
+
+
+def test_device_wav_s16_path_spec_bitexact(monkeypatch):
+    """calc_spec_multi through the int16 upload path must produce the same
+    dB spectrogram bit-for-bit as the f32 upload path."""
+    from thesia_tpu.dsp import spectrogram as S
+
+    rng = np.random.default_rng(13)
+    ints = rng.integers(-30000, 30000, (2, 60_000), np.int64).astype(np.int16)
+    wavs = ints.astype(np.float32) / 32768.0
+    s = SpecSetting()
+    ref = SpectrogramAnalyzer().calc_spec_multi(wavs, 16000, s)
+    monkeypatch.setattr(S, "_S16_GRID_MIN_BYTES", 0)
+    via_s16 = SpectrogramAnalyzer().calc_spec_multi(wavs, 16000, s)
+    np.testing.assert_array_equal(np.asarray(via_s16.db_padded), np.asarray(ref.db_padded))
+    assert via_s16.min_max_db() == ref.min_max_db()

@@ -104,6 +104,10 @@ def _load():
             c.POINTER(c.c_uint64), c.POINTER(c.c_uint32),
         ]
         lib.flac_decode.restype = c.c_int
+        lib.f32_to_s16_grid.argtypes = [
+            c.POINTER(c.c_float), c.c_int64, c.POINTER(c.c_int16),
+        ]
+        lib.f32_to_s16_grid.restype = c.c_int
         lib.thesia_free.argtypes = [c.c_void_p]
         _lib = lib
         return _lib
@@ -268,6 +272,19 @@ def audio_stats(wavs: np.ndarray, sr: int, coeffs) -> tuple[np.ndarray, float, f
         ctypes.byref(sum_sq), ctypes.byref(abs_max),
     )
     return segs[:n_segs], sum_sq.value, abs_max.value
+
+
+def f32_to_s16_grid(wavs: np.ndarray) -> np.ndarray | None:
+    """(…,) f32 -> same-shape int16 when every sample is exactly k/32768,
+    else None (single C pass with early exit)."""
+    lib = _load()
+    assert lib is not None
+    wavs = np.ascontiguousarray(wavs, np.float32)
+    out = np.empty(wavs.shape, np.int16)
+    ok = lib.f32_to_s16_grid(
+        _ptr(wavs, ctypes.c_float), wavs.size, _ptr(out, ctypes.c_int16)
+    )
+    return out if ok else None
 
 
 def flac_decode(data: bytes):

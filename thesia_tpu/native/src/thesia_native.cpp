@@ -790,6 +790,21 @@ void resample_block(const float *buf /* n_ch * n_total */, int64_t n_ch,
   }
 }
 
+// f32 -> s16 when EVERY sample lies exactly on the s16 grid (k / 32768,
+// k in [-32768, 32767]) — true for 16-bit sources at unit gain.  Returns 1
+// and fills dst on success, 0 at the first off-grid sample (dst then holds
+// garbage).  One -O3 pass; the numpy equivalent needed several full-array
+// temporaries (~20 s for a 1-hour stereo track on the build host).
+int f32_to_s16_grid(const float *src, int64_t count, int16_t *dst) {
+  for (int64_t i = 0; i < count; ++i) {
+    const float y = src[i] * 32768.0f;  // exact: exponent shift
+    const int32_t k = (int32_t)y;
+    if ((float)k != y || k < -32768 || k > 32767) return 0;
+    dst[i] = (int16_t)k;
+  }
+  return 1;
+}
+
 void thesia_free(void *p) { std::free(p); }
 
 }  // extern "C"
