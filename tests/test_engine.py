@@ -305,3 +305,64 @@ def test_concurrent_tile_fetch_storm(tmp_path):
         results = [f.result() for f in futs]
     assert all(results)
     assert s.tm.db_range == 90.0
+
+
+def test_device_scalar_gain_bitexact_and_no_reupload(tmp_path):
+    """Device-side gain (VERDICT-r3 follow-on): when the guard is a no-op,
+    normalize uploads NOTHING — the spec path reuses the ORIGINAL device wav
+    and applies the scalar on device, producing u16 images IDENTICAL to the
+    host-gain path (f32 multiply is bit-deterministic either side)."""
+    from thesia_tpu.engine.track import AudioTrack as AT
+    from thesia_tpu.io.wav import encode_wav_s16
+
+    rng = np.random.default_rng(21)
+    paths = []
+    for i, (sr, c) in enumerate([(8000, 2), (8000, 1), (16000, 1)]):
+        w = (0.05 * rng.uniform(-1, 1, (c, sr))).astype(np.float32)  # quiet
+        p = tmp_path / f"g{i}.wav"
+        p.write_bytes(encode_wav_s16(w, sr))
+        paths.append(str(p))
+
+    def run(force_host_path: bool):
+        tl = TrackList()
+        tm = TrackManager()
+        ids = tl.add_tracks(list(range(len(paths))), paths)
+        if force_host_path:
+            for tid in ids:
+                tl[tid].device_scalar_gain = lambda: None  # legacy upload path
+        tm.add_tracks(tl, ids)
+        tm.apply_track_list_changes(tl)
+        tm.images.drain()
+        tl.set_common_normalize(NormalizeTarget("LUFS", -30.0))
+        tm.update_all_specs_imgs(tl)
+        tm.images.drain()
+        # quiet tracks normalized DOWN to -30 LUFS: guard must be a no-op
+        gains = [tl[tid].device_scalar_gain() for tid in ids]
+        if not force_host_path:
+            assert all(g is not None for g in gains)
+        return dict(tm.spec_imgs), tm
+
+    imgs_dev, tm_dev = run(force_host_path=False)
+    imgs_host, _ = run(force_host_path=True)
+    assert set(imgs_dev) == set(imgs_host) and imgs_dev
+    for k in imgs_host:
+        np.testing.assert_array_equal(np.asarray(imgs_dev[k]), np.asarray(imgs_host[k]))
+
+    # and the device wav cache still holds the ORIGINAL-version uploads:
+    # a second normalize change reuses the same device buffers (no h2d)
+    tl2 = TrackList()
+    tm2 = TrackManager()
+    ids = tl2.add_tracks(list(range(len(paths))), paths)
+    tm2.add_tracks(tl2, ids)
+    tm2.apply_track_list_changes(tl2)
+    tm2.images.drain()
+    cache = tm2.spec_analyzer._wav_cache
+    before = {k: id(v[0]) for k, v in cache.items()}
+    tokens_before = {k: v[2] for k, v in cache.items()}
+    tl2.set_common_normalize(NormalizeTarget("LUFS", -25.0))
+    tm2.update_all_specs_imgs(tl2)
+    tm2.images.drain()
+    after = {k: id(v[0]) for k, v in tm2.spec_analyzer._wav_cache.items()}
+    tokens_after = {k: v[2] for k, v in tm2.spec_analyzer._wav_cache.items()}
+    assert before and after == before  # same device buffers, zero re-upload
+    assert tokens_after == tokens_before  # keyed on ORIGINAL versions

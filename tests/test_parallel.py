@@ -112,9 +112,10 @@ def test_freq_tensor_parallel_close():
     raw[:, :n] = rng.uniform(-1, 1, (8, n))
     ns = np.full(8, n, np.int32)
     kw = dict(hop_length=hop, t_overlap=win // hop, use_mel=True, bucket=bucket, pad=pad)
-    ref, rmin, rmax = _spec_full_multi(jnp.asarray(raw), jnp.asarray(ns), cw, sw, mel, **kw)
+    ones = jnp.ones(8, jnp.float32)
+    ref, rmin, rmax = _spec_full_multi(jnp.asarray(raw), jnp.asarray(ns), ones, cw, sw, mel, **kw)
     sh = spec_sharding(make_mesh(8, freq_parallel=2), freq_parallel=True)
-    tp, tmin, tmax = _spec_full_multi(jnp.asarray(raw), jnp.asarray(ns), cw, sw, mel, shardings=sh, **kw)
+    tp, tmin, tmax = _spec_full_multi(jnp.asarray(raw), jnp.asarray(ns), ones, cw, sw, mel, shardings=sh, **kw)
     np.testing.assert_allclose(np.asarray(tp), np.asarray(ref), atol=2e-4, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(tmin), np.asarray(rmin), atol=2e-4)
 
@@ -148,7 +149,8 @@ def test_freq_tp_wins_when_rows_lt_devices():
         raw = np.zeros((n_rows, bucket), np.float32)
         raw[:, :n] = base[:n_rows]
         ns = np.full(n_rows, n, np.int32)
-        args = (jnp.asarray(raw), jnp.asarray(ns), cw, sw, mel)
+        gains = jnp.ones(n_rows, jnp.float32)
+        args = (jnp.asarray(raw), jnp.asarray(ns), gains, cw, sw, mel)
         return args, _spec_full_multi.lower(*args, shardings=sh, **kw).compile()
 
     def flops(c):

@@ -29,9 +29,10 @@ def test_group_signature_matches_real_grouping():
     arrays, specs = sig
     assert len(arrays) == 2  # two (sr, ...) groups
     for g, st in zip(arrays, specs):
-        raw, ns, cw, sw, mel = g
+        raw, ns, gains, cw, sw, mel = g
         hop, t_overlap, use_mel, bucket, pad, t_cap, _sh = st
         assert raw.shape[1] == bucket and ns.shape[0] == raw.shape[0]
+        assert gains.shape == ns.shape and gains.dtype == np.float32
         assert cw.shape == sw.shape
         assert use_mel and mel.shape[0] == cw.shape[1]
 

@@ -105,6 +105,7 @@ def group_signature(analyzer, items, setting: SpecSetting, shardings=None):
             (
                 sds((c_bucket, bucket), jnp.float32),
                 sds((c_bucket,), jnp.int32),
+                sds((c_bucket,), jnp.float32),  # per-row device gains
                 sds(tuple(cw.shape), jnp.float32),
                 sds(tuple(cw.shape), jnp.float32),
                 sds(mel_shape, jnp.float32),

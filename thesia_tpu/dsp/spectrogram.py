@@ -160,17 +160,22 @@ def _build_padded(raw, n, *, pad: int, bucket: int):
         "hop_length", "t_overlap", "use_mel", "bucket", "pad", "use_pallas", "t_cap"
     ),
 )
-def _spec_full(raw, n, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
+def _spec_full(raw, n, gain, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
                use_mel: bool, bucket: int, pad: int, use_pallas: bool = False,
                t_cap: int | None = None):
     """Whole-track fused pipeline.
 
-    raw: (C, bucket) with the first n samples valid.  Returns
-    (db (C, T_max, F), min_db scalar, max_db scalar) where frames beyond the
-    valid count hold garbage excluded from min/max.  t_cap bounds the frame
-    axis (frame_cap bucketing) so the pow2 wav bucket doesn't inflate it.
+    raw: (C, bucket) with the first n samples valid.  gain: dynamic f32
+    scalar applied on device — x * 1.0 is a bitwise identity, so gained and
+    ungained tracks share one executable, and a gain change never re-uploads
+    the cached device wav (the f32 multiply here is bit-identical to the
+    host's apply_gain).  Returns (db (C, T_max, F), min_db scalar, max_db
+    scalar) where frames beyond the valid count hold garbage excluded from
+    min/max.  t_cap bounds the frame axis (frame_cap bucketing) so the pow2
+    wav bucket doesn't inflate it.
     """
     win_length = hop_length * t_overlap
+    raw = raw * gain  # 0-padding stays 0 (gain is finite and positive)
     padded = _build_padded(raw, n, pad=pad, bucket=bucket)
     c = padded.shape[0]
     t_max = (bucket - win_length) // hop_length + 1
@@ -212,13 +217,15 @@ def _spec_full(raw, n, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
         "hop_length", "t_overlap", "use_mel", "bucket", "pad", "shardings", "t_cap"
     ),
 )
-def _spec_full_multi(raw, ns, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
-                     use_mel: bool, bucket: int, pad: int, shardings=None,
-                     t_cap: int | None = None):
+def _spec_full_multi(raw, ns, gains, cw, sw, mel_fb, *, hop_length: int,
+                     t_overlap: int, use_mel: bool, bucket: int, pad: int,
+                     shardings=None, t_cap: int | None = None):
     """Multi-track batch: raw (C_total, bucket) with PER-ROW valid lengths ns
-    (C_total,).  Returns (db (C, T_max, F), row_min (C,), row_max (C,)) with
-    per-row masked bounds.  One device program recomputes every track of a
-    (sr, win, n_fft) group (SURVEY §7.8 multi-track batched recompute).
+    (C_total,) and PER-ROW gains (C_total,) f32 (1.0 rows are bitwise
+    identity — see _spec_full).  Returns (db (C, T_max, F), row_min (C,),
+    row_max (C,)) with per-row masked bounds.  One device program recomputes
+    every track of a (sr, win, n_fft) group (SURVEY §7.8 multi-track batched
+    recompute).
 
     shardings: optional parallel.sharding.SpecSharding — rows spread over the
     mesh "tracks" axis (data parallel; the TPU-native analogue of the
@@ -226,12 +233,13 @@ def _spec_full_multi(raw, ns, cw, sw, mel_fb, *, hop_length: int, t_overlap: int
     and, when enabled, DFT/mel operands over "freq" (tensor parallel; GSPMD
     inserts the psum for the contracted mel GEMM)."""
     return _spec_multi_impl(
-        raw, ns, cw, sw, mel_fb, hop_length=hop_length, t_overlap=t_overlap,
-        use_mel=use_mel, bucket=bucket, pad=pad, shardings=shardings, t_cap=t_cap,
+        raw, ns, gains, cw, sw, mel_fb, hop_length=hop_length,
+        t_overlap=t_overlap, use_mel=use_mel, bucket=bucket, pad=pad,
+        shardings=shardings, t_cap=t_cap,
     )
 
 
-def _spec_multi_impl(raw, ns, cw, sw, mel_fb, *, hop_length, t_overlap,
+def _spec_multi_impl(raw, ns, gains, cw, sw, mel_fb, *, hop_length, t_overlap,
                      use_mel, bucket, pad, shardings, t_cap):
     """Trace-time body shared by _spec_full_multi and the fused multi-group
     program _spec_groups."""
@@ -240,11 +248,13 @@ def _spec_multi_impl(raw, ns, cw, sw, mel_fb, *, hop_length, t_overlap,
     if shardings is not None:
         raw = jax.lax.with_sharding_constraint(raw, shardings.rows2)
         ns = jax.lax.with_sharding_constraint(ns, shardings.rows1)
+        gains = jax.lax.with_sharding_constraint(gains, shardings.rows1)
         if shardings.mat is not None:
             cw = jax.lax.with_sharding_constraint(cw, shardings.mat)
             sw = jax.lax.with_sharding_constraint(sw, shardings.mat)
             if use_mel:
                 mel_fb = jax.lax.with_sharding_constraint(mel_fb, shardings.fb)
+    raw = raw * gains[:, None]
     padded = jax.vmap(
         lambda row, n: _build_padded_row(row, n, pad=pad, bucket=bucket)
     )(raw, ns)
@@ -284,7 +294,7 @@ def _spec_groups(arrays, *, specs):
     pure latency.  Groups are mutually independent, so XLA also overlaps
     their compute.
 
-    arrays: tuple of (raw, ns, cw, sw, mel_fb) pytrees, one per group;
+    arrays: tuple of (raw, ns, gains, cw, sw, mel_fb) pytrees, one per group;
     specs:  matching tuple of (hop_length, t_overlap, use_mel, bucket, pad,
             t_cap, shardings) static tuples.  Compilation is keyed on the
     combination of group shapes/params ONLY — per-track row extents stay
@@ -297,10 +307,10 @@ def _spec_groups(arrays, *, specs):
     single-launch semantics on non-tunneled TPU runtimes."""
     return tuple(
         _spec_multi_impl(
-            raw, ns, cw, sw, mel, hop_length=h, t_overlap=t, use_mel=m,
+            raw, ns, gains, cw, sw, mel, hop_length=h, t_overlap=t, use_mel=m,
             bucket=b, pad=p, shardings=sh, t_cap=tc,
         )
-        for (raw, ns, cw, sw, mel), (h, t, m, b, p, tc, sh) in zip(arrays, specs)
+        for (raw, ns, gains, cw, sw, mel), (h, t, m, b, p, tc, sh) in zip(arrays, specs)
     )
 
 
@@ -524,9 +534,14 @@ class SpectrogramAnalyzer:
 
     # -- compute -----------------------------------------------------------
     def calc_spec_multi(
-        self, wavs: np.ndarray, sr: int, setting: SpecSetting, cache_key=None, token=None
+        self, wavs: np.ndarray, sr: int, setting: SpecSetting, cache_key=None,
+        token=None, gain: float = 1.0
     ) -> SpecResult:
-        """All channels at once: (C, n) -> SpecResult with (C, T_max, F)."""
+        """All channels at once: (C, n) -> SpecResult with (C, T_max, F).
+
+        gain: scalar applied ON DEVICE (bit-identical to the host f32
+        multiply) — callers pass the ORIGINAL samples with a stable token so
+        gain changes never re-upload (see AudioTrack.device_scalar_gain)."""
         from ..runtime import device_warmup
 
         device_warmup()  # join the startup warmup before any transfers
@@ -541,6 +556,8 @@ class SpectrogramAnalyzer:
 
         if n <= pad + 1 or n < win:
             # short-track path: host reflect-pad (cyclic) + same device math
+            if gain != 1.0:
+                wavs = (np.float32(gain) * wavs).astype(np.float32)
             return self._calc_short(wavs, hop, win, pad, cw, sw, mel, use_mel, n_frames)
 
         raw_dev, n_dev = self._device_wav(wavs, cache_key, token)
@@ -548,9 +565,7 @@ class SpectrogramAnalyzer:
         # padded signal needs room: pad + n + pad <= bucket
         if pad + n_dev + pad > bucket:
             bucket2 = wav_size_bucket(n_dev + 2 * pad)
-            buf = np.zeros((wavs.shape[0], bucket2), np.float32)
-            buf[:, :n_dev] = wavs
-            raw_dev = jnp.asarray(buf)
+            raw_dev = self._upload_padded(wavs, n_dev, bucket2)
             if cache_key is not None and token is not None:
                 self._wav_cache[cache_key] = (raw_dev, n_dev, token)
                 self._evict_wav_cache()
@@ -558,6 +573,7 @@ class SpectrogramAnalyzer:
         db, mn, mx = _spec_full(
             raw_dev,
             jnp.int32(n_dev),
+            jnp.float32(gain),
             cw,
             sw,
             mel,
@@ -643,8 +659,11 @@ class SpectrogramAnalyzer:
     def calc_specs_batched(
         self, items, setting: SpecSetting
     ) -> dict[object, SpecResult]:
-        """Multi-track batched recompute: items = [(key, wavs (C,n), sr)] or
-        [(key, wavs, sr, token)] (token invalidates the device wav cache).
+        """Multi-track batched recompute: items = [(key, wavs (C,n), sr)],
+        [(key, wavs, sr, token)], or [(key, wavs, sr, token, gain)] — token
+        invalidates the device wav cache; gain is applied on device per row
+        (pass ORIGINAL samples + original-version token so gain changes hit
+        both the wav cache and the assembled group stacks).
 
         Tracks sharing a (sr, win, n_fft) parameter set AND wav size bucket
         are stacked into ONE device program (row batch padded to a power of
@@ -665,16 +684,17 @@ class SpectrogramAnalyzer:
         for item in items:
             key, wavs, sr = item[0], item[1], item[2]
             token = item[3] if len(item) > 3 else None
+            gain = float(item[4]) if len(item) > 4 else 1.0
             wavs = np.atleast_2d(np.asarray(wavs, np.float32))
             hop, win, n_fft = setting.calc_framing_params(sr)
             pad = win // 2
             n = wavs.shape[-1]
             if n <= pad + 1 or n < win:
-                results[key] = self.calc_spec_multi(wavs, sr, setting)
+                results[key] = self.calc_spec_multi(wavs, sr, setting, gain=gain)
                 continue
             bucket = wav_size_bucket(n + 2 * pad)
             groups.setdefault((sr, hop, win, n_fft, bucket), []).append(
-                (key, wavs, n, token)
+                (key, wavs, n, token, gain)
             )
 
         use_mel = setting.freq_scale is FreqScale.Mel
@@ -682,22 +702,26 @@ class SpectrogramAnalyzer:
         for (sr, hop, win, n_fft, bucket), members in groups.items():
             cw, sw = self._dft_mats(win, n_fft)
             mel = self.mel_fb(sr, n_fft) if use_mel else jnp.zeros((1, 1), jnp.float32)
-            rows = sum(w.shape[0] for _, w, _n, _t in members)
+            rows = sum(w.shape[0] for _, w, _n, _t, _g in members)
             c_bucket = pad_rows_for(shardings, rows)
-            buf_dev, ns_dev, _sig = self._group_buffer(bucket, c_bucket, members, win)
+            buf_dev, ns_dev, _sig = self._group_buffer(
+                bucket, c_bucket, [m[:4] for m in members], win
+            )
             spans = []
+            gains = np.ones(c_bucket, np.float32)
             r = 0
-            for key, wavs, n, _token in members:
+            for key, wavs, n, _token, gain in members:
                 spans.append((key, r, wavs.shape[0], n))
+                gains[r : r + wavs.shape[0]] = np.float32(gain)
                 r += wavs.shape[0]
             t_cap = frame_cap(
-                max(stft_frame_count(n, win, hop) for _k, _w, n, _t in members)
+                max(stft_frame_count(n, win, hop) for _k, _w, n, _t, _g in members)
             )
             prepared.append(
                 (
                     spans,
                     (hop, win),
-                    (buf_dev, ns_dev, cw, sw, mel),
+                    (buf_dev, ns_dev, jnp.asarray(gains), cw, sw, mel),
                     (hop, win // hop, use_mel, bucket, win // 2, t_cap),
                 )
             )

@@ -210,17 +210,23 @@ class TrackManager:
         track_ids = sorted({t for t, _ in id_ch_tuples})
         for tid in track_ids:
             self._spec_bounds.pop(tid, None)  # stale under the new spec
+        def _spec_source(track):
+            """(wavs, token, gain): ORIGINAL samples + device-side scalar
+            gain whenever the guard was a no-op — gain/normalize changes
+            then re-use the cached device upload (and the assembled group
+            stacks) instead of re-transferring; falls back to the post-gain
+            samples when the guard altered them (clip/reduce/limiter)."""
+            g = track.device_scalar_gain()
+            if g is not None:
+                return track.original.wavs, track.original.version, g
+            return track.audio.wavs, track.audio.version, 1.0
+
         if len(track_ids) > 1:
             # one device program per (sr, win, n_fft, bucket) group
-            items = [
-                (
-                    tid,
-                    tracklist[tid].audio.wavs,
-                    tracklist[tid].sr,
-                    tracklist[tid].audio.version,
-                )
-                for tid in track_ids
-            ]
+            items = []
+            for tid in track_ids:
+                wavs, token, gain = _spec_source(tracklist[tid])
+                items.append((tid, wavs, tracklist[tid].sr, token, gain))
             results = self.spec_analyzer.calc_specs_batched(items, self.setting)
             for tid in track_ids:
                 self.specs[tid] = results[tid]
@@ -228,12 +234,14 @@ class TrackManager:
             return
         for track_id in track_ids:
             track = tracklist[track_id]
+            wavs, token, gain = _spec_source(track)
             self.specs[track_id] = self.spec_analyzer.calc_spec_multi(
-                track.audio.wavs,
+                wavs,
                 track.sr,
                 self.setting,
                 cache_key=track_id,
-                token=track.audio.version,
+                token=token,
+                gain=gain,
             )
             self._spec_n_ch[track_id] = track.n_ch
 

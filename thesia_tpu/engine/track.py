@@ -86,6 +86,23 @@ class AudioTrack:
     def format_guard_clip_stats(self, mode: GuardClippingMode):
         return self.audio.format_guard_clip_stats(mode)
 
+    def device_scalar_gain(self) -> float | None:
+        """Scalar g such that audio.wavs == float32(g) * original.wavs
+        BITWISE — i.e. the applied gain when guard clipping was a no-op
+        (no sample exceeded +/-1, so Clip clamped nothing, ReduceGlobalLevel
+        kept gain 1, the Limiter sequence is all-ones).  The spec path then
+        uploads the ORIGINAL samples once and applies g on device, so
+        normalize/guard changes never re-transfer.  None when the guard
+        modified samples (clamps, f64 global reduce, limiter gains)."""
+        if self.audio is self.original:
+            return 1.0
+        g = getattr(self.audio, "applied_scalar_gain", None)
+        if g is None:
+            return None
+        if any(s.max_reduction_gain_db != 0.0 for s in self.audio.guard_clip_stats):
+            return None
+        return float(g)
+
     # normalize (gain always computed from ORIGINAL stats,
     # reference: track.rs:152-170)
     def normalize(self, target: NormalizeTarget, guard_clipping_mode: GuardClippingMode):
@@ -110,6 +127,7 @@ class AudioTrack:
             guard_clipping_mode,
             gain_seq=gain_seq,
         )
+        mutated.applied_scalar_gain = float(gain)  # for device_scalar_gain
         self.audio = mutated
 
 
