@@ -364,3 +364,25 @@ def test_device_wav_s16_path_spec_bitexact(monkeypatch):
     via_s16 = SpectrogramAnalyzer().calc_spec_multi(wavs, 16000, s)
     np.testing.assert_array_equal(np.asarray(via_s16.db_padded), np.asarray(ref.db_padded))
     assert via_s16.min_max_db() == ref.min_max_db()
+
+
+def test_rebucket_pads_on_device_bitexact():
+    """When pad + n + pad overflows the cached upload's bucket (n exactly at
+    a bucket boundary), the spec path zero-extends the cached device array
+    instead of re-uploading — result must equal a fresh compute bit-for-bit."""
+    from thesia_tpu.dsp.spectrogram import _WAV_BUCKET_BASE
+
+    n = _WAV_BUCKET_BASE  # == bucket(n), so any pad overflows it
+    rng = np.random.default_rng(31)
+    wavs = rng.uniform(-1, 1, (1, n)).astype(np.float32)
+    s = SpecSetting(win_ms=40.0, t_overlap=4)
+    an = SpectrogramAnalyzer()
+    an.calc_spec_multi(wavs, 8000, s, cache_key="k", token=1)  # seeds cache at bucket(n)
+    cached = an.calc_spec_multi(wavs, 8000, s, cache_key="k", token=1)
+    fresh = SpectrogramAnalyzer().calc_spec_multi(wavs, 8000, s)
+    assert cached.n_frames == fresh.n_frames
+    np.testing.assert_array_equal(
+        np.asarray(cached.db_padded)[:, : cached.n_frames],
+        np.asarray(fresh.db_padded)[:, : fresh.n_frames],
+    )
+    assert cached.min_max_db() == fresh.min_max_db()

@@ -366,3 +366,32 @@ def test_device_scalar_gain_bitexact_and_no_reupload(tmp_path):
     tokens_after = {k: v[2] for k, v in tm2.spec_analyzer._wav_cache.items()}
     assert before and after == before  # same device buffers, zero re-upload
     assert tokens_after == tokens_before  # keyed on ORIGINAL versions
+
+
+def test_evicted_spec_recompute_keeps_original_token(tmp_path, monkeypatch):
+    """_ensure_spec must source through _spec_source: recomputing a
+    budget-evicted spec for a normalized (guard no-op) track reuses the
+    ORIGINAL-version device wav instead of re-uploading post-gain samples
+    (review finding: the old path clobbered the cache token)."""
+    from thesia_tpu.io.wav import encode_wav_s16
+
+    rng = np.random.default_rng(41)
+    p = tmp_path / "t.wav"
+    p.write_bytes(encode_wav_s16((0.05 * rng.uniform(-1, 1, (1, 8000))).astype(np.float32), 8000))
+    tl = TrackList()
+    tm = TrackManager()
+    ids = tl.add_tracks([0], [str(p)])
+    tm.add_tracks(tl, ids)
+    tm.apply_track_list_changes(tl)
+    tl.set_common_normalize(NormalizeTarget("LUFS", -30.0))
+    tm.update_all_specs_imgs(tl)
+    tm.images.drain()
+    assert tl[0].device_scalar_gain() not in (None, 1.0)
+    cache = tm.spec_analyzer._wav_cache
+    dev_id = id(cache[0][0])
+    token = cache[0][2]
+    assert token == tl[0].original.version
+    tm.specs.pop(0)  # simulate budget eviction
+    res = tm._ensure_spec(tl, 0)
+    assert res is not None
+    assert id(cache[0][0]) == dev_id and cache[0][2] == token  # no re-upload

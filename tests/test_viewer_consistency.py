@@ -267,8 +267,8 @@ def test_single_compositor_canvas():
     assert "getContext" not in tv and "this.canvas" not in tv
     # the compositor culls off-screen rows and clips each row's rect
     comp = srcs["viewport.js"].split("class Compositor", 1)[1].split("class ", 1)[0]
-    for frag in ("continue", "ctx.clip()", "ctx.translate(x, y)", "pointer"):
-        assert frag in comp or frag == "pointer", frag
+    for frag in ("continue", "ctx.clip()", "ctx.translate(x, y)"):
+        assert frag in comp, frag
     # hit-testing stays on the divs: the overlay never takes pointer events
     css = (VIEWER / "style.css").read_text()
     assert re.search(r"#compositor\s*{[^}]*pointer-events:\s*none", css)

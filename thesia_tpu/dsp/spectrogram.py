@@ -562,10 +562,13 @@ class SpectrogramAnalyzer:
 
         raw_dev, n_dev = self._device_wav(wavs, cache_key, token)
         bucket = raw_dev.shape[-1]
-        # padded signal needs room: pad + n + pad <= bucket
+        # padded signal needs room: pad + n + pad <= bucket.  The cached
+        # upload is zero past n, so zero-extending ON DEVICE is bit-exact
+        # and costs no transfer (re-uploading here would also bypass the
+        # int16 fast path and clobber the cache token — review finding).
         if pad + n_dev + pad > bucket:
             bucket2 = wav_size_bucket(n_dev + 2 * pad)
-            raw_dev = self._upload_padded(wavs, n_dev, bucket2)
+            raw_dev = jnp.pad(raw_dev, ((0, 0), (0, bucket2 - bucket)))
             if cache_key is not None and token is not None:
                 self._wav_cache[cache_key] = (raw_dev, n_dev, token)
                 self._evict_wav_cache()

@@ -210,22 +210,11 @@ class TrackManager:
         track_ids = sorted({t for t, _ in id_ch_tuples})
         for tid in track_ids:
             self._spec_bounds.pop(tid, None)  # stale under the new spec
-        def _spec_source(track):
-            """(wavs, token, gain): ORIGINAL samples + device-side scalar
-            gain whenever the guard was a no-op — gain/normalize changes
-            then re-use the cached device upload (and the assembled group
-            stacks) instead of re-transferring; falls back to the post-gain
-            samples when the guard altered them (clip/reduce/limiter)."""
-            g = track.device_scalar_gain()
-            if g is not None:
-                return track.original.wavs, track.original.version, g
-            return track.audio.wavs, track.audio.version, 1.0
-
         if len(track_ids) > 1:
             # one device program per (sr, win, n_fft, bucket) group
             items = []
             for tid in track_ids:
-                wavs, token, gain = _spec_source(tracklist[tid])
+                wavs, token, gain = self._spec_source(tracklist[tid])
                 items.append((tid, wavs, tracklist[tid].sr, token, gain))
             results = self.spec_analyzer.calc_specs_batched(items, self.setting)
             for tid in track_ids:
@@ -234,7 +223,7 @@ class TrackManager:
             return
         for track_id in track_ids:
             track = tracklist[track_id]
-            wavs, token, gain = _spec_source(track)
+            wavs, token, gain = self._spec_source(track)
             self.specs[track_id] = self.spec_analyzer.calc_spec_multi(
                 wavs,
                 track.sr,
@@ -313,6 +302,19 @@ class TrackManager:
         self._evict_specs(keep=set())
         return ids_need_update
 
+    @staticmethod
+    def _spec_source(track):
+        """(wavs, token, gain): ORIGINAL samples + device-side scalar gain
+        whenever the guard was a no-op — gain/normalize changes then re-use
+        the cached device upload (and the assembled group stacks) instead of
+        re-transferring; falls back to the post-gain samples when the guard
+        altered them (clip/reduce/limiter).  EVERY spec compute must source
+        through here so the wav cache stays keyed on one token per track."""
+        g = track.device_scalar_gain()
+        if g is not None:
+            return track.original.wavs, track.original.version, g
+        return track.audio.wavs, track.audio.version, 1.0
+
     # -- spec residency budget ---------------------------------------------
     def _ensure_spec(self, tracklist: TrackList, track_id: int):
         """Spec for a track, recomputing from the (device-cached) wav if the
@@ -325,9 +327,10 @@ class TrackManager:
         track = tracklist.get(track_id)
         if track is None:
             return None
+        wavs, token, gain = self._spec_source(track)
         res = self.spec_analyzer.calc_spec_multi(
-            track.audio.wavs, track.sr, self.setting,
-            cache_key=track_id, token=track.audio.version,
+            wavs, track.sr, self.setting,
+            cache_key=track_id, token=token, gain=gain,
         )
         self.specs[track_id] = res
         self._spec_n_ch[track_id] = track.n_ch

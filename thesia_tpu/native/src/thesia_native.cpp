@@ -798,8 +798,11 @@ void resample_block(const float *buf /* n_ch * n_total */, int64_t n_ch,
 int f32_to_s16_grid(const float *src, int64_t count, int16_t *dst) {
   for (int64_t i = 0; i < count; ++i) {
     const float y = src[i] * 32768.0f;  // exact: exponent shift
+    // range-check BEFORE the cast: float->int of out-of-range/NaN is UB
+    // (the !(...) form also rejects NaN)
+    if (!(y >= -32768.0f && y <= 32767.0f)) return 0;
     const int32_t k = (int32_t)y;
-    if ((float)k != y || k < -32768 || k > 32767) return 0;
+    if ((float)k != y) return 0;
     dst[i] = (int16_t)k;
   }
   return 1;
