@@ -213,3 +213,95 @@ def test_non_numeric_args_clean_errors(session, samples_dir):
         session.set_volume_db(None)
     # numeric strings coerce (lenient JSON clients)
     assert len(session.get_waveform_tile("0_0", "2", "0")) > 24
+
+
+def test_wav_prefetch_upload_adopted_and_bitexact(tmp_path, monkeypatch):
+    """Big 16-bit WAV adds upload the interleaved payload concurrently with
+    decode (device-side deinterleave); the adopted upload must produce the
+    same spectrogram bit-for-bit as the ordinary planar upload path, and the
+    spec compute must reuse it (no second upload)."""
+    import numpy as np
+
+    from thesia_tpu.dsp.spectrogram import SpectrogramAnalyzer
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_s16
+    from thesia_tpu.render import default_colormap_rgba8
+
+    rng = np.random.default_rng(51)
+    w = rng.uniform(-0.8, 0.8, (2, 120_000)).astype(np.float32)
+    p = tmp_path / "pf.wav"
+    p.write_bytes(encode_wav_s16(w, 8000))
+
+    monkeypatch.setattr(EngineSession, "_PREFETCH_MIN_FILE_BYTES", 0)
+    monkeypatch.setattr(SpectrogramAnalyzer, "_PREFETCH_MIN_BYTES", 0)
+    adopted = []
+    orig_adopt = SpectrogramAnalyzer.adopt_wav
+
+    def spy(self, cache_key, dev, n, token):
+        adopted.append((cache_key, id(dev)))
+        return orig_adopt(self, cache_key, dev, n, token)
+
+    monkeypatch.setattr(SpectrogramAnalyzer, "adopt_wav", spy)
+    s = EngineSession(settings_dir=str(tmp_path / "cfg"))
+    s.init(default_colormap_rgba8())
+    s.add_tracks([0], [str(p)])
+    an = s.tm.spec_analyzer
+    assert adopted and adopted[0][0] == 0  # prefetch really adopted
+    assert 0 in an._wav_cache
+    assert id(an._wav_cache[0][0]) == adopted[0][1]  # cache entry IS it
+    dev, n, token = an._wav_cache[0]
+    assert n == 120_000 and token == s.tracklist[0].original.version
+    # the cached device wav equals the decoded planar samples exactly
+    host = np.asarray(dev)[:, :n]
+    np.testing.assert_array_equal(host, s.tracklist[0].original.wavs)
+    # spec compute must have REUSED the adopted upload, not replaced it
+    s.apply_track_list_changes()
+    assert id(an._wav_cache[0][0]) == id(dev)
+    # and the pipeline output matches a session without prefetch
+    s.tm.images.drain()
+    imgs_pf = {k: np.asarray(v) for k, v in s.tm.spec_imgs.items()}
+    monkeypatch.setattr(EngineSession, "_PREFETCH_MIN_FILE_BYTES", 1 << 60)
+    s2 = EngineSession(settings_dir=str(tmp_path / "cfg2"))
+    s2.init(default_colormap_rgba8())
+    s2.add_tracks([0], [str(p)])
+    s2.apply_track_list_changes()
+    s2.tm.images.drain()
+    for k, img in s2.tm.spec_imgs.items():
+        np.testing.assert_array_equal(imgs_pf[k], np.asarray(img))
+
+
+def test_wav_prefetch_rejects_changed_file(tmp_path, monkeypatch):
+    """If the file content the decoder reads differs from the prefetched
+    bytes, the probe must reject adoption (no wrong-samples cache entry)."""
+    import numpy as np
+
+    from thesia_tpu.dsp.spectrogram import SpectrogramAnalyzer
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_s16
+    from thesia_tpu.render import default_colormap_rgba8
+
+    rng = np.random.default_rng(52)
+    a = rng.uniform(-0.8, 0.8, (1, 60_000)).astype(np.float32)
+    b = rng.uniform(-0.8, 0.8, (1, 60_000)).astype(np.float32)
+    p = tmp_path / "race.wav"
+    p.write_bytes(encode_wav_s16(a, 8000))
+
+    monkeypatch.setattr(EngineSession, "_PREFETCH_MIN_FILE_BYTES", 0)
+    monkeypatch.setattr(SpectrogramAnalyzer, "_PREFETCH_MIN_BYTES", 0)
+    s = EngineSession(settings_dir=str(tmp_path / "cfg"))
+    s.init(default_colormap_rgba8())
+    # swap the file between the prefetch read and the decoder read
+    orig = EngineSession._prefetch_one
+
+    def race(self, path):
+        res = orig(self, path)
+        p.write_bytes(encode_wav_s16(b, 8000))  # decoder will see b
+        return res
+
+    monkeypatch.setattr(EngineSession, "_prefetch_one", race)
+    s.add_tracks([0], [str(p)])
+    # cache must hold the DECODED (b) samples, not the stale prefetch of a
+    dev, n, _tok = s.tm.spec_analyzer._wav_cache[0]
+    np.testing.assert_array_equal(
+        np.asarray(dev)[:, :n], s.tracklist[0].original.wavs
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import json
+import logging
 import math
 import os
 from pathlib import Path
@@ -101,6 +102,7 @@ class EngineSession:
         # .write() around every mutation
         self.rw = RwLock()
         self._listeners: list = []
+        self._prefetch_pool = None  # lazy; big-WAV h2d prefetch threads
         self.player = Player(self._player_get_track, self._emit_player_state)
 
     # -- events ------------------------------------------------------------
@@ -239,14 +241,80 @@ class EngineSession:
     # track CRUD
     def add_tracks(self, track_ids: list[int], paths: list[str]) -> list[int]:
         assert track_ids and len(track_ids) == len(paths)
+        # 16-bit WAVs: start uploading the raw interleaved payload to the
+        # device NOW, concurrently with the decode/stats pass below — the
+        # h2d transfer is the dominant long-track add cost (the tunnel pins
+        # h2d to ~35 MB/s once any d2h has happened), so overlapping it with
+        # decode+stats takes it off the critical path entirely.
+        prefetches = self._start_wav_prefetch(track_ids, paths)
 
         def work():
             added = self.tracklist.add_tracks(list(track_ids), list(paths))
+            self._adopt_prefetches(prefetches, added)
             self.tm.add_tracks(self.tracklist, added)
             self.tile_cache.invalidate_all()
             return added
 
         return self._write(work)
+
+    _PREFETCH_MIN_FILE_BYTES = 64 << 20
+
+    def _start_wav_prefetch(self, track_ids, paths):
+        import concurrent.futures
+        import os
+
+        futs = {}
+        for tid, path in zip(track_ids, paths):
+            try:
+                if not str(path).lower().endswith(".wav"):
+                    continue
+                if os.path.getsize(path) < self._PREFETCH_MIN_FILE_BYTES:
+                    continue
+            except OSError:
+                continue
+            if self._prefetch_pool is None:
+                self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=2, thread_name_prefix="wav-prefetch"
+                )
+            futs[tid] = self._prefetch_pool.submit(self._prefetch_one, path)
+        return futs
+
+    def _prefetch_one(self, path):
+        from ..io.wav import WAVE_FORMAT_PCM, WavError, probe_wav
+
+        data = open(path, "rb").read()
+        try:
+            fmt_tag, bits, n_ch, _sr, payload = probe_wav(data)
+        except WavError:
+            return None
+        if fmt_tag != WAVE_FORMAT_PCM or bits != 16:
+            return None
+        return self.tm.spec_analyzer.upload_interleaved_s16(payload, n_ch)
+
+    def _adopt_prefetches(self, futs, added) -> None:
+        an = self.tm.spec_analyzer
+        for tid, fut in futs.items():
+            try:
+                res = fut.result()
+            except Exception:
+                logging.getLogger(__name__).warning(
+                    "wav prefetch for track %s failed; decode path will upload",
+                    tid, exc_info=True,
+                )
+                continue
+            if res is None or tid not in added:
+                continue
+            dev, n, probe = res
+            track = self.tracklist.get(tid)
+            if track is None:
+                continue
+            w = track.original.wavs
+            # adopt only when the decoded samples vouch for the uploaded
+            # bytes (shape + strided probe) — the file could have changed
+            # between the prefetch read and the decode read
+            if w.shape != (dev.shape[0], n) or not an.prefetch_matches(probe, w):
+                continue
+            an.adopt_wav(tid, dev, n, track.original.version)
 
     def reload_tracks(self, track_ids: list[int]) -> list[int]:
         assert track_ids

@@ -30,8 +30,9 @@ def _codec_name(fmt: int, bits: int) -> str:
     return f"pcm_s{bits}le"
 
 
-def decode_wav(data: bytes) -> tuple[np.ndarray, int, str]:
-    """Returns (planar f32 (n_ch, n), sample_rate, codec_name)."""
+def probe_wav(data: bytes) -> tuple[int, int, int, int, memoryview]:
+    """Header scan only: (fmt_tag, bits, n_ch, sr, payload view).
+    Raises WavError on malformed input; does not touch sample data."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavError("not a RIFF/WAVE file")
     pos = 12
@@ -60,6 +61,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, str]:
         raise WavError("missing fmt or data chunk")
     if n_ch == 0 or sr == 0:
         raise WavError("invalid channel count or sample rate")
+    return fmt_tag, bits, n_ch, sr, payload
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int, str]:
+    """Returns (planar f32 (n_ch, n), sample_rate, codec_name)."""
+    fmt_tag, bits, n_ch, sr, payload = probe_wav(data)
 
     from .. import native
 
