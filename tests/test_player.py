@@ -193,8 +193,16 @@ def test_player_position_advances_and_ends():
     p.max_sec = 0.01
     p.set_track(0, 0.0)
     p.resume()
-    time.sleep(0.05)
-    p.tick()
+    # poll up to 2 s: the 10 ms track ends almost immediately, but position
+    # is paced by the output sink's consumer thread, which can stall when
+    # the machine is loaded (the fixed 50 ms sleep flaked under a
+    # concurrent benchmark run)
+    deadline = time.monotonic() + 2.0
+    while time.monotonic() < deadline:
+        p.tick()
+        if not p.playback.is_playing:
+            break
+        time.sleep(0.02)
     assert not p.playback.is_playing  # reached end
     assert abs(p.playback.position_sec() - 0.01) < 1e-9
 

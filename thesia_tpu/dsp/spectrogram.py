@@ -74,19 +74,44 @@ def _s16_to_f32(ints):
 
 
 @functools.partial(jax.jit, static_argnames=("c", "bucket"))
-def _deinterleave_s16(flat2d, *, c: int, bucket: int):
-    """(1, bucket*c) interleaved int16 (zero tail) -> (c, bucket) f32 planar.
-    Per-channel STRIDED 1-D slices — a reshape(-1, c) intermediate would
-    put c on the TPU lane axis and tile-pad it 128/c-fold (measured: 90 GB
-    for an hour track).  x * 2^-15 is bit-identical to the host decode's
-    s16 -> x/32768 (reference audio.rs semantics); zeros stay zero."""
+def _deinterleave_flat(flat2d, *, c: int, bucket: int):
+    """(1, bucket*c) interleaved int16/f32 (zero tail) -> (c, bucket) f32
+    planar.  Per-channel STRIDED 1-D slices — a reshape(-1, c) intermediate
+    would put c on the TPU lane axis and tile-pad it 128/c-fold (measured:
+    90 GB for an hour track).  For int16, x * 2^-15 is bit-identical to the
+    host decode's s16 -> x/32768 (reference audio.rs semantics); zeros stay
+    zero."""
     flat = flat2d.reshape(-1)
     rows = [
         jax.lax.slice(flat, (ch,), (bucket * c - (c - 1 - ch),), (c,))
         for ch in range(c)
     ]
     x = rows[0][None] if c == 1 else jnp.stack(rows, axis=0)
+    if x.dtype == jnp.float32:
+        return x
     return x.astype(jnp.float32) * np.float32(1.0 / 32768.0)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "bucket"))
+def _deinterleave_s24(flat2d, *, c: int, bucket: int):
+    """(1, bucket*3*c) interleaved packed 24-bit little-endian bytes (zero
+    tail) -> (c, bucket) f32 planar.  Three strided byte slices per channel
+    combine to sign-extended int32; x * 2^-23 matches the host's
+    v / 8388608 exactly (both are exponent shifts)."""
+    flat = flat2d.reshape(-1)
+    stride = 3 * c
+    rows = []
+    for ch in range(c):
+        def byte(k, _base=3 * ch):
+            start = _base + k
+            return jax.lax.slice(
+                flat, (start,), (start + (bucket - 1) * stride + 1,), (stride,)
+            ).astype(jnp.int32)
+
+        v = byte(0) | (byte(1) << 8) | (byte(2) << 16)
+        rows.append((v << 8) >> 8)  # sign-extend 24 -> 32
+    x = rows[0][None] if c == 1 else jnp.stack(rows, axis=0)
+    return x.astype(jnp.float32) * np.float32(1.0 / 8388608.0)
 
 
 _S16_GRID_MIN_BYTES = 64 << 20  # only worth the host passes for big uploads
@@ -533,38 +558,64 @@ class SpectrogramAnalyzer:
 
     _PREFETCH_MIN_BYTES = 64 << 20
 
-    def upload_interleaved_s16(self, payload, n_ch: int):
-        """Prefetch path for 16-bit WAV: upload the file's interleaved int16
-        payload AS-IS (zero host decode work) and deinterleave + convert on
-        device.  Run on a background thread concurrently with the host
-        decode/stats pass; the result slots into the wav cache via
+    def upload_interleaved_pcm(self, payload, n_ch: int, fmt: str):
+        """Prefetch path for big PCM WAVs (fmt in {"s16", "s24", "f32"}):
+        upload the file's interleaved payload AS-IS (zero host decode work;
+        s16 is half the f32 bytes, s24 three quarters) and deinterleave +
+        convert on device.  Run on a background thread concurrently with the
+        host decode/stats pass; the result slots into the wav cache via
         adopt_wav once the decoded track vouches for the bytes.
 
-        Returns (dev (C, bucket) f32, n, probe) where probe is a strided
-        host sample of the int16 payload for post-decode verification, or
-        None when the payload is too small to be worth it."""
-        flat = np.frombuffer(payload, "<i2")
-        if flat.nbytes < self._PREFETCH_MIN_BYTES or n_ch <= 0:
+        Returns (dev (C, bucket) f32, n, probe) where probe holds strided
+        expected f32 samples for post-decode verification, or None when the
+        payload is too small / the format is unsupported."""
+        if n_ch <= 0 or len(payload) < self._PREFETCH_MIN_BYTES:
             return None
-        n = flat.size // n_ch
-        flat = flat[: n * n_ch]
-        bucket = wav_size_bucket(n)
-        dev_flat = self._upload_padded(flat.reshape(1, -1), n * n_ch, bucket * n_ch)
-        dev = _deinterleave_s16(dev_flat, c=n_ch, bucket=bucket)
-        probe_idx = np.arange(0, n * n_ch, 4097)
-        return dev, n, (probe_idx, flat[probe_idx].copy())
+        if fmt == "s16":
+            flat = np.frombuffer(payload, "<i2")
+            n = flat.size // n_ch
+            flat = flat[: n * n_ch]
+            bucket = wav_size_bucket(n)
+            dev_flat = self._upload_padded(flat.reshape(1, -1), n * n_ch, bucket * n_ch)
+            dev = _deinterleave_flat(dev_flat, c=n_ch, bucket=bucket)
+            probe_idx = np.arange(0, n * n_ch, 4097)
+            expected = flat[probe_idx].astype(np.float32) * np.float32(1.0 / 32768.0)
+        elif fmt == "f32":
+            flat = np.frombuffer(payload, "<f4")
+            n = flat.size // n_ch
+            flat = flat[: n * n_ch]
+            bucket = wav_size_bucket(n)
+            dev_flat = self._upload_padded(flat.reshape(1, -1), n * n_ch, bucket * n_ch)
+            dev = _deinterleave_flat(dev_flat, c=n_ch, bucket=bucket)
+            probe_idx = np.arange(0, n * n_ch, 4097)
+            expected = flat[probe_idx].astype(np.float32)
+        elif fmt == "s24":
+            raw = np.frombuffer(payload, np.uint8)
+            n = raw.size // (3 * n_ch)
+            raw = raw[: n * 3 * n_ch]
+            bucket = wav_size_bucket(n)
+            dev_flat = self._upload_padded(
+                raw.reshape(1, -1), n * 3 * n_ch, bucket * 3 * n_ch
+            )
+            dev = _deinterleave_s24(dev_flat, c=n_ch, bucket=bucket)
+            probe_idx = np.arange(0, n * n_ch, 4097)
+            b = raw.reshape(-1, 3)[probe_idx].astype(np.uint32)
+            v = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)).astype(np.int32)
+            v = (v << 8) >> 8
+            expected = v.astype(np.float32) * np.float32(1.0 / 8388608.0)
+        else:
+            return None
+        return dev, n, (probe_idx, expected)
 
     @staticmethod
     def prefetch_matches(probe, wavs: np.ndarray) -> bool:
         """Did the decoded planar f32 come from the same bytes the prefetch
         uploaded?  (Guards against the file changing between the two
-        reads.)  probe positions are flat interleaved indices."""
-        probe_idx, ints = probe
+        reads.)  probe positions are flat interleaved SAMPLE indices."""
+        probe_idx, expected = probe
         c = wavs.shape[0]
         got = wavs[probe_idx % c, probe_idx // c]
-        return bool(
-            (got == ints.astype(np.float32) * np.float32(1.0 / 32768.0)).all()
-        )
+        return bool((got == expected).all())
 
     def adopt_wav(self, cache_key, dev: jax.Array, n: int, token) -> None:
         """Install a prefetched upload into the device wav cache."""

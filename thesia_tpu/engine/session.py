@@ -280,16 +280,21 @@ class EngineSession:
         return futs
 
     def _prefetch_one(self, path):
-        from ..io.wav import WAVE_FORMAT_PCM, WavError, probe_wav
+        from ..io.wav import WAVE_FORMAT_IEEE_FLOAT, WAVE_FORMAT_PCM, WavError, probe_wav
 
         data = open(path, "rb").read()
         try:
             fmt_tag, bits, n_ch, _sr, payload = probe_wav(data)
         except WavError:
             return None
-        if fmt_tag != WAVE_FORMAT_PCM or bits != 16:
+        fmt = {
+            (WAVE_FORMAT_PCM, 16): "s16",
+            (WAVE_FORMAT_PCM, 24): "s24",
+            (WAVE_FORMAT_IEEE_FLOAT, 32): "f32",
+        }.get((fmt_tag, bits))
+        if fmt is None:
             return None
-        return self.tm.spec_analyzer.upload_interleaved_s16(payload, n_ch)
+        return self.tm.spec_analyzer.upload_interleaved_pcm(payload, n_ch, fmt)
 
     def _adopt_prefetches(self, futs, added) -> None:
         an = self.tm.spec_analyzer
