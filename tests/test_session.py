@@ -270,9 +270,11 @@ def test_wav_prefetch_upload_adopted_and_bitexact(tmp_path, monkeypatch):
         np.testing.assert_array_equal(imgs_pf[k], np.asarray(img))
 
 
-def test_wav_prefetch_rejects_changed_file(tmp_path, monkeypatch):
-    """If the file content the decoder reads differs from the prefetched
-    bytes, the probe must reject adoption (no wrong-samples cache entry)."""
+def test_wav_prefetch_read_failure_falls_back(tmp_path, monkeypatch):
+    """The decoder and the prefetch share ONE file read (a changed-file race
+    is structurally impossible).  When that shared read fails, the decoder
+    must fall back to its own read, the prefetch must not adopt, and the
+    ordinary upload path must leave the decoded samples in the cache."""
     import numpy as np
 
     from thesia_tpu.dsp.spectrogram import SpectrogramAnalyzer
@@ -282,7 +284,6 @@ def test_wav_prefetch_rejects_changed_file(tmp_path, monkeypatch):
 
     rng = np.random.default_rng(52)
     a = rng.uniform(-0.8, 0.8, (1, 60_000)).astype(np.float32)
-    b = rng.uniform(-0.8, 0.8, (1, 60_000)).astype(np.float32)
     p = tmp_path / "race.wav"
     p.write_bytes(encode_wav_s16(a, 8000))
 
@@ -290,18 +291,36 @@ def test_wav_prefetch_rejects_changed_file(tmp_path, monkeypatch):
     monkeypatch.setattr(SpectrogramAnalyzer, "_PREFETCH_MIN_BYTES", 0)
     s = EngineSession(settings_dir=str(tmp_path / "cfg"))
     s.init(default_colormap_rgba8())
-    # swap the file between the prefetch read and the decoder read
-    orig = EngineSession._prefetch_one
 
-    def race(self, path):
-        res = orig(self, path)
-        p.write_bytes(encode_wav_s16(b, 8000))  # decoder will see b
-        return res
+    def boom(read_fut):
+        read_fut.result()  # consume
+        raise OSError("simulated prefetch read/upload failure")
 
-    monkeypatch.setattr(EngineSession, "_prefetch_one", race)
-    s.add_tracks([0], [str(p)])
-    # cache must hold the DECODED (b) samples, not the stale prefetch of a
+    monkeypatch.setattr(EngineSession, "_prefetch_one", lambda self, rf: boom(rf))
+    added = s.add_tracks([0], [str(p)])
+    assert added == [0]
     dev, n, _tok = s.tm.spec_analyzer._wav_cache[0]
     np.testing.assert_array_equal(
         np.asarray(dev)[:, :n], s.tracklist[0].original.wavs
     )
+
+    # and a failing READ: decode must recover with its own read
+    def bad_read(self, track_ids, paths):
+        import concurrent.futures
+
+        futs = {}
+        pool = concurrent.futures.ThreadPoolExecutor(1)
+
+        def fail():
+            raise OSError("simulated read failure")
+
+        rf = pool.submit(fail)
+        uf = pool.submit(lambda: None)
+        for tid in track_ids:
+            futs[tid] = (rf, uf)
+        return futs
+
+    monkeypatch.setattr(EngineSession, "_start_wav_prefetch", bad_read)
+    added = s.add_tracks([1], [str(p)])
+    assert added == [1]
+    np.testing.assert_array_equal(s.tracklist[1].original.wavs, s.tracklist[0].original.wavs)

@@ -249,7 +249,10 @@ class EngineSession:
         prefetches = self._start_wav_prefetch(track_ids, paths)
 
         def work():
-            added = self.tracklist.add_tracks(list(track_ids), list(paths))
+            added = self.tracklist.add_tracks(
+                list(track_ids), list(paths),
+                preread={tid: rf for tid, (rf, _uf) in prefetches.items()},
+            )
             self._adopt_prefetches(prefetches, added)
             self.tm.add_tracks(self.tracklist, added)
             self.tile_cache.invalidate_all()
@@ -276,13 +279,21 @@ class EngineSession:
                 self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
                     max_workers=2, thread_name_prefix="wav-prefetch"
                 )
-            futs[tid] = self._prefetch_pool.submit(self._prefetch_one, path)
+            # two chained tasks: the read future is ALSO handed to the
+            # decoder (single GB-scale file read); the upload task consumes
+            # it.  FIFO submission order guarantees every read is scheduled
+            # before the upload that waits on it — no pool deadlock.
+            read_fut = self._prefetch_pool.submit(
+                lambda p=path: open(p, "rb").read()
+            )
+            up_fut = self._prefetch_pool.submit(self._prefetch_one, read_fut)
+            futs[tid] = (read_fut, up_fut)
         return futs
 
-    def _prefetch_one(self, path):
+    def _prefetch_one(self, read_fut):
         from ..io.wav import WAVE_FORMAT_IEEE_FLOAT, WAVE_FORMAT_PCM, WavError, probe_wav
 
-        data = open(path, "rb").read()
+        data = read_fut.result()
         try:
             fmt_tag, bits, n_ch, _sr, payload = probe_wav(data)
         except WavError:
@@ -298,7 +309,7 @@ class EngineSession:
 
     def _adopt_prefetches(self, futs, added) -> None:
         an = self.tm.spec_analyzer
-        for tid, fut in futs.items():
+        for tid, (_read_fut, fut) in futs.items():
             try:
                 res = fut.result()
             except Exception:

@@ -23,9 +23,9 @@ from .utils import unique_filenames
 class AudioTrack:
     """reference: track.rs:48-171."""
 
-    def __init__(self, path_str: str):
+    def __init__(self, path_str: str, data: bytes | None = None):
         path = Path(path_str).resolve(strict=True)
-        wavs, format_info = open_audio_file(path)
+        wavs, format_info = open_audio_file(path, data)
         self.format_info: AudioFormatInfo = format_info
         self.path = path
         self.original = Audio(wavs, format_info.sr)
@@ -142,17 +142,30 @@ class TrackList:
         self._filenames: dict[int, str] = {}
         self._id_max_sec = 0
 
-    def add_tracks(self, id_list: list[int], path_list: list[str]) -> list[int]:
+    def add_tracks(
+        self, id_list: list[int], path_list: list[str], preread=None
+    ) -> list[int]:
         """Parallel decode; failed paths are silently skipped (caller diffs
-        ids to find errors). reference: track.rs:211-239."""
+        ids to find errors). reference: track.rs:211-239.
+
+        preread: optional {track_id: Future[bytes]} from the session's
+        big-WAV prefetch — the decoder then shares that single file read
+        instead of re-reading GB-scale files."""
 
         def load(args):
             track_id, path = args
+            data = None
+            fut = (preread or {}).get(track_id)
+            if fut is not None:
+                try:
+                    data = fut.result()
+                except Exception:
+                    data = None  # decode does its own read (and error path)
             try:
                 from ..obs import span
 
                 with span("decode"):
-                    return (track_id, AudioTrack(path))
+                    return (track_id, AudioTrack(path, data))
             except Exception:
                 return None
 

@@ -53,14 +53,20 @@ def sniff_format(head: bytes) -> str:
     return "unknown"
 
 
-def open_audio_file(path: str | os.PathLike) -> tuple[np.ndarray, AudioFormatInfo]:
+def open_audio_file(
+    path: str | os.PathLike, data: bytes | None = None
+) -> tuple[np.ndarray, AudioFormatInfo]:
     """Decode an audio file -> (planar f32 (n_ch, n_samples), AudioFormatInfo).
+
+    data: file bytes already in memory (the big-WAV prefetch reads the file
+    for its device upload; passing them here avoids a second GB-scale read).
 
     Raises DecodeError for unreadable/unsupported input (the engine converts
     this into the per-file error path, reference: core/track.rs:211-221).
     """
-    with open(path, "rb") as f:
-        data = f.read()
+    if data is None:
+        with open(path, "rb") as f:
+            data = f.read()
     if len(data) < 12:
         raise DecodeError("file too short to be audio")
     kind = sniff_format(data[:12])
