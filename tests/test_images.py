@@ -132,3 +132,43 @@ def test_concurrent_tiles_during_stream(engine):
         assert body == tm.images.tile_body(tid, 0, cm, *args)
     tm.set_db_range(tl, 100.0)
     tm.images.drain()
+
+
+def test_set_images_replace_mid_stream_streams_replacement(monkeypatch):
+    """set_images skips re-queueing ids already in the queue; if the worker
+    had already captured the OLD entry for that id, it must NOT pop the id
+    after aborting — the replacement has to stream (found via a dryrun
+    sequence where a track's image silently never landed)."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from thesia_tpu.engine.images import SpecImageStore, TrackImages
+
+    def make(seed):
+        img = jnp.asarray(
+            (np.random.default_rng(seed).integers(1, 65535, (1, 8, 32))).astype(np.uint16)
+        )
+        return TrackImages(0, 1, 32, 8, img, {})
+
+    t_old, t_new = make(1), make(2)
+    store = SpecImageStore()
+    entered = threading.Event()
+    block = threading.Event()
+    orig = SpecImageStore._stream_one
+
+    def slow(self, t):
+        entered.set()
+        assert block.wait(10)
+        return orig(self, t)
+
+    monkeypatch.setattr(SpecImageStore, "_stream_one", slow)
+    store.set_images(0, t_old)
+    assert entered.wait(10)  # worker captured t_old
+    store.set_images(0, t_new)  # replacement; id 0 already queued
+    block.set()
+    assert store.drain(timeout=30)
+    assert t_old.dropped and not t_old.complete
+    assert t_new.complete  # the replacement streamed
+    assert store.host_image(0, 0) is not None
+    store.shutdown()

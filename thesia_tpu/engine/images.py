@@ -403,7 +403,14 @@ class SpecImageStore:
                 pass
             with self._lock:
                 if self._queue and self._queue[0] == track_id:
-                    self._queue.pop(0)
+                    cur = self._tracks.get(track_id)
+                    if cur is None or cur is t or cur.complete:
+                        self._queue.pop(0)
+                    # else: set_images replaced the entry while we were
+                    # streaming the old one (it skips re-queueing ids already
+                    # in the queue) — keep the id at the head so the next
+                    # iteration streams the REPLACEMENT; popping here would
+                    # leave it incomplete forever
                 self._idle.notify_all()
 
     def _yield_to_interactive(self) -> None:
