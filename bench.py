@@ -292,6 +292,7 @@ def bench_cold_shape_with_warmer():
     from thesia_tpu.render import default_colormap_rgba8
 
     _progress("cold-shape settings change with background warmer")
+    prev = os.environ.get("THESIA_PRECOMPILE")
     os.environ["THESIA_PRECOMPILE"] = "1"
     try:
         td = pathlib.Path(tempfile.mkdtemp(prefix="thesia_bench_w_"))
@@ -315,7 +316,10 @@ def bench_cold_shape_with_warmer():
         session.tm.images.drain()
         return dt
     finally:
-        os.environ["THESIA_PRECOMPILE"] = "0"
+        if prev is None:
+            os.environ.pop("THESIA_PRECOMPILE", None)
+        else:
+            os.environ["THESIA_PRECOMPILE"] = prev
 
 
 def main():

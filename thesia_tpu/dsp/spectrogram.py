@@ -598,11 +598,12 @@ class SpectrogramAnalyzer:
                 raw.reshape(1, -1), n * 3 * n_ch, bucket * 3 * n_ch
             )
             dev = _deinterleave_s24(dev_flat, c=n_ch, bucket=bucket)
+            from ..io.wav import s24_bytes_to_f32
+
             probe_idx = np.arange(0, n * n_ch, 4097)
-            b = raw.reshape(-1, 3)[probe_idx].astype(np.uint32)
-            v = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)).astype(np.int32)
-            v = (v << 8) >> 8
-            expected = v.astype(np.float32) * np.float32(1.0 / 8388608.0)
+            expected = s24_bytes_to_f32(
+                raw.reshape(-1, 3)[probe_idx].reshape(-1)
+            )
         else:
             return None
         return dev, n, (probe_idx, expected)

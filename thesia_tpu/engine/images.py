@@ -393,7 +393,13 @@ class SpecImageStore:
             if t is None or t.dropped:
                 with self._lock:
                     if self._queue and self._queue[0] == track_id:
-                        self._queue.pop(0)
+                        # same replace race as below: set_images may have
+                        # installed a fresh entry (and skipped re-queueing)
+                        # between our capture and the dropped check — only
+                        # pop when no live replacement is waiting
+                        cur = self._tracks.get(track_id)
+                        if cur is None or cur is t or cur.complete:
+                            self._queue.pop(0)
                 continue
             try:
                 self._stream_one(t)

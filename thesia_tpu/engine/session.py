@@ -102,7 +102,11 @@ class EngineSession:
         # .write() around every mutation
         self.rw = RwLock()
         self._listeners: list = []
-        self._prefetch_pool = None  # lazy; big-WAV h2d prefetch threads
+        # big-WAV h2d prefetch threads (eager: lazy init raced concurrent
+        # add_tracks calls and could leak a second pool)
+        self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="wav-prefetch"
+        )
         self.player = Player(self._player_get_track, self._emit_player_state)
 
     # -- events ------------------------------------------------------------
@@ -262,10 +266,12 @@ class EngineSession:
 
     _PREFETCH_MIN_FILE_BYTES = 64 << 20
 
-    def _start_wav_prefetch(self, track_ids, paths):
-        import concurrent.futures
-        import os
+    @staticmethod
+    def _read_file(path):
+        with open(path, "rb") as f:
+            return f.read()
 
+    def _start_wav_prefetch(self, track_ids, paths):
         futs = {}
         for tid, path in zip(track_ids, paths):
             try:
@@ -275,17 +281,11 @@ class EngineSession:
                     continue
             except OSError:
                 continue
-            if self._prefetch_pool is None:
-                self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
-                    max_workers=2, thread_name_prefix="wav-prefetch"
-                )
             # two chained tasks: the read future is ALSO handed to the
             # decoder (single GB-scale file read); the upload task consumes
             # it.  FIFO submission order guarantees every read is scheduled
             # before the upload that waits on it — no pool deadlock.
-            read_fut = self._prefetch_pool.submit(
-                lambda p=path: open(p, "rb").read()
-            )
+            read_fut = self._prefetch_pool.submit(self._read_file, path)
             up_fut = self._prefetch_pool.submit(self._prefetch_one, read_fut)
             futs[tid] = (read_fut, up_fut)
         return futs
@@ -310,6 +310,13 @@ class EngineSession:
     def _adopt_prefetches(self, futs, added) -> None:
         an = self.tm.spec_analyzer
         for tid, (_read_fut, fut) in futs.items():
+            # decide the fate BEFORE blocking on the upload: a track that
+            # failed to decode should not hold the write lock for a doomed
+            # multi-GB transfer
+            track = self.tracklist.get(tid) if tid in added else None
+            if track is None:
+                fut.cancel()
+                continue
             try:
                 res = fut.result()
             except Exception:
@@ -318,12 +325,9 @@ class EngineSession:
                     tid, exc_info=True,
                 )
                 continue
-            if res is None or tid not in added:
+            if res is None:
                 continue
             dev, n, probe = res
-            track = self.tracklist.get(tid)
-            if track is None:
-                continue
             w = track.original.wavs
             # adopt only when the decoded samples vouch for the uploaded
             # bytes (shape + strided probe) — the file could have changed

@@ -22,6 +22,20 @@ class WavError(ValueError):
     pass
 
 
+def s24_bytes_to_f32(raw: np.ndarray) -> np.ndarray:
+    """Packed little-endian 24-bit bytes (n*3,) u8 -> (n,) f32 in [-1, 1).
+    Shared by the decode fallback and the device-prefetch probe so the two
+    host conversions can never drift apart."""
+    raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+    as32 = (
+        raw[:, 0].astype(np.uint32)
+        | (raw[:, 1].astype(np.uint32) << 8)
+        | (raw[:, 2].astype(np.uint32) << 16)
+    ).astype(np.int32)
+    as32 = (as32 << 8) >> 8  # sign-extend 24 -> 32
+    return as32.astype(np.float32) / 8388608.0
+
+
 def _codec_name(fmt: int, bits: int) -> str:
     if fmt == WAVE_FORMAT_IEEE_FLOAT:
         return f"pcm_f{bits}le"
@@ -101,15 +115,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, str]:
         elif bits == 16:
             x = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
         elif bits == 24:
-            raw = np.frombuffer(payload, np.uint8)
-            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
-            as32 = (
-                raw[:, 0].astype(np.uint32)
-                | (raw[:, 1].astype(np.uint32) << 8)
-                | (raw[:, 2].astype(np.uint32) << 16)
-            ).astype(np.int32)
-            as32 = (as32 << 8) >> 8  # sign-extend 24 -> 32
-            x = as32.astype(np.float32) / 8388608.0
+            x = s24_bytes_to_f32(np.frombuffer(payload, np.uint8))
         elif bits == 32:
             x = np.frombuffer(payload, "<i4").astype(np.float32) / 2147483648.0
         else:
