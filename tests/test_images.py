@@ -172,3 +172,55 @@ def test_set_images_replace_mid_stream_streams_replacement(monkeypatch):
     assert t_new.complete  # the replacement streamed
     assert store.host_image(0, 0) is not None
     store.shutdown()
+
+
+def test_store_churn_every_live_entry_lands():
+    """Randomized lifecycle stress: concurrent set_images / remove churn
+    against the streamer must leave EVERY live entry complete after
+    quiescence — the invariant the replace-race fixes protect (an entry
+    stranded incomplete means isComputing never clears for that track)."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from thesia_tpu.engine.images import SpecImageStore, TrackImages
+
+    store = SpecImageStore()
+
+    def make(tid, seed):
+        img = jnp.asarray(
+            np.random.default_rng(seed).integers(1, 65535, (1, 16, 64)).astype(np.uint16)
+        )
+        return TrackImages(tid, 1, 64, 16, img, {})
+
+    stop = threading.Event()
+
+    def churn(tid):
+        rng = np.random.default_rng(100 + tid)  # per-thread: rngs aren't thread-safe
+        seed = tid * 10_000
+        while not stop.is_set():
+            op = rng.integers(0, 10)
+            seed += 1
+            if op < 7:
+                store.set_images(tid, make(tid, seed))
+            elif op < 9:
+                store.remove(tid)
+            else:
+                store.drain(timeout=5)
+
+    threads = [threading.Thread(target=churn, args=(tid,)) for tid in range(4)]
+    for th in threads:
+        th.start()
+    import time
+
+    time.sleep(1.5)
+    stop.set()
+    for th in threads:
+        th.join(timeout=10)
+    assert store.drain(timeout=30), "streamer failed to quiesce"
+    with store._lock:
+        live = dict(store._tracks)
+    for tid, t in live.items():
+        assert t.complete and not t.dropped, f"track {tid} stranded incomplete"
+        assert store.host_image(tid, 0) is not None
+    store.shutdown()
