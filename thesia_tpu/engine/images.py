@@ -27,8 +27,10 @@ level is the same (a+b+1)>>1 pairwise average.
 from __future__ import annotations
 
 import functools
+import logging
 import os
 import threading
+import time
 
 import numpy as np
 import jax
@@ -42,7 +44,13 @@ from ..render.tiles import (
     spectrogram_tile_source_cols,
 )
 
+log = logging.getLogger(__name__)
+
 IdCh = tuple[int, int]
+
+# sentinel: a tile attempt landed on a streamer transition (entry completed
+# or was replaced mid-read) — the caller re-resolves the entry and retries
+_TRANSITION = object()
 
 # first device mip level; levels below this are cheap region fetches
 DEVICE_MIP_FROM = 3
@@ -146,7 +154,7 @@ class TrackImages:
     __slots__ = (
         "track_id", "n_ch", "n_frames", "height", "dev_img", "dev_mips",
         "host", "host_cols", "host_mips", "complete", "dropped", "evicted",
-        "nbytes", "last_use",
+        "stream_retries", "last_use",
     )
 
     def __init__(self, track_id, n_ch, n_frames, height, dev_img, dev_mips):
@@ -162,7 +170,7 @@ class TrackImages:
         self.complete = False
         self.dropped = False
         self.evicted = False  # host bytes dropped by the budget; geometry kept
-        self.nbytes = n_ch * height * n_frames * 2
+        self.stream_retries = 0  # transient d2h failures retried by the loop
         self.last_use = 0
 
     def host_image(self, ch: int) -> SpecImage | None:
@@ -223,10 +231,17 @@ class SpecImageStore:
             self._wake.notify_all()
 
     def shutdown(self) -> None:
-        """Stop the streamer thread (session re-init replaces the store)."""
+        """Stop the streamer (session re-init replaces the store).  Every
+        entry is dropped so an in-flight multi-GB stream aborts at its next
+        chunk instead of monopolizing the tunnel against the NEW session's
+        transfers."""
         with self._lock:
             self._shutdown = True
+            for t in self._tracks.values():
+                t.dropped = True
+            self._queue.clear()
             self._wake.notify_all()
+            self._idle.notify_all()
 
     def remove(self, track_id: int) -> None:
         with self._lock:
@@ -235,13 +250,6 @@ class SpecImageStore:
                 old.dropped = True
             if track_id in self._queue:
                 self._queue.remove(track_id)
-
-    def clear(self) -> None:
-        with self._lock:
-            for t in self._tracks.values():
-                t.dropped = True
-            self._tracks.clear()
-            self._queue.clear()
 
     def geometry(self, track_id: int) -> tuple[int, int] | None:
         """(height, n_frames) as soon as quantize is DISPATCHED."""
@@ -302,6 +310,24 @@ class SpecImageStore:
         )
         if g["width"] == 0 or g["height"] == 0:
             return b""
+        # the streamer completes entries concurrently (complete=True, then
+        # device copies freed) and _evict_host can swap host buffers out; a
+        # single attempt can land exactly on such a transition, so retry —
+        # the follow-up attempt serves from the now-landed host image
+        for _attempt in range(3):
+            out = self._tile_body_attempt(
+                t, ch, colormap_rgba, level_x, level_y, tile_x, tile_y, g
+            )
+            if out is not _TRANSITION:
+                return out
+            t = self._tracks.get(track_id)
+            if t is None or ch >= t.n_ch:
+                return None
+        return None
+
+    def _tile_body_attempt(
+        self, t, ch, colormap_rgba, level_x, level_y, tile_x, tile_y, g
+    ):
         host_img = t.host_image(ch)
         if host_img is not None:
             src, m = host_img.mip_for_level(level_x) if level_x >= 1 else (np.asarray(host_img), 0)
@@ -314,7 +340,8 @@ class SpecImageStore:
         # would use (box-halved mips), so interim and final tile bytes are
         # identical.  Levels >= DEVICE_MIP_FROM exist as device mips
         # (bit-exact twins of the host chain); shallower levels fetch an
-        # aligned full-res region and halve it locally.
+        # aligned full-res region and halve it locally.  Snapshot the host
+        # buffers ONCE — the streamer/evictor swap them concurrently.
         m = min(level_x, chain_len(t.n_frames)) if level_x >= 1 else 0
         cols = spectrogram_tile_source_cols(
             t.n_frames, level_x, tile_x, m, t.height, level_y, tile_y
@@ -322,26 +349,33 @@ class SpecImageStore:
         if cols is None:
             return b""
         x0, x1 = cols
-        if m == 0 or m in t.dev_mips:
-            if m == 0 and x1 <= t.host_cols and t.host[ch] is not None:
+        host_full = t.host[ch]
+        host_cols = t.host_cols
+        host_mip = t.host_mips.get(m) if m >= 1 else None
+        if m == 0 or m in t.dev_mips or host_mip is not None:
+            if host_mip is not None:
+                # deepest mip landed first precisely so whole-track paints
+                # serve from host while full-res still streams
+                region = host_mip[ch][:, x0:x1]
+            elif m == 0 and x1 <= host_cols and host_full is not None:
                 # partially landed full-res host columns serve fine LODs
-                region = t.host[ch][:, x0:x1]
+                region = host_full[:, x0:x1]
             else:
                 region = self._fetch_region(t, ch, m, x0, x1)
                 if region is None:
-                    return None
+                    return _TRANSITION if (t.complete or t.dropped) else None
         else:
             # align to 2^m so local halving reproduces the global chain's
             # column pairing exactly (a region clipped at the image end
             # reproduces the odd-width tail copy too)
             x0f = x0 << m
             x1f = min(x1 << m, t.n_frames)
-            if x1f <= t.host_cols and t.host[ch] is not None:
-                region = np.ascontiguousarray(t.host[ch][:, x0f:x1f])
+            if x1f <= host_cols and host_full is not None:
+                region = np.ascontiguousarray(host_full[:, x0f:x1f])
             else:
                 region = self._fetch_region(t, ch, 0, x0f, x1f)
                 if region is None:
-                    return None
+                    return _TRANSITION if (t.complete or t.dropped) else None
             for _ in range(m):
                 region = halve_x_u16(region)
         return encode_tile_body_from_source(
@@ -401,16 +435,30 @@ class SpecImageStore:
                         if cur is None or cur is t or cur.complete:
                             self._queue.pop(0)
                 continue
+            ok = True
             try:
                 self._stream_one(t)
             except Exception:
-                # device arrays may be gone (track removed mid-flight); the
-                # entry stays incomplete and tiles fall back to region fetches
-                pass
+                ok = False
             with self._lock:
+                retry_sleep = 0.0
                 if self._queue and self._queue[0] == track_id:
                     cur = self._tracks.get(track_id)
-                    if cur is None or cur is t or cur.complete:
+                    if cur is t and not ok and not t.dropped and not t.complete:
+                        # transient d2h failure on a LIVE entry: retry a few
+                        # times instead of stranding it incomplete forever
+                        # (isComputing would never clear)
+                        t.stream_retries += 1
+                        if t.stream_retries > 3:
+                            log.warning(
+                                "image stream for track %s failed %d times; "
+                                "tiles will keep using device region fetches",
+                                track_id, t.stream_retries,
+                            )
+                            self._queue.pop(0)
+                        else:
+                            retry_sleep = 0.2 * t.stream_retries
+                    elif cur is None or cur is t or cur.complete:
                         self._queue.pop(0)
                     # else: set_images replaced the entry while we were
                     # streaming the old one (it skips re-queueing ids already
@@ -418,6 +466,8 @@ class SpecImageStore:
                     # iteration streams the REPLACEMENT; popping here would
                     # leave it incomplete forever
                 self._idle.notify_all()
+            if retry_sleep:
+                time.sleep(retry_sleep)
 
     def _yield_to_interactive(self) -> None:
         with self._lock:
@@ -458,6 +508,11 @@ class SpecImageStore:
             t.dev_img = None
             t.dev_mips = {}
             t.host_mips = {}
+            # count the landing itself as a use: without it a just-streamed
+            # image (last_use 0) would be the FIRST eviction candidate and
+            # the whole multi-GB stream could be discarded on arrival
+            with self._lock:
+                self._touch(t)
             self._evict_host()
 
     def _evict_host(self) -> None:
