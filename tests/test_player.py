@@ -220,3 +220,95 @@ def test_volume_db():
     p = Player(lambda _: None)
     p.set_volume_db(-6.0)
     assert abs(p.playback.volume - 10 ** (-6 / 20)) < 1e-6
+
+
+def test_seek_after_end_no_spurious_end_event():
+    """Seeking right after a track ends must not emit a spurious 'ended'
+    state, and the NEXT genuine end must still emit (review finding: the
+    callback-owned reached_end flag cleared too late)."""
+    import time
+
+    events = []
+    sr = 100000
+    samples = np.zeros(sr // 100, np.float32)  # 10 ms
+    p = Player(_tracks({0: (samples, 1, sr, 0.01)}), emit=events.append)
+    p.max_sec = 0.01
+    p.set_track(0, 0.0)
+    p.resume()
+    deadline = time.monotonic() + 2.0
+    while time.monotonic() < deadline:
+        p.tick()
+        if not p.playback.is_playing:
+            break
+        time.sleep(0.02)
+    assert not p.playback.is_playing
+    # first genuine end emitted
+    n_events_at_end = len(events)
+    # seek back: reached_end cleared synchronously, so ticks in the
+    # pre-next-fill window must not emit an end event
+    p.seek(0.0)
+    baseline = len(events)  # seek itself emits one state
+    p.tick()
+    p.tick()
+    ended_like = [e for e in events[baseline:] if not e["isPlaying"]]
+    # ticks after a paused seek emit nothing (engine path emits only on
+    # error change or end)
+    assert len(events) == baseline, events[baseline:]
+    # play to the end again: the genuine end must emit
+    p.resume()
+    deadline = time.monotonic() + 2.0
+    while time.monotonic() < deadline:
+        p.tick()
+        if not p.playback.is_playing:
+            break
+        time.sleep(0.02)
+    assert not p.playback.is_playing
+    assert len(events) > baseline  # resume + the second genuine end
+
+
+def test_seek_without_track_emits_state():
+    events = []
+    p = Player(_tracks({}), emit=events.append)
+    p.seek(5.0)
+    assert events and events[-1]["positionSec"] == 0.0
+
+
+def test_wallclock_fallback_when_stream_unbuildable():
+    """Engine present but its stream cannot be built (device lost): the
+    wall clock must keep position advancing and end the track (review
+    finding: position froze with isPlaying stuck true)."""
+    import time
+
+    from thesia_tpu.player.stream import OutputDevice
+
+    class DeadDevice(OutputDevice):
+        name = "dead"
+
+        def supported_configs(self):
+            return []
+
+        def default_config(self):
+            raise RuntimeError("no device")
+
+        def is_alive(self):
+            return False
+
+        def open_stream(self, config, callback):
+            raise RuntimeError("no device")
+
+    sr = 1000
+    p = Player(_tracks({0: (np.zeros(sr // 10, np.float32), 1, sr, 0.1)}))
+    assert p.output_engine is not None
+    p.output_engine.set_device(DeadDevice())
+    assert not p.output_engine.is_active()
+    p.max_sec = 0.1
+    p.set_track(0, 0.0)
+    p.resume()
+    deadline = time.monotonic() + 3.0
+    while time.monotonic() < deadline:
+        p.tick()
+        if not p.playback.is_playing:
+            break
+        time.sleep(0.02)
+    assert not p.playback.is_playing  # 0.1 s track ended by wall clock
+    assert abs(p.playback.position_sec() - 0.1) < 1e-6

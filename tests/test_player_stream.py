@@ -185,11 +185,16 @@ class FakeDevice(OutputDevice):
 
         class _H:
             error = None
+            closed = False
 
             def close(self_h):
-                pass
+                self_h.closed = True
 
-        return _H()
+        h = _H()
+        if not hasattr(self, "handles"):
+            self.handles = []
+        self.handles.append(h)
+        return h
 
 
 def test_select_output_config_nearest_with_at_least_tiebreak():
@@ -276,3 +281,69 @@ def test_player_with_stream_sink_end_to_end():
     assert not player.playback.is_playing
     assert player.playback.position_sec() == pytest.approx(0.3, abs=0.01)
     assert any(not e["isPlaying"] and e["positionSec"] > 0.29 for e in events)
+
+
+def test_fill_output_rate_change_reanchors_feed_cursor():
+    """A set_sr round trip (resampled -> equal-rate -> resampled) must
+    re-anchor the resampler feed cursor to the CURRENT position; before the
+    fix the stale cursor resumed audio from wherever the resampled branch
+    last fed (review finding)."""
+    sr = 32000
+    n = sr * 4
+    ramp = (np.arange(n, dtype=np.float32) / n).astype(np.float32)  # position-coded
+    p = make_playback(ramp, 1, sr)
+    src = PlaybackStreamSource(p, threading.Lock())
+    # resampled branch feeds and queues from position 0
+    src.fill(256, 1, 48000)
+    assert src._feed_pos is not None and src._feed_pos > 0
+    # equal-rate branch for a while: position advances far ahead
+    for _ in range(20):
+        src.fill(1024, 1, sr)
+    pos_now = p.position_frame
+    assert pos_now > 20_000
+    # back to the resampled rate: output must reflect the CURRENT position
+    out = src.fill(256, 1, 48000)
+    # the sinc filter has a half-width warmup of near-zero output; compare a
+    # settled sample: its value encodes the source position (ramp)
+    settled = float(out[200, 0])
+    expected = (pos_now + 200 * sr / 48000) / n
+    assert abs(settled - expected) < 0.02, (settled, expected)
+
+
+def test_engine_rebuild_serialized_under_lock():
+    """Concurrent ensure_stream/poll must never leak a second live stream
+    (rebuild is serialized)."""
+    import itertools
+
+    from thesia_tpu.player.stream import OutputEngine
+
+    p = make_playback(np.zeros(1000, np.float32), 1, 8000)
+    dev = FakeDevice(
+        [SupportedConfigRange(2, 8000, 48000, "f32")],
+        StreamConfig(2, 48000, 256, "f32"),
+    )
+    eng = OutputEngine(p, threading.Lock(), device=dev)
+    stop = threading.Event()
+
+    def churn(fn):
+        for i in itertools.count():
+            if stop.is_set():
+                return
+            fn(8000 + (i % 3) * 8000)
+
+    threads = [
+        threading.Thread(target=churn, args=(eng.ensure_stream,)),
+        threading.Thread(target=churn, args=(lambda _sr: eng.poll(),)),
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(0.5)
+    stop.set()
+    for t in threads:
+        t.join(timeout=5)
+    # every opened stream except the live one must have been closed
+    assert dev.open_count >= 1
+    live = [h for h in getattr(dev, "handles", []) if not h.closed]
+    if hasattr(dev, "handles"):
+        assert len(live) <= 1
+    eng.close()

@@ -353,7 +353,15 @@ class TrackManager:
 
     def _reload_track_images(self, track_id: int) -> bool:
         """Image-store miss callback: requantize an evicted track's image
-        (recomputing its spec first if that was evicted too)."""
+        (recomputing its spec first if that was evicted too).
+
+        Runs inline in a tile request under the shared side of the
+        writer-priority RwLock, so a pending write makes other reads queue
+        behind this reload.  That stall is bounded: the current settings
+        shape is always compiled (it was used before eviction, and the
+        persistent XLA cache covers process restarts), so both the spec
+        recompute and the quantize are warm DISPATCHES (~ms-scale), not
+        compiles — accepted trade-off over releasing/reacquiring the lock."""
         tracklist = self._last_tracklist
         if tracklist is None or not tracklist.has(track_id):
             return False

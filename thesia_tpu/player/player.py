@@ -109,8 +109,10 @@ class Player:
         return self._engine
 
     def _sync_position(self) -> None:
-        if self._engine is not None:
-            # the stream callback owns position_frame (stream.rs:442-499)
+        if self._engine is not None and self._engine.is_active():
+            # the stream callback owns position_frame (stream.rs:442-499);
+            # with NO live stream (device lost, rebuild failing) fall
+            # through to the wall clock so position/is_playing stay honest
             self._anchor = time.monotonic()
             return
         if self.playback.is_playing:
@@ -149,13 +151,15 @@ class Player:
     def set_track(self, track_id: Optional[int], start_sec: Optional[float]) -> None:
         """reference: state.rs:190-236 + player.rs:96-104."""
         self._sync_position()
-        current_pos = self.playback.position_sec()
-        is_playing = self.playback.is_playing
-        start = start_sec if start_sec is not None else current_pos
         target_id = track_id if track_id is not None else self.playback.track_id
         loaded = self._get_track(target_id) if target_id is not None else None
         with self.lock:
             p = self.playback
+            # snapshot position/playing INSIDE the final lock: _get_track can
+            # be slow, and reading them before it would overwrite a
+            # concurrent pause/seek that landed during the load
+            start = start_sec if start_sec is not None else p.position_sec()
+            is_playing = p.is_playing
             if loaded is not None:
                 samples, n_ch, sr, max_sec = loaded
                 start = min(max(start, 0.0), max(max_sec, 0.0))
@@ -174,9 +178,18 @@ class Player:
                 p.position_frame = 0.0
                 p.cursor_version += 1
                 p.is_playing = False
+        self._clear_reached_end()
         self._end_seen = False
         self._anchor = time.monotonic()
         self._emit_state()
+
+    def _clear_reached_end(self) -> None:
+        """Synchronously clear the callback's end flag on seek/set_track —
+        it is otherwise cleared only when the next fill() notices the
+        version bump, and a 20 ms tick landing in that window would emit a
+        spurious 'ended' event AND swallow the next genuine one."""
+        if self._engine is not None:
+            self._engine.source.reached_end = False
 
     def seek(self, sec: float) -> None:
         """reference: state.rs:238-254."""
@@ -186,10 +199,11 @@ class Player:
             sec = min(max(sec, 0.0), max(self.max_sec, 0.0))
             if p.sample_rate == 0 or p.input_channels == 0 or len(p.samples) == 0:
                 p.position_frame = 0.0
-                return
-            sec = min(sec, p.total_frames / p.sample_rate)
-            p.position_frame = sec * p.sample_rate
-            p.cursor_version += 1
+            else:
+                sec = min(sec, p.total_frames / p.sample_rate)
+                p.position_frame = sec * p.sample_rate
+                p.cursor_version += 1
+        self._clear_reached_end()
         self._end_seen = False
         self._anchor = time.monotonic()
         self._emit_state()
@@ -217,11 +231,13 @@ class Player:
             if self._engine.error != self.error:
                 self.error = self._engine.error
                 self._emit_state()
-            ended = self._engine.source.reached_end
-            if ended and not self._end_seen:
-                self._end_seen = True
-                self._emit_state()  # track ended (callback already paused)
-            return
+            if self._engine.is_active():
+                ended = self._engine.source.reached_end
+                if ended and not self._end_seen:
+                    self._end_seen = True
+                    self._emit_state()  # track ended (callback already paused)
+                return
+            # stream down: wall-clock path below keeps the position moving
         was_playing = self.playback.is_playing
         self._sync_position()
         if was_playing and not self.playback.is_playing:

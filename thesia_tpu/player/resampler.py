@@ -79,30 +79,23 @@ class StreamResampler:
                     buf, self.bank, self._pos, self.ratio, n_out
                 )
                 self._pos = float(self._pos + n_out * self.ratio)
-                keep = min(SINC_LEN, n_total)
-                carry = buf[:, n_total - keep :]
-                if keep < SINC_LEN:
-                    carry = np.concatenate(
-                        [np.zeros((self.n_ch, SINC_LEN - keep), np.float32), carry],
-                        axis=1,
-                    )
-                self._carry = carry
-                self._pos -= n_total - keep
-                return out
-            pos = self._pos + np.arange(n_out) * self.ratio
-            ip = np.floor(pos).astype(np.int64)
-            frac = pos - ip
-            ph = frac * N_PHASES
-            ph_i = np.floor(ph).astype(np.int64)
-            ph_f = (ph - ph_i).astype(np.float64)
-            f0 = self.bank[ph_i]          # (n_out, SINC_LEN)
-            f1 = self.bank[ph_i + 1]
-            filt = f0 + (f1 - f0) * ph_f[:, None]
-            idx = ip[:, None] + np.arange(-self.half + 1, self.half + 1)[None, :]
-            idx = np.clip(idx, 0, n_total - 1)
-            for c in range(self.n_ch):
-                out[c] = np.einsum("ok,ok->o", buf[c][idx], filt).astype(np.float32)
-            self._pos = float(pos[-1] + self.ratio)
+                # falls through to the SHARED carry epilogue below — the
+                # native and numpy paths must stay interchangeable
+            else:
+                pos = self._pos + np.arange(n_out) * self.ratio
+                ip = np.floor(pos).astype(np.int64)
+                frac = pos - ip
+                ph = frac * N_PHASES
+                ph_i = np.floor(ph).astype(np.int64)
+                ph_f = (ph - ph_i).astype(np.float64)
+                f0 = self.bank[ph_i]          # (n_out, SINC_LEN)
+                f1 = self.bank[ph_i + 1]
+                filt = f0 + (f1 - f0) * ph_f[:, None]
+                idx = ip[:, None] + np.arange(-self.half + 1, self.half + 1)[None, :]
+                idx = np.clip(idx, 0, n_total - 1)
+                for c in range(self.n_ch):
+                    out[c] = np.einsum("ok,ok->o", buf[c][idx], filt).astype(np.float32)
+                self._pos = float(pos[-1] + self.ratio)
         # keep last SINC_LEN frames as carry
         keep = min(SINC_LEN, n_total)
         carry = buf[:, n_total - keep :]

@@ -312,6 +312,7 @@ class PlaybackStreamSource:
         self._resampler: StreamResampler | None = None
         self._resampler_key: tuple[int, int, int] | None = None
         self._seen_version = -1
+        self._seen_out_sr = 0
         self._out_queue = np.zeros((0, 0), np.float32)
         self._feed_pos: int | None = None  # input cursor for resampler feeds
         self.reached_end = False
@@ -334,8 +335,14 @@ class PlaybackStreamSource:
             pos = p.position_frame
             vol = p.volume
             version = p.cursor_version
-        if version != self._seen_version:
+        if version != self._seen_version or out_sr != self._seen_out_sr:
+            # reset the feed state on seeks AND on output-rate changes: a
+            # set_sr round trip through an equal-rate stream leaves the old
+            # resampler key/queue/feed cursor intact, so without this a
+            # return to the resampled rate would resume audio from the
+            # minutes-old stale cursor while the display shows current time
             self._seen_version = version
+            self._seen_out_sr = out_sr
             if self._resampler is not None:
                 self._resampler.reset()
                 self._out_queue = np.zeros((0, self._out_queue.shape[1]), np.float32)
@@ -401,6 +408,10 @@ class OutputEngine:
         self._requested_sr = 0
         self._last_poll = 0.0
         self.error = ""
+        # command threads (set_sr / set_device) and the tick thread (poll)
+        # can race _rebuild; without this lock both could open a stream and
+        # the loser's handle would leak with its callback thread live
+        self._rebuild_lock = threading.Lock()
 
     @property
     def config(self) -> StreamConfig | None:
@@ -411,16 +422,23 @@ class OutputEngine:
         return self._device
 
     def set_device(self, device: OutputDevice) -> None:
-        self._device = device
-        self._rebuild()
+        with self._rebuild_lock:
+            self._device = device
+            self._rebuild()
 
     def ensure_stream(self, requested_sr: int) -> None:
-        if self._handle is not None and self._requested_sr == requested_sr:
-            return
-        self._requested_sr = requested_sr
-        self._rebuild()
+        with self._rebuild_lock:
+            if self._handle is not None and self._requested_sr == requested_sr:
+                return
+            self._requested_sr = requested_sr
+            self._rebuild()
+
+    def is_active(self) -> bool:
+        """A live stream exists (its callback owns position_frame)."""
+        return self._handle is not None
 
     def _rebuild(self) -> None:
+        # caller holds _rebuild_lock
         if self._handle is not None:
             try:
                 self._handle.close()
@@ -449,16 +467,18 @@ class OutputEngine:
         if now - self._last_poll < DEVICE_POLL_SEC:
             return
         self._last_poll = now
-        if self._handle is not None and self._handle.error:
-            self.error = self._handle.error
-            self._rebuild()
-        elif self._handle is None or not self._device.is_alive():
-            self._rebuild()
+        with self._rebuild_lock:
+            if self._handle is not None and self._handle.error:
+                self.error = self._handle.error
+                self._rebuild()
+            elif self._handle is None or not self._device.is_alive():
+                self._rebuild()
 
     def close(self) -> None:
-        if self._handle is not None:
-            try:
-                self._handle.close()
-            except Exception:
-                pass
-            self._handle = None
+        with self._rebuild_lock:
+            if self._handle is not None:
+                try:
+                    self._handle.close()
+                except Exception:
+                    pass
+                self._handle = None
