@@ -33,7 +33,11 @@ void append_frame(std::vector<std::vector<float>> &planes, const AVFrame *fr) {
   const AVSampleFormat base = av_get_packed_sample_fmt(fmt);
 
   auto sample = [&](int ch, int i) -> float {
-    const uint8_t *data = planar ? fr->data[ch] : fr->data[0];
+    // extended_data, NOT data: AVFrame::data holds only 8 pointers, and
+    // planar audio with more channels (e.g. multichannel Opus) stores the
+    // rest exclusively in extended_data — fr->data[ch] would read past the
+    // array into unrelated fields
+    const uint8_t *data = planar ? fr->extended_data[ch] : fr->extended_data[0];
     const int idx = planar ? i : i * n_ch + ch;
     switch (base) {
       case AV_SAMPLE_FMT_U8:
@@ -86,9 +90,9 @@ int ffmpeg_decode(const char *path, float **out, uint32_t *sr_out,
   }
   AVStream *stream = fmt_ctx->streams[stream_idx];
   AVCodecContext *cctx = avcodec_alloc_context3(codec);
-  avcodec_parameters_to_context(cctx, stream->codecpar);
-  if (avcodec_open2(cctx, codec, nullptr) < 0) {
-    avcodec_free_context(&cctx);
+  if (!cctx || avcodec_parameters_to_context(cctx, stream->codecpar) < 0 ||
+      avcodec_open2(cctx, codec, nullptr) < 0) {
+    if (cctx) avcodec_free_context(&cctx);
     avformat_close_input(&fmt_ctx);
     return 4;
   }
@@ -98,6 +102,13 @@ int ffmpeg_decode(const char *path, float **out, uint32_t *sr_out,
   uint64_t pkt_bytes = 0;
   AVPacket *pkt = av_packet_alloc();
   AVFrame *frame = av_frame_alloc();
+  if (!pkt || !frame) {
+    if (pkt) av_packet_free(&pkt);
+    if (frame) av_frame_free(&frame);
+    avcodec_free_context(&cctx);
+    avformat_close_input(&fmt_ctx);
+    return 4;
+  }
   while (av_read_frame(fmt_ctx, pkt) >= 0) {
     if (pkt->stream_index == stream_idx) {
       pkt_bytes += pkt->size;

@@ -427,16 +427,20 @@ static bool decode_subframe(BitReader &br, int block_size, int bps,
     for (int i = 0; i < block_size; ++i) out[i] = br.signed_bits(ebps);
   } else if (type >= 8 && type <= 12) {  // fixed
     const int order = type - 8;
+    if (order > block_size) return false;  // warmup would overflow `out`
     for (int i = 0; i < order; ++i) out[i] = br.signed_bits(ebps);
     if (!decode_residual(br, order, block_size, out.data())) return false;
     for (int i = order; i < block_size; ++i) {
-      int64_t pred = 0;
+      // accumulate in uint64: crafted streams can exceed int64 range and
+      // signed overflow is UB under -O3 (wrapping matches decoder practice)
+      uint64_t pred = 0;
       for (int j = 0; j < order; ++j)
-        pred += (int64_t)FIXED_COEFFS[order][j] * out[i - 1 - j];
-      out[i] += pred;
+        pred += (uint64_t)FIXED_COEFFS[order][j] * (uint64_t)out[i - 1 - j];
+      out[i] = (int64_t)((uint64_t)out[i] + pred);
     }
   } else if (type >= 32) {  // LPC
     const int order = (type & 31) + 1;
+    if (order > block_size) return false;  // warmup would overflow `out`
     for (int i = 0; i < order; ++i) out[i] = br.signed_bits(ebps);
     const int precision = (int)br.bits(4) + 1;
     if (precision == 16) return false;  // 0b1111 invalid
@@ -446,15 +450,17 @@ static bool decode_subframe(BitReader &br, int block_size, int bps,
     for (int i = 0; i < order; ++i) coefs[i] = br.signed_bits(precision);
     if (!decode_residual(br, order, block_size, out.data())) return false;
     for (int i = order; i < block_size; ++i) {
-      int64_t pred = 0;
-      for (int j = 0; j < order; ++j) pred += coefs[j] * out[i - 1 - j];
-      out[i] += pred >> shift;
+      uint64_t pred = 0;
+      for (int j = 0; j < order; ++j)
+        pred += (uint64_t)coefs[j] * (uint64_t)out[i - 1 - j];
+      out[i] = (int64_t)((uint64_t)out[i] + ((int64_t)pred >> shift));
     }
   } else {
     return false;
   }
   if (wasted)
-    for (int i = 0; i < block_size; ++i) out[i] <<= wasted;
+    for (int i = 0; i < block_size; ++i)
+      out[i] = (int64_t)((uint64_t)out[i] << wasted);  // shift of negatives is UB
   return !br.error;
 }
 
@@ -516,7 +522,13 @@ int flac_decode(const uint8_t *data, size_t len, float **out, uint32_t *sr_out,
   if (!have_streaminfo || sr == 0 || n_ch == 0) return 3;
 
   std::vector<std::vector<float>> planes(n_ch);
-  for (auto &p : planes) p.reserve((size_t)total_samples);
+  // cap the up-front reserve: the 36-bit streaminfo count is attacker
+  // controlled (a tiny crafted file could demand ~274 GB/channel and the
+  // resulting bad_alloc would escape the extern "C" boundary).  reserve is
+  // only an optimization — amortized growth covers genuinely long streams.
+  const uint64_t reserve_cap =
+      std::min<uint64_t>(total_samples, (uint64_t)1 << 24);
+  for (auto &p : planes) p.reserve((size_t)reserve_cap);
 
   std::vector<std::vector<int64_t>> chans(n_ch);
   while (pos + 2 < len) {
@@ -603,7 +615,8 @@ int flac_decode(const uint8_t *data, size_t len, float **out, uint32_t *sr_out,
     } else if (ch_asgn == 10) {  // mid/side
       for (int i = 0; i < block_size; ++i) {
         const int64_t side = chans[1][i];
-        int64_t mid = (chans[0][i] << 1) | (side & 1);
+        // left-shifting a negative value is UB; shift in uint64
+        int64_t mid = (int64_t)(((uint64_t)chans[0][i] << 1) | (uint64_t)(side & 1));
         chans[0][i] = (mid + side) >> 1;
         chans[1][i] = (mid - side) >> 1;
       }
@@ -682,6 +695,10 @@ void pcm_to_f32_planar(const uint8_t *src, int64_t n, int64_t n_ch, int fmt,
     inter = (const float *)src;
   } else {
     tmp = (float *)std::malloc((size_t)n * n_ch * 4);
+    if (!tmp) {  // GB-scale payloads under memory pressure
+      for (int64_t i = 0; i < n * n_ch; ++i) out[i] = 0.0f;
+      return;
+    }
     pcm_to_f32_seq(src, n * n_ch, fmt, tmp);
     inter = tmp;
   }
@@ -717,7 +734,9 @@ void audio_stats(const float *wavs, int64_t n_ch, int64_t n, uint32_t sr,
                  const double *b1, const double *a1, const double *b2,
                  const double *a2, double *seg_energies, int64_t n_segs,
                  double *sum_sq_out, double *abs_max_out) {
-  const int64_t s100 = (sr + 5) / 10;
+  // sr < 5 would make s100 zero and `i / s100` a SIGFPE; such rates are
+  // nonsense audio but reachable from a well-formed WAV header
+  const int64_t s100 = sr >= 5 ? (sr + 5) / 10 : 1;
   for (int64_t k = 0; k < n_segs; ++k) seg_energies[k] = 0.0;
   double sum_sq = 0.0;
   double abs_max = 0.0;
