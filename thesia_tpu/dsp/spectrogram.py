@@ -414,7 +414,8 @@ class SpecResult:
 
     def to_numpy(self) -> np.ndarray:
         """(n_frames, F) host array (single bulk transfer, sliced on host)."""
-        return np.asarray(self.db_padded)[0 if self.db_padded.ndim == 3 else ...]
+        arr = np.asarray(self.db_padded)[0 if self.db_padded.ndim == 3 else ...]
+        return arr[: self.n_frames]  # rows past n_frames are garbage frames
 
     def channel_numpy(self, ch: int) -> np.ndarray:
         return np.asarray(self.db_padded[ch])[: self.n_frames]
@@ -439,6 +440,7 @@ class SpectrogramAnalyzer:
         )
         # assembled (c_bucket, bucket) device row stacks for batched groups
         self._group_cache: dict[tuple, tuple[jax.Array, jax.Array]] = {}
+        self._empty_mel: jax.Array | None = None  # cached Linear-mode dummy
 
     # -- lifecycle ---------------------------------------------------------
     def prepare(self, params, freq_scale: FreqScale) -> None:
@@ -470,6 +472,13 @@ class SpectrogramAnalyzer:
     def clear_wav_cache(self) -> None:
         self._wav_cache.clear()
         self._group_cache.clear()
+
+    def _empty_fb(self) -> jax.Array:
+        """Cached (1, 1) dummy filterbank for Linear mode — creating it per
+        call paid a ~27 ms device dispatch on the tunneled runtime."""
+        if self._empty_mel is None:
+            self._empty_mel = jnp.zeros((1, 1), jnp.float32)
+        return self._empty_mel
 
     def mel_fb(self, sr: int, n_fft: int) -> jax.Array:
         key = (sr, n_fft)
@@ -629,15 +638,23 @@ class SpectrogramAnalyzer:
     def _evict_wav_cache(self) -> None:
         """Keep wav uploads + assembled group stacks within the HBM budget.
         Group stacks go first (cheap to rebuild from cached wavs on device);
-        per-track uploads after, oldest first."""
+        per-track uploads after, oldest first.  Single-member group stacks
+        ALIAS the wav-cache buffer (same device array) — count each buffer
+        once or the budget overstates usage and evicts needlessly."""
+        wav_ids = {id(v[0]) for v in self._wav_cache.values()}
         wav_total = sum(v[0].size * 4 for v in self._wav_cache.values())
-        group_total = sum(v[0].size * 4 for v in self._group_cache.values())
+        group_total = sum(
+            v[0].size * 4
+            for v in self._group_cache.values()
+            if id(v[0]) not in wav_ids
+        )
         while (
             wav_total + group_total > self._wav_cache_budget and self._group_cache
         ):
             _sig, (buf, _ns) = next(iter(self._group_cache.items()))
             self._group_cache.pop(_sig)
-            group_total -= buf.size * 4
+            if id(buf) not in wav_ids:
+                group_total -= buf.size * 4
         while wav_total + group_total > self._wav_cache_budget and len(self._wav_cache) > 1:
             _key, (dev, _n, _t) = next(iter(self._wav_cache.items()))
             self._wav_cache.pop(_key)
@@ -663,7 +680,7 @@ class SpectrogramAnalyzer:
         n_frames = stft_frame_count(n, win, hop)
         use_mel = setting.freq_scale is FreqScale.Mel
         cw, sw = self._dft_mats(win, n_fft)
-        mel = self.mel_fb(sr, n_fft) if use_mel else jnp.zeros((1, 1), jnp.float32)
+        mel = self.mel_fb(sr, n_fft) if use_mel else self._empty_fb()
 
         if n <= pad + 1 or n < win:
             # short-track path: host reflect-pad (cyclic) + same device math
@@ -696,7 +713,7 @@ class SpectrogramAnalyzer:
             use_mel=use_mel,
             bucket=bucket,
             pad=pad,
-            use_pallas=bool(os.environ.get("THESIA_PALLAS")),
+            use_pallas=os.environ.get("THESIA_PALLAS", "0") not in ("", "0", "false", "False"),
             t_cap=frame_cap(n_frames),
         )
         return SpecResult(db, n_frames, mn, mx)
@@ -742,6 +759,9 @@ class SpectrogramAnalyzer:
         hit = self._group_cache.get(sig) if cacheable else None
         safe_n = max(win + 2, 2 * (win // 2) + 2)
         if hit is not None:
+            # refresh LRU recency (eviction pops oldest-inserted first)
+            self._group_cache.pop(sig)
+            self._group_cache[sig] = hit
             return hit[0], hit[1], sig
         row_parts = []
         ns = np.zeros(c_bucket, np.int32)
@@ -815,7 +835,7 @@ class SpectrogramAnalyzer:
         prepared = []  # (spans, (hop, win), arrays, statics)
         for (sr, hop, win, n_fft, bucket), members in groups.items():
             cw, sw = self._dft_mats(win, n_fft)
-            mel = self.mel_fb(sr, n_fft) if use_mel else jnp.zeros((1, 1), jnp.float32)
+            mel = self.mel_fb(sr, n_fft) if use_mel else self._empty_fb()
             rows = sum(w.shape[0] for _, w, _n, _t, _g in members)
             c_bucket = pad_rows_for(shardings, rows)
             buf_dev, ns_dev, _sig = self._group_buffer(
