@@ -192,3 +192,90 @@ async def _reads_during_writes(tmp_path, samples_dir):
         await aio.gather(writer(), reader())
     finally:
         await client.close()
+
+
+def test_malformed_requests_never_500(tmp_path, samples_dir):
+    import asyncio
+
+    if not (samples_dir / "sample_16k.wav").exists():
+        pytest.skip("sample corpus incomplete")
+    asyncio.run(_malformed_requests(tmp_path, samples_dir))
+
+
+async def _malformed_requests(tmp_path, samples_dir):
+    """Review findings: wrong-TYPED args, non-object bodies, negative
+    channels, and junk user settings must all map to clean 400s (or be
+    ignored), never 500."""
+    service = EngineService(EngineSession(settings_dir=tmp_path))
+    server = TestServer(service.make_app())
+    client = TestClient(server)
+    await client.start_server()
+    try:
+        cm = default_colormap_rgba8().reshape(-1).tolist()
+        assert (await client.post("/api/init", json={"colormapRgba": cm})).status == 200
+        await client.post(
+            "/api/add_tracks",
+            json={"trackIds": [0], "paths": [str(samples_dir / "sample_16k.wav")]},
+        )
+        await client.post("/api/apply_track_list_changes", json={})
+
+        probes = [
+            ("get_waveform_tile", {"idChStr": 3, "level": 0, "tileIndex": 0}),
+            ("get_waveform_tile", {"idChStr": "0_-1", "level": 0, "tileIndex": 0}),
+            ("get_spectrogram_tile", {"idChStr": "1_2_3", "levelX": 0, "levelY": 0, "tileX": 0, "tileY": 0}),
+            ("set_dB_range", {"dBRange": "abc"}),
+            ("set_dB_range", {"dBRange": -5}),
+            ("set_track_player", {"trackId": [1], "sec": 0}),
+            ("set_user_settings", {"userSettings": 5}),
+            ("add_tracks", {"trackIds": [0, 1], "paths": ["/x"]}),
+            ("remove_tracks", {"trackIds": []}),
+            ("set_spec_setting", {"specSetting": {"winMillisec": -1, "tOverlap": 4, "fOverlap": 1, "freqScale": "Mel"}}),
+        ]
+        for name, body in probes:
+            r = await client.post(f"/api/{name}", json=body)
+            assert r.status == 400, (name, body, r.status, await r.text())
+        # non-object bodies
+        for raw in (b"[1,2]", b"5", b"\xff\xfe\x00bad"):
+            r = await client.post(
+                "/api/find_id_by_path", data=raw,
+                headers={"Content-Type": "application/json"},
+            )
+            assert r.status == 400, (raw, r.status)
+        # the session still works after all of that
+        r = await client.post("/api/get_audio_render_metadata", json={"idChStr": "0_0"})
+        assert r.status == 200 and (await r.json())["result"]["sampleRate"] == 16000
+    finally:
+        await client.close()
+
+
+def test_poisoned_settings_store_degrades_to_defaults(tmp_path):
+    """A corrupt settings.json must not brick init (review finding: the old
+    path parsed mid-teardown and 500'd forever)."""
+    import asyncio
+
+    asyncio.run(_poisoned_settings(tmp_path))
+
+
+async def _poisoned_settings(tmp_path):
+    import json as _json
+
+    (tmp_path / "settings.json").write_text(
+        _json.dumps({"specSetting": 5, "dBRange": "junk", "blend": None,
+                     "commonGuardClipping": "NoSuchMode", "commonNormalize": [1]})
+    )
+    service = EngineService(EngineSession(settings_dir=tmp_path))
+    server = TestServer(service.make_app())
+    client = TestClient(server)
+    await client.start_server()
+    try:
+        cm = default_colormap_rgba8().reshape(-1).tolist()
+        r = await client.post("/api/init", json={"colormapRgba": cm})
+        assert r.status == 200
+        us = (await r.json())["result"]["userSettings"]
+        assert us["specSetting"]["winMillisec"] == 40.0  # defaults
+        assert us["dBRange"] == 100.0 and us["blend"] == 0.5
+        # and the poisoned store was rewritten with valid values
+        r = await client.post("/api/init", json={"colormapRgba": cm})
+        assert r.status == 200
+    finally:
+        await client.close()

@@ -122,8 +122,18 @@ class EngineService:
         if self._loop is None or not self._ws_clients:
             return
         msg = json.dumps({"event": name, "payload": payload})
-        for ws in list(self._ws_clients):
-            self._loop.call_soon_threadsafe(asyncio.ensure_future, ws.send_str(msg))
+
+        def _send_all() -> None:
+            for ws in list(self._ws_clients):
+                if ws.closed:
+                    self._ws_clients.discard(ws)
+                    continue
+                task = asyncio.ensure_future(ws.send_str(msg))
+                # retrieve exceptions (dead client mid-send) so they don't
+                # spam 'Task exception was never retrieved' on every event
+                task.add_done_callback(lambda t: t.exception())
+
+        self._loop.call_soon_threadsafe(_send_all)
 
     # -- handlers ----------------------------------------------------------
     async def handle_command(self, request: web.Request) -> web.StreamResponse:
@@ -141,8 +151,12 @@ class EngineService:
         method_name, arg_names = spec
         try:
             body = await request.json() if request.can_read_body else {}
-        except json.JSONDecodeError:
+        except (json.JSONDecodeError, UnicodeDecodeError):
             body = {}
+        if not isinstance(body, dict):
+            return web.json_response(
+                {"error": "request body must be a JSON object"}, status=400
+            )
         args = []
         for a in arg_names:
             if a in body:
@@ -167,6 +181,12 @@ class EngineService:
             result = await asyncio.get_event_loop().run_in_executor(None, invoke)
         except (KeyError, ValueError, AssertionError) as e:
             return web.json_response({"error": str(e)}, status=400)
+        except (TypeError, AttributeError) as e:
+            # wrong-typed args (string where float expected, int idChStr, …)
+            # surface from deep in the command body — client errors, not 500s
+            return web.json_response(
+                {"error": f"invalid argument: {e}"}, status=400
+            )
         if name in BINARY_COMMANDS:
             return web.Response(body=result, content_type="application/octet-stream")
         return web.json_response({"result": _jsonable(result)})
@@ -279,7 +299,12 @@ class EngineService:
     async def _player_loop(self):
         while True:
             await asyncio.sleep(0.02)  # reference tick: 20 ms (player.rs:23)
-            self.session.player.tick()
+            try:
+                self.session.player.tick()
+            except Exception:
+                # one bad tick (e.g. an audio backend hiccup) must not kill
+                # playback progress and end-of-track events forever
+                log.exception("player tick failed")
 
     def run(self, host: str = "127.0.0.1", port: int = 8707) -> None:
         async def main():
@@ -290,7 +315,9 @@ class EngineService:
             await site.start()
             print(f"thesia_tpu engine listening on http://{host}:{port}")
             log.info("listening on http://%s:%s", host, port)
-            asyncio.ensure_future(self._player_loop())
+            # keep a reference: an unreferenced ensure_future task is
+            # eligible for GC (documented asyncio pitfall)
+            self._tick_task = asyncio.ensure_future(self._player_loop())
             while True:
                 await asyncio.sleep(3600)
 

@@ -78,10 +78,22 @@ def format_id_ch(track_id: int, ch: int) -> str:
 
 
 def parse_id_ch_str(id_ch_str: str) -> tuple[int, int]:
+    """reference interface.rs:132-146: exactly two UNSIGNED ints.  A
+    negative channel would silently serve the wrong channel via numpy
+    negative indexing; extra segments are rejected like the reference."""
+    bad = ValueError('The array element should be "{unsigned_int}_{unsigned_int}".')
+    if not isinstance(id_ch_str, str):
+        raise bad
     parts = id_ch_str.split("_")
-    if len(parts) < 2:
-        raise ValueError('The array element should be "{unsigned_int}_{unsigned_int}".')
-    return int(parts[0]), int(parts[1])
+    if len(parts) != 2:
+        raise bad
+    try:
+        tid, ch = int(parts[0]), int(parts[1])
+    except ValueError:
+        raise bad from None
+    if tid < 0 or ch < 0:
+        raise bad
+    return tid, ch
 
 
 class EngineSession:
@@ -128,11 +140,16 @@ class EngineSession:
         track = self.tracklist.get(track_id)
         if track is None:
             return None
+        # snapshot audio ONCE: a concurrent write command rebinds track.audio
+        # (gain/guard/reload publish a fully-built Audio and swap the
+        # reference), so four separate track.* reads could mix old samples
+        # with a new file's sr/sec; one reference read is always consistent
+        audio = track.audio
         return (
-            track.interleaved_samples(),
-            track.n_ch,
-            track.sr,
-            track.sec,
+            audio.interleaved_samples(),
+            audio.n_ch,
+            audio.sr,
+            audio.sec,
         )
 
     # -- write serialization ----------------------------------------------
@@ -159,8 +176,13 @@ class EngineSession:
             return {}
 
     def _save_store(self, name: str, data: dict) -> None:
-        with open(self._store_path(name), "w") as f:
+        # temp + atomic replace: a crash mid-write must never leave a
+        # truncated store that silently resets every persisted setting
+        path = self._store_path(name)
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(data, f)
+        os.replace(tmp, path)
 
     # ======================================================================
     # lifecycle / settings
@@ -171,6 +193,28 @@ class EngineSession:
         """reference: lib.rs:46-98."""
         colormap_rgba = np.asarray(colormap_rgba, np.uint8).reshape(-1)
         stored = self._load_store("settings.json")
+        if not isinstance(stored, dict):
+            stored = {}
+
+        # parse into typed values BEFORE any teardown (reference deserializes
+        # UserSettingsOptionals first, lib.rs:52-53): a poisoned settings.json
+        # must degrade to defaults, never brick init mid-reinitialization
+        def _parse(key, fn):
+            if key not in stored:
+                return None
+            try:
+                return fn(stored[key])
+            except Exception:
+                logging.getLogger(__name__).warning(
+                    "ignoring invalid persisted setting %r", key
+                )
+                return None
+
+        spec = _parse("specSetting", SpecSetting.from_json)
+        db_range = _parse("dBRange", float)
+        guard = _parse("commonGuardClipping", GuardClippingMode)
+        normalize = _parse("commonNormalize", NormalizeTarget.from_json)
+        blend = _parse("blend", float)
 
         def work():
             if not self.tracklist.is_empty:
@@ -178,32 +222,31 @@ class EngineSession:
                 self.tm.images.shutdown()
                 self.tm = TrackManager()
             self.tm.set_colormap_length(self.tracklist, len(colormap_rgba) // 4)
-            if "specSetting" in stored:
-                self.tm.set_setting(self.tracklist, SpecSetting.from_json(stored["specSetting"]))
-            if "dBRange" in stored:
-                self.tm.set_db_range(self.tracklist, float(stored["dBRange"]))
-            if "commonGuardClipping" in stored:
-                self.tracklist.set_common_guard_clipping(
-                    GuardClippingMode(stored["commonGuardClipping"])
-                )
-            if "commonNormalize" in stored:
-                self.tracklist.set_common_normalize(
-                    NormalizeTarget.from_json(stored["commonNormalize"])
-                )
-            return {
+            if spec is not None:
+                self.tm.set_setting(self.tracklist, spec)
+            if db_range is not None and db_range > 0.0:
+                self.tm.set_db_range(self.tracklist, db_range)
+            if guard is not None:
+                self.tracklist.set_common_guard_clipping(guard)
+            if normalize is not None:
+                self.tracklist.set_common_normalize(normalize)
+            user_settings = {
                 "specSetting": self.tm.setting.to_json(),
-                "blend": float(stored.get("blend", 0.5)),
+                "blend": blend if blend is not None else 0.5,
                 "dBRange": self.tm.db_range,
                 "commonGuardClipping": self.tracklist.common_guard_clipping.value,
                 "commonNormalize": self.tracklist.common_normalize.to_json(),
             }
+            # persist INSIDE the worker: the store read-modify-write must
+            # serialize with concurrent set_user_settings calls
+            self._save_store("settings.json", user_settings)
+            return user_settings
 
         user_settings = self._write(work)
         self.tile_cache.invalidate_all()
         self.tile_cache.set_colormap(colormap_rgba.reshape(-1, 4))
         self.spec_setting = SpecSetting.from_json(user_settings["specSetting"])
         self.blend = user_settings["blend"]
-        self._save_store("settings.json", user_settings)
         return {
             "constants": {
                 "PLAY_JUMP_SEC": PLAY_JUMP_SEC,
@@ -244,7 +287,9 @@ class EngineSession:
     # ======================================================================
     # track CRUD
     def add_tracks(self, track_ids: list[int], paths: list[str]) -> list[int]:
-        assert track_ids and len(track_ids) == len(paths)
+        # explicit raises, not asserts: validation must survive python -O
+        if not track_ids or len(track_ids) != len(paths):
+            raise ValueError("trackIds and paths must be equal-length non-empty lists")
         # 16-bit WAVs: start uploading the raw interleaved payload to the
         # device NOW, concurrently with the decode/stats pass below — the
         # h2d transfer is the dominant long-track add cost (the tunnel pins
@@ -337,7 +382,8 @@ class EngineSession:
             an.adopt_wav(tid, dev, n, track.original.version)
 
     def reload_tracks(self, track_ids: list[int]) -> list[int]:
-        assert track_ids
+        if not track_ids:
+            raise ValueError("trackIds must be non-empty")
 
         def work():
             reloaded, no_err = self.tracklist.reload_tracks(list(track_ids))
@@ -349,7 +395,8 @@ class EngineSession:
         return self._write(work)
 
     def remove_tracks(self, track_ids: list[int]) -> None:
-        assert track_ids
+        if not track_ids:
+            raise ValueError("trackIds must be non-empty")
 
         def work():
             removed = self.tracklist.remove_tracks(list(track_ids))
@@ -379,7 +426,8 @@ class EngineSession:
         return self.tm.db_range
 
     def set_db_range(self, db_range: float) -> None:
-        assert db_range > 0.0, f"dB range must be positive (got {db_range})"
+        if not db_range > 0.0:
+            raise ValueError(f"dB range must be positive (got {db_range})")
         self._write(lambda: self.tm.set_db_range(self.tracklist, float(db_range)))
         self.tile_cache.invalidate_spectrogram()
 
@@ -389,8 +437,10 @@ class EngineSession:
     def set_spec_setting(self, spec_setting: dict | SpecSetting) -> None:
         if isinstance(spec_setting, dict):
             spec_setting = SpecSetting.from_json(spec_setting)
-        assert spec_setting.win_ms > 0.0
-        assert spec_setting.t_overlap >= 1 and spec_setting.f_overlap >= 1
+        if not spec_setting.win_ms > 0.0:
+            raise ValueError("winMillisec must be positive")
+        if spec_setting.t_overlap < 1 or spec_setting.f_overlap < 1:
+            raise ValueError("tOverlap and fOverlap must be >= 1")
         self.spec_setting = spec_setting
         self._write(lambda: self.tm.set_setting(self.tracklist, spec_setting))
         self.tile_cache.invalidate_spectrogram()
