@@ -224,3 +224,41 @@ def test_store_churn_every_live_entry_lands():
         assert t.complete and not t.dropped, f"track {tid} stranded incomplete"
         assert store.host_image(tid, 0) is not None
     store.shutdown()
+
+
+def test_interim_parity_covers_device_mips(tmp_path):
+    """Deep-LOD parity through the DEVICE mip / host-mip branches (review
+    finding: the module fixture's tracks are too short for chain_len >=
+    DEVICE_MIP_FROM, leaving the core coarse-LOD byte-parity mechanism
+    untested).  A ~90 s track has n_frames ~9000 -> chain levels 3+."""
+    from thesia_tpu.engine.images import DEVICE_MIP_FROM, mip_plan
+    from thesia_tpu.render.mips import chain_len
+
+    rng = np.random.default_rng(17)
+    sr, sec = 8000, 90.0
+    w = rng.uniform(-0.8, 0.8, (1, int(sr * sec))).astype(np.float32)
+    p = tmp_path / "long.wav"
+    p.write_bytes(encode_wav_f32(w, sr))
+    tl = TrackList()
+    tm = TrackManager()
+    tm.add_tracks(tl, tl.add_tracks([0], [str(p)]))
+    tm.apply_track_list_changes(tl)
+    _h, n_frames = tm.images.geometry(0)
+    assert chain_len(n_frames) >= DEVICE_MIP_FROM, "fixture too short"
+    assert mip_plan(n_frames)  # device mips exist
+    cm = default_colormap_rgba8()
+    # fresh quantize -> streaming state; fetch every LOD level while the
+    # stream is in flight (device mips + host deepest mip + region paths)
+    tm.set_db_range(tl, 90.0)
+    with tm.images._lock:
+        t = tm.images._tracks[0]
+    assert t.dev_mips, "device mips not built"
+    interim = {}
+    max_lx = (n_frames // 512).bit_length() + 1
+    for lx in range(0, max_lx + 1):
+        interim[lx] = tm.images.tile_body(0, 0, cm, lx, 0, 0, 0)
+    tm.images.drain()
+    for lx, body in interim.items():
+        assert body is not None, lx
+        final = tm.images.tile_body(0, 0, cm, lx, 0, 0, 0)
+        assert body == final, f"interim != final at levelX={lx}"

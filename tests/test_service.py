@@ -230,6 +230,12 @@ async def _malformed_requests(tmp_path, samples_dir):
             ("add_tracks", {"trackIds": [0, 1], "paths": ["/x"]}),
             ("remove_tracks", {"trackIds": []}),
             ("set_spec_setting", {"specSetting": {"winMillisec": -1, "tOverlap": 4, "fOverlap": 1, "freqScale": "Mel"}}),
+            # absurd LODs/indices overflowed u32 headers, 1<<level bigints,
+            # and ctypes int64 before the entry caps (review findings)
+            ("get_waveform_tile", {"idChStr": "0_0", "level": 63, "tileIndex": 0}),
+            ("get_waveform_tile", {"idChStr": "0_0", "level": 2, "tileIndex": 2**40}),
+            ("get_spectrogram_tile", {"idChStr": "0_0", "levelX": 10**9, "levelY": 0, "tileX": 0, "tileY": 0}),
+            ("get_spectrogram_tile", {"idChStr": "0_0", "levelX": 0, "levelY": 0, "tileX": 10**7, "tileY": 0}),
         ]
         for name, body in probes:
             r = await client.post(f"/api/{name}", json=body)

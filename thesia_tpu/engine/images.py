@@ -296,25 +296,26 @@ class SpecImageStore:
         t = self._tracks.get(track_id)
         if t is None or ch >= t.n_ch:
             return None
-        if t.evicted:
-            # budget dropped this image: requantize (and maybe recompute the
-            # spec) through the manager, then serve from the fresh entry
-            if self._reloader is None or not self._reloader(track_id):
-                return None
-            t = self._tracks.get(track_id)
-            if t is None or t.evicted:
-                return None
-        self._touch(t)
         g = spectrogram_tile_geometry(
             t.height, t.n_frames, level_x, level_y, tile_x, tile_y
         )
         if g["width"] == 0 or g["height"] == 0:
             return b""
         # the streamer completes entries concurrently (complete=True, then
-        # device copies freed) and _evict_host can swap host buffers out; a
-        # single attempt can land exactly on such a transition, so retry —
-        # the follow-up attempt serves from the now-landed host image
+        # device copies freed) and _evict_host can evict mid-read; a single
+        # attempt can land exactly on such a transition, so retry — the
+        # follow-up serves from the landed host image, or requantizes an
+        # evicted entry through the manager (geometry is eviction-stable)
         for _attempt in range(3):
+            if t.evicted:
+                # budget (or a failed stream) dropped this image:
+                # requantize through the manager, then serve fresh
+                if self._reloader is None or not self._reloader(track_id):
+                    return None
+                t = self._tracks.get(track_id)
+                if t is None or ch >= t.n_ch or t.evicted:
+                    return None
+            self._touch(t)
             out = self._tile_body_attempt(
                 t, ch, colormap_rgba, level_x, level_y, tile_x, tile_y, g
             )
@@ -363,7 +364,7 @@ class SpecImageStore:
             else:
                 region = self._fetch_region(t, ch, m, x0, x1)
                 if region is None:
-                    return _TRANSITION if (t.complete or t.dropped) else None
+                    return _TRANSITION if (t.complete or t.dropped or t.evicted) else None
         else:
             # align to 2^m so local halving reproduces the global chain's
             # column pairing exactly (a region clipped at the image end
@@ -375,7 +376,7 @@ class SpecImageStore:
             else:
                 region = self._fetch_region(t, ch, 0, x0f, x1f)
                 if region is None:
-                    return _TRANSITION if (t.complete or t.dropped) else None
+                    return _TRANSITION if (t.complete or t.dropped or t.evicted) else None
             for _ in range(m):
                 region = halve_x_u16(region)
         return encode_tile_body_from_source(
@@ -452,9 +453,17 @@ class SpecImageStore:
                         if t.stream_retries > 3:
                             log.warning(
                                 "image stream for track %s failed %d times; "
-                                "tiles will keep using device region fetches",
+                                "marking evicted (requantize on demand)",
                                 track_id, t.stream_retries,
                             )
+                            # evicted routes the next tile request through
+                            # the reloader (fresh quantize + re-stream) and
+                            # flips isComputing off — leaving it merely
+                            # incomplete would report isComputing forever
+                            t.evicted = True
+                            t.host = [None] * t.n_ch
+                            t.host_cols = 0
+                            t.host_mips = {}
                             self._queue.pop(0)
                         else:
                             retry_sleep = 0.2 * t.stream_retries

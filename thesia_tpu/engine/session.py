@@ -60,17 +60,24 @@ def _as_finite(value, name: str) -> float:
     return out
 
 
-def _as_index(value, name: str) -> int:
-    """Coerce a JSON value to a non-negative int; ValueError (-> HTTP 400)
-    for anything else, incl. None/strings/negatives (assert-at-entry,
-    reference lib.rs style)."""
+def _as_index(value, name: str, max_value: int = 2**31 - 1) -> int:
+    """Coerce a JSON value to a bounded non-negative int; ValueError
+    (-> HTTP 400) for anything else, incl. None/strings/negatives
+    (assert-at-entry, reference lib.rs style).  The upper bound keeps
+    absurd client values from overflowing u32 wire headers, 1 << level
+    bigint math, or ctypes int64 conversions (review findings)."""
     try:
         out = int(value)
     except (TypeError, ValueError) as e:
         raise ValueError(f"invalid {name}: {value!r}") from e
-    if out < 0:
+    if out < 0 or out > max_value:
         raise ValueError(f"invalid {name}: {value!r}")
     return out
+
+
+# LOD levels are log2 factors: 48 covers any conceivable track (2^48 samples
+# at 48 kHz is ~186 years of audio); beyond it shifts overflow int64/u32 math
+_MAX_LOD_LEVEL = 48
 
 
 def format_id_ch(track_id: int, ch: int) -> str:
@@ -495,7 +502,7 @@ class EngineSession:
         return md
 
     def get_waveform_tile(self, id_ch_str: str, level: int, tile_index: int) -> bytes:
-        level = _as_index(level, "level")
+        level = _as_index(level, "level", max_value=_MAX_LOD_LEVEL)
         tile_index = _as_index(tile_index, "tileIndex")
         track_id, ch = parse_id_ch_str(id_ch_str)
         track = self.tracklist.get(track_id)
@@ -515,10 +522,10 @@ class EngineSession:
     def get_spectrogram_tile(
         self, id_ch_str: str, level_x: int, level_y: int, tile_x: int, tile_y: int
     ) -> bytes:
-        level_x = _as_index(level_x, "levelX")
-        level_y = _as_index(level_y, "levelY")
-        tile_x = _as_index(tile_x, "tileX")
-        tile_y = _as_index(tile_y, "tileY")
+        level_x = _as_index(level_x, "levelX", max_value=_MAX_LOD_LEVEL)
+        level_y = _as_index(level_y, "levelY", max_value=_MAX_LOD_LEVEL)
+        tile_x = _as_index(tile_x, "tileX", max_value=(1 << 32) // 512 - 16)
+        tile_y = _as_index(tile_y, "tileY", max_value=(1 << 32) // 512 - 16)
         track_id, ch = parse_id_ch_str(id_ch_str)
         geo = self.tm.images.geometry(track_id)
         if geo is None:

@@ -31,23 +31,32 @@ DEFAULT_WAVEFORM_CACHE_BUDGET_BYTES = 32 * 1024 * 1024
 
 
 def waveform_bin_stats(wav: np.ndarray, start: int, end: int, spb: int):
-    """Vectorized per-bin (min, max, mean) over [start, end) with bin size spb.
-
-    reference: render_tiles.rs:249-279.
-    """
+    """Vectorized per-bin (min, max, mean) over [start, end) with bin size
+    spb; the trailing partial bin is computed directly (padding it to spb
+    allocated up to 4*spb bytes — 32 GB at coarse LODs — review finding).
+    Means accumulate in f64 like the native path; min/max skip NaNs like
+    the native comparison loop.  reference: render_tiles.rs:249-279 (which
+    sums in f32 — the f64 accumulation is a deliberate accuracy upgrade,
+    <=1 f32 ulp apart)."""
     seg = np.asarray(wav[start:end], np.float32)
     n = seg.shape[0]
     n_bins = -(-n // spb)
-    pad = n_bins * spb - n
-    if pad:
-        seg = np.concatenate([seg, np.full(pad, np.nan, np.float32)])
-    seg = seg.reshape(n_bins, spb)
-    with np.errstate(invalid="ignore"):
-        mins = np.nanmin(seg, axis=1)
-        maxs = np.nanmax(seg, axis=1)
-        sums = np.nansum(seg, axis=1)
-    counts = np.minimum(np.arange(1, n_bins + 1) * spb, n) - np.arange(n_bins) * spb
-    means = sums / counts
+    full = n // spb
+    mins = np.empty(n_bins, np.float32)
+    maxs = np.empty(n_bins, np.float32)
+    means = np.empty(n_bins, np.float64)
+    if full:
+        m = seg[: full * spb].reshape(full, spb)
+        with np.errstate(invalid="ignore"):
+            mins[:full] = np.nanmin(m, axis=1)
+            maxs[:full] = np.nanmax(m, axis=1)
+        means[:full] = m.sum(axis=1, dtype=np.float64) / spb
+    if n_bins > full:
+        tail = seg[full * spb :]
+        with np.errstate(invalid="ignore"):
+            mins[full] = np.nanmin(tail)
+            maxs[full] = np.nanmax(tail)
+        means[full] = tail.sum(dtype=np.float64) / tail.shape[0]
     return mins, maxs, means
 
 
