@@ -199,8 +199,12 @@ def test_spec_level_selection_golden():
     assert lx == 1
     lx, ly = twin.spec_levels(4404, 44.031875, 385, 0.5, 385)
     assert lx == 7  # floor(log2(200.03))
-    # vertical: 385 rows shown in a 100 px viewport -> ceil(log2(3.85)) = 2
-    assert twin.spec_levels(4404, 44.031875, 385, 100.0, 100)[1] == 2
+    # vertical: 385 rows shown in a 100 px viewport -> floor(log2(3.85)) = 1
+    # (reference log2Level uses floor, AudioTrackViewport.tsx:91 — ceil
+    # rendered one level blurrier than the screen resolution)
+    assert twin.spec_levels(4404, 44.031875, 385, 100.0, 100)[1] == 1
+    # exact power of two agrees under floor and ceil
+    assert twin.spec_levels(4404, 44.031875, 400, 100.0, 100)[1] == 2
     # zoomed past native resolution stays at level 0
     assert twin.spec_levels(4404, 44.031875, 385, 100000.0, 385) == (0, 0)
 

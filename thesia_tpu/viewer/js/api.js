@@ -110,6 +110,7 @@ export const api = {
     const fd = new FormData();
     fd.append("file", file);
     const r = await fetch("/upload", { method: "POST", body: fd });
+    if (!r.ok) throw new Error(`upload failed: HTTP ${r.status}`);
     return (await r.json()).result;
   },
 };

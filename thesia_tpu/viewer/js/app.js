@@ -135,7 +135,17 @@ async function refreshAll() {
   await api.applyTrackListChanges();
   state.maxSec = await api.getLongestSec();
   state.maxTrackHz = await api.getMaxTrackHz();
-  for (const vp of state.viewports.values()) await vp.refreshMetadata();
+  // revalidate a zoomed freq range against the (possibly smaller) new
+  // global max: an inverted range 400s the marker API and maps spectrogram
+  // rows past the image top
+  if (state.hzRange && state.maxTrackHz > 0) {
+    const [lo, hi] = state.hzRange;
+    if (lo >= state.maxTrackHz) state.hzRange = null;
+    else if (hi > state.maxTrackHz) state.hzRange = [lo, state.maxTrackHz];
+  }
+  await Promise.all(
+    [...state.viewports.values()].map((vp) => vp.refreshMetadata())
+  );
   if (overview && state.selectedTrack !== null) {
     await overview.setTrack(state.selectedTrack, true); // revisions changed
   }
@@ -166,8 +176,12 @@ async function buildRow(trackId) {
     rowsEl.appendChild(row);
     const vp = new TrackViewport(idChStr);
     vp.onNeedsRedraw = () => { state.needsRedraw = true; };
-    await vp.refreshMetadata();
+    // register BEFORE the metadata fetch: refreshMetadata polls with
+    // backoff while a long track is computing, and awaiting it here left
+    // the row blank (not even the computing placeholder) and blocked the
+    // rest of the add flow
     state.viewports.set(idChStr, vp);
+    vp.refreshMetadata().then(() => { state.needsRedraw = true; });
     row.querySelector(".track-remove").onclick = (e) => {
       e.stopPropagation();
       removeTracks([trackId]);
@@ -230,11 +244,19 @@ async function buildRow(trackId) {
         },
         up(ev) {
           lastSec = ev ? secAt(ev) : lastSec;
+          // the browser fires a click on the viewport after this mouseup;
+          // letting it through would collapse a ctrl/shift multi-selection
+          // and re-seek as a side effect of finishing the scrub
+          state.suppressNextViewportClick = true;
           api.seekPlayer(lastSec).then(pollPlayer); // final position flush
         },
       };
     });
     vpc.addEventListener("click", async (e) => {
+      if (state.suppressNextViewportClick) {
+        state.suppressNextViewportClick = false;
+        return;
+      }
       const sec = state.startSec + e.offsetX / state.pxPerSec;
       state.selectCursorSec = sec; // select cursor (usePlayer.ts select-vs-playback)
       selectClick(trackId, e);
@@ -684,6 +706,7 @@ function fmtTime(sec) {
 
 let tooltipEl = null;
 let tooltipPending = false;
+let tooltipLastEvent = null;
 
 function showTooltip(e, vp, row) {
   if (!vp.metadata) return;
@@ -697,13 +720,18 @@ function showTooltip(e, vp, row) {
   tooltipEl.style.left = `${e.clientX + 12}px`;
   tooltipEl.style.top = `${e.clientY + 12}px`;
   tooltipEl.style.display = "block";
+  // always remember the LATEST event: the throttled closure below must
+  // compute content for where the box actually sits, not for the event
+  // that armed the throttle up to 100 ms of mouse travel earlier
+  tooltipLastEvent = e;
   if (tooltipPending) return;
   tooltipPending = true;
   setTimeout(async () => {
     tooltipPending = false;
     if (!tooltipEl || tooltipEl.style.display === "none") return;
-    const sec = state.startSec + e.offsetX / state.pxPerSec;
-    const h = e.target.clientHeight;
+    const ev = tooltipLastEvent || e;
+    const sec = state.startSec + ev.offsetX / state.pxPerSec;
+    const h = ev.target.clientHeight;
     const maxHz = state.maxTrackHz || vp.metadata.sampleRate / 2;
     const [hzLo, hzHi] = hzRangeOrFull();
     try {
@@ -715,7 +743,7 @@ function showTooltip(e, vp, row) {
         fetch("/api/freq_pos_to_hz", {
           method: "POST", headers: { "Content-Type": "application/json" },
           body: JSON.stringify({
-            freqScale: state.freqScale, y: e.offsetY, height: h,
+            freqScale: state.freqScale, y: ev.offsetY, height: h,
             hzRangeMin: hzLo, hzRangeMax: hzHi, maxTrackHz: maxHz,
           }),
         }).then((r) => r.json()).then((j) => j.result),
@@ -768,20 +796,27 @@ rowsEl.addEventListener("wheel", (e) => {
 
 let pollTimer = null;
 async function pollPlayer() {
-  const st = await api.playerState();
-  state.playerAnchor = {
-    positionSec: st.positionSec, at: performance.now(), isPlaying: st.isPlaying,
-  };
-  state.playing = st.isPlaying;
-  $("#btn-play").textContent = st.isPlaying ? "❚❚" : "▶";
-  if (st.err && st.err !== state.lastPlayerErr) {
-    state.lastPlayerErr = st.err;
-    showError(`audio: ${st.err}`);
-  } else if (!st.err) {
-    state.lastPlayerErr = "";
+  try {
+    const st = await api.playerState();
+    state.playerAnchor = {
+      positionSec: st.positionSec, at: performance.now(), isPlaying: st.isPlaying,
+    };
+    state.playing = st.isPlaying;
+    $("#btn-play").textContent = st.isPlaying ? "❚❚" : "▶";
+    if (st.err && st.err !== state.lastPlayerErr) {
+      state.lastPlayerErr = st.err;
+      showError(`audio: ${st.err}`);
+    } else if (!st.err) {
+      state.lastPlayerErr = "";
+    }
+    clearTimeout(pollTimer);
+    pollTimer = setTimeout(pollPlayer, st.isPlaying ? 250 : 1500);
+  } catch {
+    // one failed fetch (service restart, transient network) must not kill
+    // the polling loop forever — back off and retry
+    clearTimeout(pollTimer);
+    pollTimer = setTimeout(pollPlayer, 2000);
   }
-  clearTimeout(pollTimer);
-  pollTimer = setTimeout(pollPlayer, st.isPlaying ? 250 : 1500);
 }
 
 function connectEvents() {
@@ -932,10 +967,19 @@ async function setupControls() {
   $("#btn-add").onclick = () => $("#file-input").click();
   $("#btn-add-row").onclick = () => $("#file-input").click();
   $("#file-input").onchange = async (e) => {
+    const input = e.target;
     const paths = [];
-    for (const f of e.target.files) paths.push(await api.upload(f));
+    for (const f of input.files) {
+      try {
+        const p = await api.upload(f);
+        if (p) paths.push(p);
+        else showError(`Upload failed: ${f.name}`);
+      } catch {
+        showError(`Upload failed: ${f.name}`);
+      }
+    }
+    input.value = ""; // reset FIRST so re-selecting the same file re-fires
     if (paths.length) await addPaths(paths);
-    e.target.value = "";
   };
   const media = await api.listMedia().catch(() => []);
   const sel = $("#media-list");
@@ -1089,7 +1133,10 @@ function setupMetricsPanel() {
       const m = await fetch("/debug/metrics").then((r) => r.json())
         .then((j) => j.result);
       panel.textContent = Object.entries(m)
-        .map(([k, v]) => `${k}\n  n=${v.count} p50=${v.p50_ms}ms p95=${v.p95_ms}ms`)
+        .map(([k, v]) =>
+          v && v.count !== undefined
+            ? `${k}\n  n=${v.count} p50=${v.p50_ms}ms p95=${v.p95_ms}ms`
+            : `${k}\n  ${JSON.stringify(v)}`)  // e.g. shape_warmer {compiled, idle}
         .join("\n") || "(no samples yet)";
     } catch {
       panel.textContent = "(metrics unavailable)";

@@ -108,31 +108,49 @@ export function drawMarkersV(canvas, markers) {
   }
 }
 
+// per-canvas fetch sequence: an earlier in-flight marker response that
+// resolves AFTER a later one must not repaint the axis with stale ticks
+// (continuous zoom fires a fetch every ~14 ms against a thread pool that
+// can reorder responses)
+const axisSeq = new WeakMap();
+
+function bumpSeq(canvas) {
+  const n = (axisSeq.get(canvas) || 0) + 1;
+  axisSeq.set(canvas, n);
+  return n;
+}
+
 export async function updateTimeAxis(canvas, startSec, pxPerSec, maxSec) {
   const w = canvas.clientWidth;
   const endSec = startSec + w / pxPerSec;
   const params = timeTickParams(pxPerSec);
   if (!params) return drawMarkersH(canvas, []);
+  const seq = bumpSeq(canvas);
   const markers = await api.calcTimeAxisMarkers(
     startSec, endSec, params.tickUnit, params.labelInterval, maxSec
   );
+  if (axisSeq.get(canvas) !== seq) return; // superseded while in flight
   drawMarkersH(canvas, markers);
 }
 
 export async function updateAmpAxis(canvas, ampRange = [-1, 1]) {
   const scale = tickScale(AMP_TICK_NUM, canvas.clientHeight);
   if (!scale) return drawMarkersV(canvas, []);
+  const seq = bumpSeq(canvas);
   const markers = await api.calcAmpAxisMarkers(
     scale[0], scale[1], ampRange[0], ampRange[1]
   );
+  if (axisSeq.get(canvas) !== seq) return;
   drawMarkersV(canvas, markers);
 }
 
 export async function updateFreqAxis(canvas, hzRange, freqScale, maxTrackHz) {
   const scale = tickScale(FREQ_TICK_NUM, canvas.clientHeight);
   if (!scale) return drawMarkersV(canvas, []);
+  const seq = bumpSeq(canvas);
   const markers = await api.calcFreqAxisMarkers(
     hzRange[0], hzRange[1], freqScale, scale[0], scale[1], maxTrackHz
   );
+  if (axisSeq.get(canvas) !== seq) return;
   drawMarkersV(canvas, markers);
 }

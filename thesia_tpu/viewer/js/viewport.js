@@ -109,7 +109,10 @@ export class TrackViewport {
     const basePxPerSec = md.spectrogramWidth / md.trackSec;
     const levelX = Math.max(0, Math.floor(Math.log2(basePxPerSec / pxPerSec)));
     const visibleRows = Math.max(md.spectrogramHeight * rowsVisibleFrac, 1);
-    const levelY = Math.max(0, Math.ceil(Math.log2(visibleRows / Math.max(viewH, 1))));
+    // floor like the reference's log2Level (AudioTrackViewport.tsx:91) —
+    // ceil picked a one-level-coarser (blurrier) vertical LOD whenever the
+    // ratio wasn't an exact power of two
+    const levelY = Math.max(0, Math.floor(Math.log2(Math.max(visibleRows / Math.max(viewH, 1), 1))));
     return { levelX, levelY, basePxPerSec };
   }
 
@@ -159,6 +162,10 @@ export class TrackViewport {
     pendingFetches.add(key);
     try {
       const t = await api.getWaveformTile(this.idChStr, level, tileIndex);
+      // revision guard like the spectrogram path: a settings change can
+      // bump the revision while this fetch is in flight — caching the new
+      // bytes under the old-revision key would mix old and new waveforms
+      if (t.revision !== BigInt(md.waveformRevision)) return;
       waveTileCache.set(key, t, t.binCount * 12 + 24);
       this.onNeedsRedraw();
     } catch {

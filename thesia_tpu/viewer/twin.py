@@ -79,7 +79,8 @@ def spec_levels(spectrogram_width, track_sec, spectrogram_height,
     base_px_per_sec = spectrogram_width / track_sec
     level_x = max(0, math.floor(math.log2(base_px_per_sec / px_per_sec)))
     visible_rows = max(spectrogram_height * rows_visible_frac, 1)
-    level_y = max(0, math.ceil(math.log2(visible_rows / max(view_h, 1))))
+    # floor like the reference's log2Level (AudioTrackViewport.tsx:91)
+    level_y = max(0, math.floor(math.log2(max(visible_rows / max(view_h, 1), 1))))
     return level_x, level_y
 
 
