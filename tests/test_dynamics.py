@@ -219,3 +219,33 @@ def test_lufs_silence_is_neg_inf():
     sr = 48000
     wav = np.zeros((1, sr), np.float32)
     assert integrated_lufs(wav, sr) == -np.inf
+
+
+def test_limiter_nan_channel_still_limits_finite_channels():
+    """Reference parity (limiter.rs:148 f32::max fold ignores NaN): a NaN
+    in one channel must not disable limiting of the other channels' peaks
+    (np.max propagated the NaN and produced unity gain -> hard clipping)."""
+    from thesia_tpu.dynamics.limiter import PerfectLimiter
+
+    sr = 8000
+    n = 4000
+    wavs = np.zeros((2, n), np.float32)
+    wavs[1, :] = 1.5  # channel 1 constantly over threshold
+    wavs[0, 100] = np.nan
+    lim = PerfectLimiter(sr)
+    gain = lim.calc_gain_seq(wavs)
+    # the sustained 1.5 overload must be reduced toward 1/1.5
+    mid = gain[n // 2 : n // 2 + 100]
+    assert (mid < 0.75).all(), mid.max()
+
+
+def test_lufs_device_short_track_returns_neg_inf():
+    """Tracks shorter than one 400 ms gating block: the device helper must
+    return -inf like the host path, not raise (review finding)."""
+    from thesia_tpu.dynamics.loudness import integrated_lufs
+    from thesia_tpu.dynamics.stats_device import integrated_lufs_device
+
+    w = np.zeros((1, 1000), np.float32)
+    assert integrated_lufs(w, 48000) == -np.inf
+    dev = integrated_lufs_device(w, 48000)
+    assert dev is None or dev == -np.inf

@@ -97,7 +97,10 @@ class PerfectLimiter:
                 (self.hold_length - self.attack) * 1000.0 / self.sr,
                 self.release_samples * 1000.0 / self.sr,
             )
-        v = np.abs(wavs.astype(np.float64)).max(axis=0)
+        # fmax ignores NaN like the reference's f32::max fold and the native
+        # comparison loop (limiter.rs:148): a NaN in one channel must not
+        # disable limiting of the finite channels (np.max would propagate)
+        v = np.fmax.reduce(np.abs(wavs.astype(np.float64)), axis=0)
         # trailing `attack` zero frames for latency compensation -> raw gain 1
         v = np.concatenate([v, np.zeros(self.attack)])
         raw = np.where(v > self.threshold, self.threshold / (v + _F64_EPS), 1.0)

@@ -78,7 +78,17 @@ def _loudness(energy):
 
 def gated_lufs_from_blocks(z: np.ndarray) -> float:
     """BS.1770 gating over 400 ms block energies: -70 LUFS absolute gate,
-    then -10 LU relative gate, energy-averaged."""
+    then -10 LU relative gate, energy-averaged.
+
+    Deliberate deviation from the reference: its ebur128 crate is built
+    with Mode::all() (reference: stats.rs:48), which enables the library's
+    HISTOGRAM mode — block energies quantize into 0.1-LU bins before
+    gating, a memory-saving approximation that can move integrated LUFS by
+    up to ~0.05 LU.  This implementation (and the native/device twins)
+    gates over EXACT block energies: strictly more accurate, and invisible
+    at the UI's 0.1-LU display precision.  The three in-repo paths
+    (scipy host, native C, device f64 scans) agree with each other to
+    <=1e-9 (tests/test_dynamics_device.py)."""
     if z.size == 0:
         return -np.inf
     l_j = _loudness(z)

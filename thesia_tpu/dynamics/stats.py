@@ -52,8 +52,8 @@ def calc_stats(wavs: np.ndarray, sr: int) -> AudioStats:
     else:
         global_lufs = integrated_lufs(wavs, sr)
         mean_squared = float(
-            np.float32(sum(float(np.dot(ch, ch)) for ch in wavs.astype(np.float32)) / n_elem)
-        ) if n_elem else 0.0
+            np.float32(sum(float(np.dot(ch, ch)) for ch in wavs) / n_elem)
+        ) if n_elem else 0.0  # wavs already float32 (coerced at entry)
         max_peak = float(np.abs(wavs).max()) if n_elem else 0.0
     rms_db = np.float32(db_from_power_scalar(mean_squared))
     max_peak_db = np.float32(db_from_amp_scalar(max_peak))

@@ -155,7 +155,11 @@ def _box_filter(x, length: int, fill: float):
 def _limiter_gain_kernel(wavs, threshold, slew, *, attack, hold_length, box_lengths):
     """wavs (B, C, bucket) f32 (zero-padded rows/channels) -> gain (B, bucket)
     f64, NOT yet latency-shifted (caller reads [attack : attack+n])."""
-    v = jnp.max(jnp.abs(wavs.astype(jnp.float64)), axis=1)
+    a = jnp.abs(wavs.astype(jnp.float64))
+    # ignore NaNs in the cross-channel max like the reference's f32::max
+    # fold and the native comparison loop — a NaN channel must not disable
+    # limiting of the finite channels (jnp.max would propagate the NaN)
+    v = jnp.max(jnp.where(jnp.isnan(a), -jnp.inf, a), axis=1)
     raw = jnp.where(v > threshold, threshold / (v + _F64_EPS), 1.0)
     ph = _sliding_min(raw, max(hold_length, 1))
     sm = _release_scan(ph, slew)
@@ -213,7 +217,10 @@ def limiter_gain_seqs_batched(
             )
             host = np.asarray(gain)
             for i, (key, w) in enumerate(members):
-                out[key] = host[i, attack : attack + w.shape[1]]
+                # copy, not a view: per-track gain sequences outlive this
+                # call (guard-clip stats keep them) and a view would pin the
+                # whole padded (B, bucket) f64 batch in memory
+                out[key] = host[i, attack : attack + w.shape[1]].copy()
     return out
 
 
@@ -366,6 +373,12 @@ def calc_stats_batched(items) -> dict | None:
 
 
 def integrated_lufs_device(wavs: np.ndarray, sr: int) -> float | None:
-    """Single-track device LUFS (parity/testing helper)."""
+    """Single-track device LUFS (parity/testing helper).  Tracks shorter
+    than one gating block are dropped by the batched grouping — return the
+    host convention (-inf) instead of KeyError."""
     res = lufs_stats_batched([(0, wavs, sr)])
-    return None if res is None else res[0][0]
+    if res is None:
+        return None
+    if 0 not in res:
+        return float("-inf")  # too short for any 400 ms block
+    return res[0][0]

@@ -27,7 +27,7 @@ from collections import deque
 log = logging.getLogger("thesia_tpu")
 
 _RING = 512
-_LOG_SPANS = bool(os.environ.get("THESIA_LOG_SPANS"))
+_LOG_SPANS = os.environ.get("THESIA_LOG_SPANS", "") not in ("", "0", "false", "False")
 
 
 class _Stage:
@@ -95,7 +95,13 @@ def reset() -> None:
 
 
 class RwLock:
-    """Writer-priority readers-writer lock (threading.Condition based)."""
+    """Writer-priority readers-writer lock (threading.Condition based).
+
+    NOT reentrant (like parking_lot's RwLock in the reference): a thread
+    that re-enters read() while a writer is queued — or calls write()
+    while holding read() — deadlocks.  Callers must not nest lock
+    acquisitions on the same thread; session handlers take the lock once
+    at the service boundary only."""
 
     def __init__(self):
         self._cond = threading.Condition()
@@ -121,9 +127,14 @@ class RwLock:
     def write(self):
         with self._cond:
             self._writers_waiting += 1
-            while self._writer or self._readers:
-                self._cond.wait()
-            self._writers_waiting -= 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                # an exception while blocked (KeyboardInterrupt, shutdown)
+                # must not leak the counter — readers would spin on
+                # _writers_waiting forever
+                self._writers_waiting -= 1
             self._writer = True
         try:
             yield
