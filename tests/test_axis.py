@@ -195,3 +195,63 @@ def test_tooltips():
     assert format_number_label(-12.345, 2) == "-12.35"
     assert format_number_label(0.0, 2) == "0.00"
     assert format_number_label(-math.inf, 2) == "-∞"
+
+
+def test_axis_inputs_from_http_never_crash():
+    """Review findings: HTTP-reachable axis inputs that previously raised
+    ZeroDivisionError/OverflowError/NotImplementedError (-> 500) or hung in
+    unbounded loops must now raise ValueError (-> 400) or return quickly."""
+    import math
+
+    import pytest
+
+    from thesia_tpu.axis.markers import (
+        calc_amp_axis_markers,
+        calc_db_axis_markers,
+        calc_freq_axis_markers,
+        calc_time_axis_markers,
+        format_frequency_axis_tooltip,
+        format_time_axis_tooltip,
+        hz_to_label,
+    )
+    from thesia_tpu.common.freqscale import FreqScale
+
+    with pytest.raises(ValueError):
+        calc_time_axis_markers(0.0, 1e15, 1e-6, 2, 10.0)  # ~1e21 ticks
+    with pytest.raises(ValueError):
+        calc_time_axis_markers(1.0, 1.0, 0.5, 2, 10.0)  # zero span
+    with pytest.raises(ValueError):
+        calc_time_axis_markers(0.0, 1.0, 0.0, 2, 10.0)  # zero tick unit
+    with pytest.raises(ValueError):
+        calc_freq_axis_markers((0.0, 1e13), FreqScale.Mel, 10**10, 5, 24000.0)
+    with pytest.raises(ValueError):
+        calc_amp_axis_markers(5, 3, (-1.0, 2.0))  # asymmetric
+    with pytest.raises(ValueError):
+        calc_amp_axis_markers(4, 3, (-1.0, 1.0))  # even ticks
+    with pytest.raises(ValueError):
+        calc_db_axis_markers(3, 0, (-100.0, 0.0))  # zero labels
+    with pytest.raises(ValueError):
+        calc_db_axis_markers(3, 2, (0.0, -100.0))  # reversed
+    with pytest.raises(ValueError):
+        calc_db_axis_markers(3, 2, (-1e308, 1e308))  # beyond f32
+    with pytest.raises(ValueError):
+        format_time_axis_tooltip(math.inf, "mm:ss.xxx")
+    with pytest.raises(ValueError):
+        format_frequency_axis_tooltip(math.inf, 1.0)
+    assert hz_to_label(math.inf) == "+∞"
+    # sub-denormal span degrades to endpoint labels, no OverflowError
+    out = calc_db_axis_markers(5, 3, (0.0, 1e-46))
+    assert len(out) == 2
+    # low-sample-rate track with a retained high zoom: raw range asserted
+    # FIRST, then clamped (reference axis.rs:119-121) -> endpoint markers
+    out = calc_freq_axis_markers((5000.0, 20000.0), FreqScale.Mel, 8, 4, 4000.0)
+    assert out[0][1] == "5k" and len(out) == 2
+
+
+def test_rust_exp_format_renormalizes_carry():
+    """{:.2e} of 9.9999e-5 must carry to 1.00e-4 like Rust, not 10.00e-5."""
+    from thesia_tpu.axis.markers import _rust_exp_format
+
+    assert _rust_exp_format(9.9999e-5, 2) == "1.00e-4"
+    assert _rust_exp_format(-9.9999e-5, 2) == "-1.00e-4"
+    assert _rust_exp_format(9.49e-5, 2) == "9.49e-5"

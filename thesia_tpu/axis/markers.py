@@ -40,6 +40,15 @@ def _rust_display_f32(value: float) -> str:
     return s
 
 
+_MAX_TICKS = 10_000  # far beyond any viewport; bounds loops and payloads
+
+
+def _require(cond: bool, msg: str) -> None:
+    """Axis inputs come straight from HTTP bodies: ValueError -> clean 400."""
+    if not cond:
+        raise ValueError(msg)
+
+
 def _rust_exp_format(value: float, precision: int | None) -> str:
     """Rust `{:e}` / `{:.*e}`: mantissa 'e' exponent, exponent unpadded and
     unsigned when positive."""
@@ -59,6 +68,12 @@ def _rust_exp_format(value: float, precision: int | None) -> str:
         m = _rust_display_f32(mant)
     else:
         m = f"{mant:.{precision}f}"
+        # fixed-precision rounding can carry the mantissa to 10.xx
+        # (9.9999 @ .2 -> "10.00"); Rust's {:.2e} renormalizes to 1.00e+1
+        if m.lstrip("-").split(".")[0] == "10":
+            mant /= 10.0
+            exp += 1
+            m = f"{mant:.{precision}f}"
     return f"{m}e{exp}"
 
 
@@ -97,6 +112,8 @@ def format_ticklabel(value: float, unit_exponent: int | None = None) -> str:
 
 
 def _round_half_away(x: float) -> float:
+    if not math.isfinite(x):
+        return x  # math.floor(inf) raises; propagate like Rust's round()
     return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
 
 
@@ -122,10 +139,20 @@ def _format_hms(sec_u32: int, milli: int, hms_format: str, milli_format: str) ->
 def calc_time_axis_markers(
     start_sec: float, end_sec: float, tick_unit: float, label_interval: int, max_sec: float
 ) -> list[tuple[float, str]]:
-    """reference: axis.rs:36-107."""
-    assert start_sec <= end_sec and label_interval > 0
+    """reference: axis.rs:36-107.  Inputs come straight from the HTTP
+    body, so validate with ValueErrors (-> 400) and bound the tick loop —
+    an absurd (range, tickUnit) pair could otherwise iterate ~1e21 times
+    on an executor thread."""
+    _require(
+        all(math.isfinite(v) for v in (start_sec, end_sec, tick_unit, max_sec)),
+        "non-finite time axis parameters",
+    )
+    _require(tick_unit > 0.0, "tickUnit must be positive")
+    _require(start_sec < end_sec, "startSec must be < endSec")
+    _require(label_interval > 0, "labelInterval must be positive")
     first_unit = max(math.ceil(start_sec / tick_unit) - label_interval, 0)
     last_unit = math.ceil(end_sec / tick_unit)
+    _require(last_unit - first_unit <= _MAX_TICKS, "tick count out of range")
     label_unit = tick_unit * label_interval
     if max_sec > 3599.0:
         hms_format, hms_display = "%H:%M:%S", "hh:mm:ss"
@@ -172,6 +199,8 @@ def calc_time_axis_markers(
 
 def hz_to_label(freq: float) -> str:
     """reference: axis.rs:362-379."""
+    if not math.isfinite(freq):
+        return _format_non_finite(float(freq))
     freq = max(_round_half_away(float(freq)), 0.0)
     freq_int = int(freq)
     if freq >= 1000.0:
@@ -222,10 +251,23 @@ def calc_freq_axis_markers(
     max_num_labels: int,
     max_track_hz: float | None = None,
 ) -> list[tuple[float, str]]:
-    """reference: axis.rs:132-218."""
+    """reference: axis.rs:132-218 — the RAW range is validated first,
+    THEN the upper bound clamps to max_track_hz (the reverse order turned
+    a low-sample-rate track with a retained high zoom into an assertion
+    failure instead of markers)."""
+    _require(
+        all(math.isfinite(v) for v in (*hz_range, max_track_hz or 0.0)),
+        "non-finite frequency axis parameters",
+    )
+    _require(hz_range[0] < hz_range[1], "hzRangeMin must be < hzRangeMax")
+    _require(0 < max_num_ticks <= _MAX_TICKS, "maxNumTicks out of range")
+    _require(0 < max_num_labels <= _MAX_TICKS, "maxNumLabels out of range")
     if max_track_hz is not None:
         hz_range = (hz_range[0], min(hz_range[1], max_track_hz))
-    assert hz_range[0] < hz_range[1]
+    if not hz_range[0] < hz_range[1]:
+        # the clamp closed the range: serve the endpoint labels instead of
+        # running the band loops on an inverted interval
+        return [(1.0, hz_to_label(hz_range[0])), (0.0, hz_to_label(hz_range[1]))]
     result: list[tuple[float, str]] = [(1.0, hz_to_label(hz_range[0]))]
 
     if max_num_ticks >= 3:
@@ -285,16 +327,24 @@ def _calc_linear_axis(lo: float, hi: float, max_num_ticks: int) -> list[tuple[fl
     """reference: axis.rs:451-480."""
     if max_num_ticks == 2 or lo == -math.inf or hi == math.inf:
         return [(0.0, format_ticklabel(hi)), (1.0, format_ticklabel(lo))]
+    if np.float32(hi) == np.float32(lo):
+        # span underflows float32 (sub-denormal request): the unit search
+        # below would divide by a zero unit — serve the endpoints only
+        return [(0.0, format_ticklabel(hi)), (1.0, format_ticklabel(lo))]
     raw_unit = (hi - lo) / (max_num_ticks - 1)
     unit_exponent = math.floor(math.log10(raw_unit))
     chosen = None
     for x in POSSIBLE_TEN_UNITS:
         unit = float(np.float32(x * 10.0 ** (unit_exponent - 1)))
+        if unit == 0.0:
+            continue  # underflowed candidate
         min_i = math.ceil(np.float32(lo) / np.float32(unit))
         max_i = math.floor(np.float32(hi) / np.float32(unit))
         if max_i + 1 - min_i <= max_num_ticks:
             chosen = (x, unit, min_i, max_i)
             break
+    if chosen is None:
+        return [(0.0, format_ticklabel(hi)), (1.0, format_ticklabel(lo))]
     ten_unit, unit, min_i, max_i = chosen
     if ten_unit == 100:
         unit_exponent += 1
@@ -322,13 +372,18 @@ def _omit_labels(markers, max_num_labels: int):
 def calc_amp_axis_markers(
     max_num_ticks: int, max_num_labels: int, amp_range: tuple[float, float]
 ) -> list[tuple[float, str]]:
-    """Symmetric around 0. reference: axis.rs:239-284."""
-    assert amp_range[1] > amp_range[0]
-    assert max_num_ticks >= 3
-    if not math.isclose(amp_range[0], -amp_range[1], abs_tol=1.2e-7):
-        raise NotImplementedError("amp axis must be symmetric")
-    if max_num_ticks % 2 != 1:
-        raise NotImplementedError("amp axis needs an odd tick count")
+    """Symmetric around 0. reference: axis.rs:239-284.  ValueErrors, not
+    NotImplementedError/bare asserts: these reach the HTTP boundary and
+    must map to 400."""
+    _require(all(math.isfinite(v) for v in amp_range), "non-finite amp range")
+    _require(amp_range[1] > amp_range[0], "ampRange must be increasing")
+    _require(3 <= max_num_ticks <= _MAX_TICKS, "maxNumTicks out of range")
+    _require(0 < max_num_labels <= _MAX_TICKS, "maxNumLabels out of range")
+    _require(
+        math.isclose(amp_range[0], -amp_range[1], abs_tol=1.2e-7),
+        "amp axis must be symmetric",
+    )
+    _require(max_num_ticks % 2 == 1, "amp axis needs an odd tick count")
     n_ticks_half = (max_num_ticks - 1) // 2
     half_to_amp0 = _calc_linear_axis(0.0, amp_range[1], n_ticks_half + 1)
     half_from_amp0 = _omit_labels(list(reversed(half_to_amp0)), max_num_labels)
@@ -342,12 +397,22 @@ def calc_amp_axis_markers(
 def calc_db_axis_markers(
     max_num_ticks: int, max_num_labels: int, db_range: tuple[float, float]
 ) -> list[tuple[float, str]]:
-    """reference: axis.rs:307-322."""
+    """reference: axis.rs:307-322 (its wrapper asserts ordering via
+    assert_axis_params; a reversed range otherwise leaks a 'math domain
+    error' from log10)."""
     if math.isnan(db_range[0]) or math.isnan(db_range[1]):
         return []
     if db_range[0] == db_range[1]:
         return [(1.0, format_ticklabel(db_range[1]))]
-    assert max_num_ticks >= 2
+    _require(2 <= max_num_ticks <= _MAX_TICKS, "maxNumTicks out of range")
+    _require(0 < max_num_labels <= _MAX_TICKS, "maxNumLabels out of range")
+    _require(db_range[0] < db_range[1], "dB range must be increasing")
+    # bounds check in plain python (np.float32(1e308) emits a RuntimeWarning)
+    _f32_max = 3.4028235e38
+    _require(
+        abs(db_range[0]) <= _f32_max and abs(db_range[1]) <= _f32_max,
+        "dB range exceeds float32",
+    )
     axis = _calc_linear_axis(db_range[0], db_range[1], max_num_ticks)
     return _omit_labels(axis, max_num_labels)
 
@@ -433,6 +498,7 @@ def format_linear_axis_tooltip(
 
 def format_frequency_axis_tooltip(hz: float, resolution_hz: float) -> str:
     """reference: axis.rs:594-606."""
+    _require(math.isfinite(hz) and math.isfinite(resolution_hz), "non-finite tooltip input")
     use_kilo = _round_half_away(hz) >= 1000.0
     scale = 1000.0 if use_kilo else 1.0
     fraction_digits = _fraction_digits_for_resolution(resolution_hz / scale, 6)
@@ -442,6 +508,7 @@ def format_frequency_axis_tooltip(hz: float, resolution_hz: float) -> str:
 
 def format_time_axis_tooltip(sec: float, format_display: str) -> str:
     """reference: axis.rs:608-634."""
+    _require(math.isfinite(sec), "non-finite tooltip input")
     fraction_digits = (
         len(format_display.split(".", 1)[1]) if "." in format_display else 0
     )

@@ -102,22 +102,28 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, str]:
         planar = native.pcm_to_f32_planar(payload[:usable], n_ch, _native_fmt)
         return planar, sr, _codec_name(fmt_tag, bits)
 
+    def whole(bpp: int):
+        # truncate to whole samples like the native path: a payload cut
+        # mid-sample otherwise made np.frombuffer raise a bare ValueError,
+        # escaping the WavError/DecodeError contract
+        return payload[: len(payload) - len(payload) % bpp]
+
     if fmt_tag == WAVE_FORMAT_IEEE_FLOAT:
         if bits == 32:
-            x = np.frombuffer(payload, "<f4").astype(np.float32)
+            x = np.frombuffer(whole(4), "<f4").astype(np.float32)
         elif bits == 64:
-            x = np.frombuffer(payload, "<f8").astype(np.float32)
+            x = np.frombuffer(whole(8), "<f8").astype(np.float32)
         else:
             raise WavError(f"unsupported float bit depth {bits}")
     elif fmt_tag == WAVE_FORMAT_PCM:
         if bits == 8:
             x = (np.frombuffer(payload, np.uint8).astype(np.float32) - 128.0) / 128.0
         elif bits == 16:
-            x = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+            x = np.frombuffer(whole(2), "<i2").astype(np.float32) / 32768.0
         elif bits == 24:
             x = s24_bytes_to_f32(np.frombuffer(payload, np.uint8))
         elif bits == 32:
-            x = np.frombuffer(payload, "<i4").astype(np.float32) / 2147483648.0
+            x = np.frombuffer(whole(4), "<i4").astype(np.float32) / 2147483648.0
         else:
             raise WavError(f"unsupported PCM bit depth {bits}")
     else:
