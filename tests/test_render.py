@@ -149,3 +149,17 @@ def test_default_colormap():
     assert (cm[-1] == [255, 255, 255, 255]).all()
     # first inferno entry: [0.001462, 0.000466, 0.013866] * 255 rounded
     assert (cm[1] == [0, 0, 4, 255]).all()
+
+
+def test_quantize_min_value_half_away_from_zero():
+    """min_value = round(65535/len) with the reference's f64 round()
+    (half-away-from-zero, drawing.rs:21) — np.round's banker's rounding
+    diverged for lengths whose quotient ends in even+0.5 (review finding).
+    The default 258-entry colormap is unaffected (pinned)."""
+    from thesia_tpu.render.visualize import quantize_min_value
+
+    assert quantize_min_value(None) == 1
+    assert quantize_min_value(258) == 254  # default colormap (goldens)
+    assert quantize_min_value(6) == 10923  # 10922.5 rounds AWAY, not to even
+    assert quantize_min_value(2) == 32768  # 32767.5 likewise
+    assert quantize_min_value(65535) == 1

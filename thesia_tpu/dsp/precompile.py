@@ -152,7 +152,14 @@ class ShapeWarmer:
                 while self._pending is None:
                     self._wake.wait(timeout=5.0)
                     if self._pending is None:
-                        return  # idle exit; next submit restarts the thread
+                        # idle exit; clear the handle UNDER THE LOCK so a
+                        # submit racing this exit sees a dead worker and
+                        # restarts one (is_alive() alone races: the thread
+                        # can have decided to return but not terminated yet,
+                        # stranding the submitted jobs forever)
+                        if self._thread is threading.current_thread():
+                            self._thread = None
+                        return
                 gen, jobs = self._pending
             for make in jobs:
                 with self._lock:
@@ -192,27 +199,33 @@ def quantize_jobs(analyzer, items, setting: SpecSetting, max_sr: int, colormap_l
         groups.setdefault((sr, hop, win, n_fft, bucket), []).append((c, n))
     use_mel = setting.freq_scale is FreqScale.Mel
     jobs = []
+    from ..render.visualize import quantize_min_value
+
+    min_value = quantize_min_value(colormap_length or None)
     for (sr, hop, win, n_fft, bucket), members in groups.items():
         group_t_cap = frame_cap(
             max(stft_frame_count(n, win, hop) for _c, n in members)
-        )
-        n_freq = (
-            int(analyzer.mel_fb(sr, n_fft).shape[1]) if use_mel else n_fft // 2 + 1
-        )
-        i_start, i_end = setting.freq_scale.hz_range_to_idx(
-            (0.0, max_sr / 2.0), sr, n_freq
-        )
-        height = i_end - i_start
-        n_rows = max(min(i_end, n_freq) - i_start, 0)
-        min_value = (
-            max(int(np.round(65535.0 / colormap_length)), 1) if colormap_length else 1
         )
         for c, n in members:
             n_frames = stft_frame_count(n, win, hop)
 
             def make(c=c, n_frames=n_frames, group_t_cap=group_t_cap,
-                     n_freq=n_freq, i_start=i_start, n_rows=n_rows,
-                     height=height, min_value=min_value):
+                     sr=sr, n_fft=n_fft, min_value=min_value):
+                # ALL analyzer work (mel filterbank build + its device
+                # upload, ~27 ms/dispatch on the tunnel) happens here on the
+                # warmer thread — doing it at job-build time blocked the
+                # interactive settings-change/add call this module exists
+                # to speed up (spec_groups_job already defers the same way)
+                n_freq = (
+                    int(analyzer.mel_fb(sr, n_fft).shape[1])
+                    if use_mel
+                    else n_fft // 2 + 1
+                )
+                i_start, i_end = setting.freq_scale.hz_range_to_idx(
+                    (0.0, max_sr / 2.0), sr, n_freq
+                )
+                height = i_end - i_start
+                n_rows = max(min(i_end, n_freq) - i_start, 0)
                 sds = jax.ShapeDtypeStruct
                 statics = dict(
                     i_start=i_start, n_rows=n_rows, height=height,

@@ -392,11 +392,9 @@ class TrackManager:
         )
         height = i_end - i_start
         n_rows = max(min(i_end, res.n_freq) - i_start, 0)
-        min_value = (
-            max(int(np.round(65535.0 / self.colormap_length)), 1)
-            if self.colormap_length
-            else 1
-        )
+        from ..render.visualize import quantize_min_value
+
+        min_value = quantize_min_value(self.colormap_length or None)
         levels = tuple(mip_plan(res.n_frames))
         outs = _quantize_and_mips(
             res.db_padded,

@@ -110,8 +110,12 @@ class AudioTrack:
         self.apply_gain(gain, guard_clipping_mode)
 
     def apply_gain(
-        self, gain: float, guard_clipping_mode: GuardClippingMode, gain_seq=None
+        self, gain: float, guard_clipping_mode: GuardClippingMode, gain_seq=None,
+        gained: np.ndarray | None = None,
     ):
+        """gained: the already-computed float32(gain) * original array, when
+        the caller built it for a peak test (the batched limiter path) —
+        recomputing it doubled full-array work on GB-scale tracks."""
         if not np.isfinite(gain) or gain == 1.0:
             self.audio = self.original
             return
@@ -123,7 +127,9 @@ class AudioTrack:
         mutated.guard_clip_result = self.original.guard_clip_result
         mutated.guard_clip_stats = list(self.original.guard_clip_stats)
         mutated.mutate(
-            lambda wavs: (np.float32(gain) * original_wavs).astype(np.float32),
+            (lambda wavs: gained)
+            if gained is not None
+            else (lambda wavs: (np.float32(gain) * original_wavs).astype(np.float32)),
             guard_clipping_mode,
             gain_seq=gain_seq,
         )
@@ -307,14 +313,19 @@ class TrackList:
             except Exception:
                 gains = None
         if gains is not None:
-            for i, (track, gain, _g) in enumerate(plan):
-                track.apply_gain(gain, mode, gain_seq=gains[i])
+            for i in range(len(plan)):
+                track, gain, gained = plan[i]
+                plan[i] = None  # release the f32 copy as soon as consumed
+                track.apply_gain(gain, mode, gain_seq=gains[i], gained=gained)
         elif plan:
             # streaming-native fallback, thread-parallel (ctypes drops the GIL)
             with concurrent.futures.ThreadPoolExecutor() as pool:
                 list(
                     pool.map(
-                        lambda item: item[0].apply_gain(item[1], mode), plan
+                        lambda item: item[0].apply_gain(
+                            item[1], mode, gained=item[2]
+                        ),
+                        plan,
                     )
                 )
         for track, gain in rest:

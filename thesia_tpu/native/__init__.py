@@ -41,8 +41,11 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        # a deployment may ship the prebuilt .so without src/ — treat a
+        # missing source as "not stale" instead of crashing available()
         need_build = not os.path.exists(_SO) or (
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
         )
         if need_build and not _build():
             return None
@@ -204,6 +207,9 @@ def limiter_gain_seq(
 
 
 def limiter_apply(wavs: np.ndarray, gain: np.ndarray) -> np.ndarray:
+    """Scale wavs by the per-sample gain.  NOT guaranteed in-place: a
+    non-contiguous/non-f32 input is copied first — always use the RETURN
+    value (calling for the side effect silently no-ops on a copy)."""
     lib = _load()
     assert lib is not None
     wavs = np.ascontiguousarray(np.atleast_2d(wavs), np.float32)

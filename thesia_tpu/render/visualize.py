@@ -14,10 +14,20 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def _min_value(colormap_length: int | None) -> int:
+def quantize_min_value(colormap_length: int | None) -> int:
+    """The ONE definition of min_value — the host quantizer, the device
+    quantize dispatch (engine/manager.py) and the precompile warmup
+    (dsp/precompile.py) must all agree or warmed executables go stale.
+    floor(x+0.5), not np.round: the reference's f64 round() is
+    half-away-from-zero (drawing.rs:21; np.round's banker's rounding
+    diverges for colormap lengths whose 65535/l quotient ends in
+    even+0.5, e.g. length 6 -> 10923 not 10922)."""
     if colormap_length is None:
         return 1
-    return max(int(np.round(65535.0 / colormap_length)), 1)
+    return max(int(np.floor(65535.0 / colormap_length + 0.5)), 1)
+
+
+_min_value = quantize_min_value  # internal alias
 
 
 def convert_spectrogram_to_img(

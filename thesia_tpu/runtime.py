@@ -2,10 +2,13 @@
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 _lock = threading.Lock()
 _thread: threading.Thread | None = None
@@ -35,11 +38,19 @@ def configure_jax_cache() -> None:
 
 
 def _do_warmup() -> None:
-    global _done
+    global _done, _thread
     import jax.numpy as jnp
 
-    np.asarray(jnp.arange(8, dtype=jnp.float32) * 2.0)
-    _done = True
+    try:
+        np.asarray(jnp.arange(8, dtype=jnp.float32) * 2.0)
+        _done = True
+    except Exception:
+        # transient tunnel error: clear the handle so a later call RETRIES
+        # instead of joining this dead thread and silently reporting warm
+        log.warning("device warmup failed; will retry on next use", exc_info=True)
+        with _lock:
+            if _thread is threading.current_thread():
+                _thread = None
 
 
 def device_warmup(background: bool = False) -> None:
