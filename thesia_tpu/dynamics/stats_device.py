@@ -37,7 +37,13 @@ import jax
 import jax.numpy as jnp
 
 from .envelope import optimal_ratios, stack_layer_lengths
-from .loudness import _SURROUND_WEIGHT, k_weighting_coeffs
+from .loudness import (
+    _RELATIVE_GATE_FACTOR,
+    _SURROUND_WEIGHT,
+    HIST_BOUNDARIES,
+    HIST_ENERGIES,
+    k_weighting_coeffs,
+)
 
 _F64_EPS = float(np.finfo(np.float64).eps)
 _f64_ok: bool | None = None
@@ -259,8 +265,10 @@ def _lufs_kernel(wavs, ns, A1, c1, b01, A2, c2, b02, weights, *, s100, win, n_bl
     """wavs (B, C, bucket) f32, ns (B,) valid lengths -> per-row
     (lufs (B,), sum_sq (B,), peak (B,)) f64.
 
-    Gating: 400 ms blocks stepped 100 ms; -70 LUFS absolute then -10 LU
-    relative, energy-averaged (loudness.py semantics on device)."""
+    Gating: 400 ms blocks stepped 100 ms; blocks binned into ebur128's
+    0.1-LU histogram (bin-center energies), -70 LUFS absolute gate = the
+    histogram floor, -10 LU relative gate over bin centers, energy-averaged
+    (loudness.py histogram-mode semantics on device)."""
     x = wavs.astype(jnp.float64)
     b, c, bucket = x.shape
     flat = x.reshape(b * c, bucket)
@@ -274,14 +282,16 @@ def _lufs_kernel(wavs, ns, A1, c1, b01, A2, c2, b02, weights, *, s100, win, n_bl
     z = jnp.einsum("c,bct->bt", weights, block_sums) / win
     n_blocks = jnp.maximum((ns - win) // s100 + 1, 0)
     valid = jnp.arange(n_blocks_max)[None, :] < n_blocks[:, None]
-    l_j = -0.691 + 10.0 * jnp.log10(jnp.maximum(z, 1e-300))
-    m_abs = valid & (l_j > -70.0)
+    boundaries = jnp.asarray(HIST_BOUNDARIES)
+    idx = jnp.clip(jnp.searchsorted(boundaries, z, side="right") - 1, 0, 999)
+    zq = jnp.asarray(HIST_ENERGIES)[idx]  # bin-center energies
+    m_abs = valid & (z >= boundaries[0])
     cnt_abs = m_abs.sum(axis=1)
-    mean_abs = jnp.where(m_abs, z, 0.0).sum(axis=1) / jnp.maximum(cnt_abs, 1)
-    rel_thresh = -0.691 + 10.0 * jnp.log10(jnp.maximum(mean_abs, 1e-300)) - 10.0
-    m_rel = m_abs & (l_j > rel_thresh[:, None])
+    mean_abs = jnp.where(m_abs, zq, 0.0).sum(axis=1) / jnp.maximum(cnt_abs, 1)
+    rel_thresh = mean_abs * _RELATIVE_GATE_FACTOR
+    m_rel = m_abs & (zq > rel_thresh[:, None])
     cnt_rel = m_rel.sum(axis=1)
-    mean_rel = jnp.where(m_rel, z, 0.0).sum(axis=1) / jnp.maximum(cnt_rel, 1)
+    mean_rel = jnp.where(m_rel, zq, 0.0).sum(axis=1) / jnp.maximum(cnt_rel, 1)
     lufs = jnp.where(
         cnt_rel > 0, -0.691 + 10.0 * jnp.log10(jnp.maximum(mean_rel, 1e-300)), -jnp.inf
     )
