@@ -1,0 +1,572 @@
+"""Golden tests for the app-layer interaction math twins (VERDICT r3 #1).
+
+Every function in thesia_tpu/viewer/twin_app.py (the executed twin of
+viewer/js/applogic.js) is exercised here against expectations derived from
+the reference formulas — cited per test:
+
+  src/prototypes/MainViewer/MainViewer.tsx:359-595  lens normalize, wheel,
+      cursor-anchored horizontal + height zoom w/ scroll correction
+  src/hooks/useSelectedTracks.ts:5-126              selection pivot
+  src/prototypes/MainViewer/AmpAxis.tsx             amp range drag/wheel
+  src/prototypes/MainViewer/FreqAxis.tsx            hz range 3-zone drag
+  src/prototypes/Overview/Overview.tsx              overview lens
+  src/hooks/usePlayer.ts:44-52                      position extrapolation
+"""
+
+import math
+
+import pytest
+
+from thesia_tpu.viewer import twin_app as T
+
+W = 1000.0  # viewport width used throughout
+INF = float("inf")
+
+
+# ---------------------------------------------------------------------------
+# lens normalization — MainViewer.tsx:359-392
+
+
+def test_normalize_start_sec_clamps_to_track():
+    # view can't start before 0 or extend past the longest track's end
+    assert T.normalize_start_sec(-5, 100, 60, W) == 0
+    assert T.normalize_start_sec(55, 100, 60, W) == 50  # 60 - 1000/100
+    assert T.normalize_start_sec(20, 100, 60, W) == 20
+    # track shorter than the view -> pinned at 0
+    assert T.normalize_start_sec(3, 10, 5, W) == 0
+
+
+def test_normalize_px_per_sec_bounds():
+    # lower bound: can't zoom out past fit-from-startSec
+    assert T.normalize_px_per_sec(5, 0, 100, W) == 10  # width/maxTrackSec
+    assert T.normalize_px_per_sec(50, 0, 100, W) == 50
+    # upper bound: MAX_PX_PER_SEC
+    assert T.normalize_px_per_sec(1e9, 0, 100, W) == T.MAX_PX_PER_SEC
+    # when fit itself needs more than MAX (tiny remaining track), the fit
+    # value wins the upper clamp (reference Math.max(MAX, fit))
+    start = 100 - 1e-3
+    assert T.normalize_px_per_sec(1e9, start, 100, W) == W / (100 - start)
+    # degenerate: view starts at/after the end -> the reference returns
+    # min(pxPerSec, MAX, 1e-8) (MainViewer.tsx:364-366)
+    assert T.normalize_px_per_sec(100, 100, 100, W) == 1e-8
+
+
+def test_update_lens_params_normalizes_start_against_new_zoom():
+    # reference order (MainViewer.tsx:378-383): startSec is clamped with the
+    # NEW pxPerSec — zooming out while near the end pulls startSec back
+    cur = {"startSec": 50.0, "pxPerSec": 100.0}
+    out = T.update_lens_params(cur, {"startSec": 55.0, "pxPerSec": 20.0}, 60.0, W)
+    assert out["startSec"] == 10.0  # 60 - 1000/20
+    assert out["pxPerSec"] == pytest.approx(20.0)
+
+
+def test_update_lens_params_fit_flag():
+    out = T.update_lens_params(
+        {"startSec": 0.0, "pxPerSec": 1.0}, {"pxPerSec": W / 100}, 100.0, W
+    )
+    assert out["isFit"] is True
+    out = T.update_lens_params(
+        {"startSec": 0.0, "pxPerSec": 1.0}, {"pxPerSec": 3 * W / 100}, 100.0, W
+    )
+    assert out["isFit"] is False
+
+
+def test_resize_lens_preserves_opposite_edge():
+    # MainViewer.tsx:399-412: dragging one lens edge keeps the other fixed
+    cur = {"startSec": 10.0, "pxPerSec": 100.0}  # view [10, 20]
+    out = T.resize_lens_left(cur, 14.0, 100.0, W)
+    assert out["startSec"] == pytest.approx(14.0)
+    assert out["startSec"] + W / out["pxPerSec"] == pytest.approx(20.0)
+
+    out = T.resize_lens_right(cur, 14.0, 100.0, W)
+    assert out["startSec"] == pytest.approx(10.0)
+    assert out["startSec"] + W / out["pxPerSec"] == pytest.approx(14.0)
+
+
+def test_resize_lens_right_through_start_clamps_to_max_zoom():
+    cur = {"startSec": 10.0, "pxPerSec": 100.0}
+    out = T.resize_lens_right(cur, 10.0, 100.0, W)  # width/0 -> inf
+    assert out["pxPerSec"] == T.MAX_PX_PER_SEC
+
+
+def test_move_lens_anchor_property():
+    # Overview drag: the grabbed fraction of the lens stays under the cursor
+    start = T.move_lens_start_sec(30.0, 0.25, 100.0, W)
+    lens = W / 100.0
+    assert start + 0.25 * lens == pytest.approx(30.0)
+
+
+# ---------------------------------------------------------------------------
+# wheel gestures — MainViewer.tsx:538-576
+
+
+@pytest.mark.parametrize(
+    "e,is_apple,kind,delta",
+    [
+        # apple pinch (ctrl) -> horizontal zoom, delta scaled -12x
+        ({"deltaX": 0, "deltaY": 5, "ctrlKey": True}, True, "hzoom", -60),
+        # apple pinch + shift -> vertical (height) zoom, -6x
+        ({"deltaX": 0, "deltaY": 5, "ctrlKey": True, "shiftKey": True}, True, "vzoom", -30),
+        # apple alt+vertical wheel -> vertical zoom (horizontal=shift=false)
+        ({"deltaX": 0, "deltaY": 5, "altKey": True}, True, "vzoom", 5),
+        # apple alt + dx-dominant -> horizontal zoom with deltaX
+        ({"deltaX": 7, "deltaY": 1, "altKey": True}, True, "hzoom", 7),
+        # non-apple ctrl+vertical -> vertical zoom, inverted delta
+        ({"deltaX": 0, "deltaY": 5, "ctrlKey": True}, False, "vzoom", -5),
+        # non-apple ctrl+shift+vertical -> horizontal zoom, inverted
+        ({"deltaX": 0, "deltaY": 5, "ctrlKey": True, "shiftKey": True}, False, "hzoom", -5),
+        # plain vertical -> native scroll (not consumed)
+        ({"deltaX": 0, "deltaY": 5}, False, "native", 5),
+        # plain dx-dominant -> horizontal scroll
+        ({"deltaX": 7, "deltaY": 1}, False, "hscroll", 7),
+        # shift+vertical -> horizontal scroll with deltaY
+        ({"deltaX": 0, "deltaY": 5, "shiftKey": True}, False, "hscroll", 5),
+        # shift + dx-dominant -> horizontal=false -> native
+        ({"deltaX": 7, "deltaY": 1, "shiftKey": True}, False, "native", 7),
+    ],
+)
+def test_classify_wheel(e, is_apple, kind, delta):
+    out = T.classify_wheel(e, is_apple)
+    assert out["kind"] == kind
+    assert out["delta"] == delta
+
+
+def test_horizontal_zoom_keeps_cursor_time_fixed():
+    # MainViewer.tsx:577-588: the second under the cursor is invariant
+    cur = {"startSec": 10.0, "pxPerSec": 100.0}
+    out = T.horizontal_zoom(cur, 300.0, 500.0, 1000.0, W)
+    assert out["pxPerSec"] == pytest.approx(150.0)
+    anchor_before = cur["startSec"] + 300.0 / cur["pxPerSec"]
+    anchor_after = out["startSec"] + 300.0 / out["pxPerSec"]
+    assert anchor_after == pytest.approx(anchor_before)
+
+
+def test_horizontal_scroll_half_delta():
+    cur = {"startSec": 10.0, "pxPerSec": 100.0}
+    out = T.horizontal_scroll(cur, 40.0, 1000.0, W)
+    assert out["startSec"] == pytest.approx(10.0 + 0.5 * 40.0 / 100.0)
+
+
+# ---------------------------------------------------------------------------
+# height zoom + scroll correction — MainViewer.tsx:414-489
+
+
+def test_calc_zoomed_height_clamps_and_rounds():
+    assert T.calc_zoomed_height(160, 20.4) == 180
+    assert T.calc_zoomed_height(160, 20.5) == 181  # JS Math.round half-up
+    assert T.calc_zoomed_height(160, -2000) == T.MIN_HEIGHT
+    assert T.calc_zoomed_height(4990, 2000) == T.MAX_HEIGHT
+
+
+def test_scroll_correction_keeps_cursor_row_point_fixed():
+    # rows at 160px pitch; cursor inside row 1; the row-relative fraction
+    # under the cursor must be identical at the new height
+    rows = [0.0, 160.0, 320.0]
+    cur_h = base_h = 160.0
+    new_h = 200.0
+    cursor_y, scroll_top, header = 250.0, 40.0, 24.0
+    st = T.calc_scroll_top_at_cursor(rows, cur_h, base_h, new_h, cursor_y, scroll_top, header)
+    content_before = scroll_top + cursor_y - header
+    row = 1
+    frac_before = (content_before - rows[row] ) / base_h
+    content_after = st + cursor_y - header
+    new_row_top = rows[row] + row * (new_h - cur_h)
+    frac_after = (content_after - new_row_top) / new_h
+    assert frac_after == pytest.approx(frac_before)
+
+
+def test_scroll_correction_identity_when_height_unchanged():
+    rows = [0.0, 160.0, 320.0]
+    st = T.calc_scroll_top_at_cursor(rows, 160.0, 160.0, 160.0, 123.0, 77.0, 24.0)
+    assert st == pytest.approx(77.0)
+
+
+def test_scroll_correction_below_last_row():
+    # cursor past the last row bottom: distance below the content end is
+    # preserved (MainViewer.tsx:470-476)
+    rows = [0.0, 160.0]
+    cur_h = base_h = 160.0
+    new_h = 320.0
+    cursor_y, scroll_top, header = 900.0, 0.0, 0.0
+    st = T.calc_scroll_top_at_cursor(rows, cur_h, base_h, new_h, cursor_y, scroll_top, header)
+    content_before = scroll_top + cursor_y - header
+    below_before = content_before - (rows[1] + base_h)
+    new_last_top = rows[1] + 1 * (new_h - cur_h)
+    content_after = st + cursor_y - header
+    below_after = content_after - (new_last_top + new_h)
+    assert below_after == pytest.approx(below_before)
+
+
+def test_zoom_height_at_cursor_empty_rows():
+    assert T.zoom_height_at_cursor([], 160, 160, 100, 50, 0, 0) is None
+
+
+# ---------------------------------------------------------------------------
+# follow-playhead / select-cursor — MainViewer.tsx:853-871
+
+
+def test_follow_playhead_only_outside_view():
+    assert T.follow_playhead_start_sec(5.0, 0.0, 10.0) is None  # inside
+    assert T.follow_playhead_start_sec(12.0, 0.0, 10.0) == 12.0  # past end
+    assert T.follow_playhead_start_sec(1.0, 3.0, 10.0) == 1.0  # before view
+    assert T.follow_playhead_start_sec(None, 0.0, 10.0) is None
+
+
+def test_select_sec_auto_scroll_shift_and_recenter():
+    # paused cursor moved by +2s while off-screen right: view shifts by diff
+    out = T.select_sec_auto_scroll(12.0, 10.0, 0.0, 10.0, W, 100.0)
+    assert out == pytest.approx(2.0)
+    # inside the view -> no scroll
+    assert T.select_sec_auto_scroll(5.0, 4.0, 0.0, 10.0, W, 100.0) is None
+    # big jump where the shifted view's END lands exactly on the cursor:
+    # newEndSec < selectSec is FALSE (strict), so the shift stands
+    out = T.select_sec_auto_scroll(100.0, 10.0, 0.0, 10.0, W, 100.0)
+    assert out == pytest.approx(90.0)
+    # shifted view still misses the cursor -> recenter on it
+    out = T.select_sec_auto_scroll(100.0, 10.0, 20.0, 30.0, W, 100.0)
+    assert out == pytest.approx(100.0 - W / 100.0 / 2)
+    # no movement -> no scroll
+    assert T.select_sec_auto_scroll(12.0, 12.0, 0.0, 10.0, W, 100.0) is None
+
+
+def test_player_position_extrapolation():
+    anchor = {"positionSec": 3.0, "at": 1000.0, "isPlaying": True}
+    assert T.player_position(anchor, 3500.0) == pytest.approx(5.5)
+    anchor = {"positionSec": 3.0, "at": 1000.0, "isPlaying": False}
+    assert T.player_position(anchor, 99999.0) == 3.0
+
+
+# ---------------------------------------------------------------------------
+# selection pivot semantics — useSelectedTracks.ts:13-113
+
+
+def test_select_plain_click():
+    out = T.select_track([3, 5], 5, 7, [3, 5, 7], {})
+    assert out == {"selected": [7], "pivotId": 7, "isAdded": True}
+    # clicking the only-selected id is a no-op
+    out = T.select_track([7], 7, 7, [3, 5, 7], {})
+    assert out["selected"] == [7] and out["isAdded"] is False
+
+
+def test_select_command_click_add_and_remove():
+    # add: id appended, becomes pivot (useSelectedTracks.ts:15-22)
+    out = T.select_track([3], 3, 5, [3, 5, 7], {"command": True})
+    assert out == {"selected": [3, 5], "pivotId": 5, "isAdded": True}
+    # remove non-pivot: pivot kept (:24-31)
+    out = T.select_track([3, 5], 5, 3, [3, 5, 7], {"command": True})
+    assert out == {"selected": [5], "pivotId": 5, "isAdded": False}
+    # remove the pivot: pivot moves to the LAST remaining in insertion order
+    out = T.select_track([3, 7, 5], 5, 5, [3, 5, 7], {"command": True})
+    assert out == {"selected": [3, 7], "pivotId": 7, "isAdded": False}
+    # removing the only selected id is refused (:23)
+    out = T.select_track([3], 3, 3, [3, 5, 7], {"command": True})
+    assert out["selected"] == [3] and out["isAdded"] is False
+
+
+def test_select_shift_click_extends_down_from_pivot():
+    # pivot 3, shift-click 9 in display order [3,5,7,9]:
+    # adds (pivot,id] in display order (useSelectedTracks.ts:33-50)
+    out = T.select_track([3], 3, 9, [3, 5, 7, 9], {"shift": True})
+    assert out == {"selected": [3, 5, 7, 9], "pivotId": 3, "isAdded": True}
+
+
+def test_select_shift_click_extends_up_reversed():
+    # selecting upward adds [id, pivot) REVERSED — nearest-to-pivot first
+    out = T.select_track([7], 7, 3, [3, 5, 7, 9], {"shift": True})
+    assert out == {"selected": [7, 5, 3], "pivotId": 7, "isAdded": True}
+
+
+def test_select_shift_click_drops_after_pivot_adds():
+    # after pivot-anchored run [5, 7, 9] (pivot 5), shift-click 3 drops the
+    # old after-pivot adds and extends upward
+    out = T.select_track([5, 7, 9], 5, 3, [3, 5, 7, 9], {"shift": True})
+    assert out == {"selected": [5, 3], "pivotId": 5, "isAdded": True}
+
+
+def test_select_shift_click_on_last_selected_noop():
+    out = T.select_track([5, 7], 5, 7, [3, 5, 7, 9], {"shift": True})
+    assert out["selected"] == [5, 7] and out["isAdded"] is False
+
+
+def test_select_shift_dedupes_command_added():
+    # cmd-added 9 sits before the pivot run; shift range re-adds it ->
+    # the filter removes the stale entry first (useSelectedTracks.ts:44-47)
+    out = T.select_track([9, 5], 5, 9, [3, 5, 7, 9], {"shift": True})
+    assert out == {"selected": [5, 7, 9], "pivotId": 5, "isAdded": True}
+
+
+def test_select_all_tracks():
+    assert T.select_all_tracks([3, 5, 7], [3, 5, 7]) is None  # already all
+    out = T.select_all_tracks([5], [3, 5, 7])
+    assert out == {"selected": [3, 5, 7], "pivotId": 7}
+
+
+def test_select_after_add_tracks():
+    out = T.select_after_add_tracks([3, 5], [3, 5, 8, 9])
+    assert out == {"selected": [8, 9], "pivotId": 9}
+    assert T.select_after_add_tracks([3, 5], [3, 5]) is None
+
+
+def test_select_after_remove_keeps_survivors():
+    out = T.select_after_remove_tracks([3, 5, 7], [3, 7], [5, 7], 5)
+    assert out == {"selected": [7], "pivotId": 7}  # pivot gone -> last survivor
+    out = T.select_after_remove_tracks([3, 5, 7], [3, 7], [3, 7], 7)
+    assert out == {"selected": [3, 7], "pivotId": 7}
+
+
+def test_select_after_remove_walks_outward_from_pivot():
+    # whole selection removed: nearest survivor from the previous pivot's
+    # position, checking above first (useSelectedTracks.ts:99-110)
+    # pivot was 3 (prev index 2); walk i=1: 2, 4 gone; i=2: 1 survives
+    out = T.select_after_remove_tracks([1, 2, 3, 4, 5], [1, 5], [2, 3, 4], 3)
+    assert out == {"selected": [1], "pivotId": 1}
+    out = T.select_after_remove_tracks([1, 2, 3, 4, 5], [5], [1, 2, 3], 2)
+    assert out == {"selected": [5], "pivotId": 5}
+    assert T.select_after_remove_tracks([1], [], [1], 1) == {"selected": [], "pivotId": -1}
+
+
+# ---------------------------------------------------------------------------
+# freq axis — axis.rs pos<->hz + FreqAxis.tsx:30-195
+
+
+def test_freq_pos_hz_roundtrip_and_f32_twin_agreement():
+    from thesia_tpu.axis import markers as M
+    from thesia_tpu.common.freqscale import FreqScale
+
+    for scale in ("Linear", "Mel"):
+        for pos in (0.0, 37.5, 150.0, 300.0):
+            hz = T.freq_pos_to_hz(scale, pos, 300, 100.0, 8000.0, 12000.0)
+            back = T.freq_hz_to_pos(scale, hz, 300, 100.0, 8000.0, 12000.0)
+            assert back == pytest.approx(pos, abs=1e-6)
+            # the backend axis twin (f32 WASM emulation) agrees to f32 eps
+            ref = M.freq_pos_to_hz(FreqScale(scale), pos, 300, (100.0, 8000.0), 12000.0)
+            assert hz == pytest.approx(ref, rel=2e-5)
+
+
+def test_freq_axis_zones():
+    assert T.freq_axis_cursor_state(10, 300) == "control-max-hz"
+    assert T.freq_axis_cursor_state(150, 300) == "shift-hz-range"
+    assert T.freq_axis_cursor_state(250, 300) == "control-min-hz"
+
+
+def test_clamp_hz_bounds():
+    assert T.clamp_max_hz(20000, 0, 12000) == INF  # above track max = full
+    assert T.clamp_max_hz(50, 0, 12000) == T.MIN_HZ_RANGE
+    assert T.clamp_min_hz(-5, 8000) == 0
+    assert T.clamp_min_hz(7950, 8000) == 7900  # max - MIN_HZ_RANGE
+
+
+def test_freq_max_drag_identity_and_direction():
+    anchor = {"cursorAxisPos": 100.0, "hzRange": [0.0, 8000.0]}
+    # no cursor movement -> top of range unchanged
+    out = T.freq_max_drag(anchor, 100.0, 300.0, "Linear", 12000.0)
+    assert out[1] == pytest.approx(8000.0)
+    # dragging DOWN (pos increases) shrinks the relative freq under the
+    # cursor less than the anchor -> max Hz grows
+    out_down = T.freq_max_drag(anchor, 200.0, 300.0, "Linear", 12000.0)
+    assert out_down[1] > 8000.0 or out_down[1] == INF
+    out_up = T.freq_max_drag(anchor, 50.0, 300.0, "Linear", 12000.0)
+    assert out_up[1] < 8000.0
+
+
+def test_freq_min_drag_identity():
+    anchor = {"cursorAxisPos": 250.0, "hzRange": [500.0, 8000.0]}
+    out = T.freq_min_drag(anchor, 300.0, "Linear", 12000.0)
+    # reference formula: anchor pos re-read against a cursor-tall axis
+    expect = T.freq_pos_to_hz("Linear", 250.0, 300, 500.0, 8000.0, 12000.0)
+    assert out[0] == pytest.approx(T.clamp_min_hz(expect, 8000.0))
+    assert out[1] == 8000.0
+
+
+def test_freq_shift_drag_translates_in_pos_space():
+    # mid-range shift: both endpoints move through pos space (Mel-nonlinear)
+    anchor = {
+        "cursorAxisPos": 150.0, "hzRange": [1000.0, 6000.0],
+        "zeroHzPos": T.freq_hz_to_pos("Mel", 0.0, 300, 1000.0, 6000.0, 12000.0),
+        "maxTrackHzPos": T.freq_hz_to_pos("Mel", 12000.0, 300, 1000.0, 6000.0, 12000.0),
+    }
+    out = T.freq_shift_drag(anchor, 140.0, 300.0, "Mel", 12000.0)  # drag up 10px
+    # shift=+10: window slides DOWN in relative-pos space by 10px -> lower Hz
+    assert out[0] < 1000.0 and out[1] < 6000.0
+    # sliding down past 0 Hz clamps at the zero position (tiny negative
+    # float residue from the pos<->hz roundtrip is the JS behavior too)
+    far = T.freq_shift_drag(anchor, 150.0 - 1e4, 300.0, "Mel", 12000.0)
+    assert far[0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_freq_shift_drag_full_range_is_identity():
+    # at the full range both clamps engage exactly and cancel: any shift is
+    # a no-op (the [0, inf] reset branch is defensive, below)
+    anchor = {
+        "cursorAxisPos": 150.0, "hzRange": [0.0, 12000.0],
+        "zeroHzPos": 300.0, "maxTrackHzPos": 0.0,
+    }
+    out = T.freq_shift_drag(anchor, 100.0, 300.0, "Linear", 12000.0)
+    assert out[0] == pytest.approx(0.0) and out[1] == pytest.approx(12000.0)
+
+
+def test_freq_shift_drag_defensive_reset_branch():
+    # FreqAxis.tsx:157-159: when both clamps leave minHzPos above the zero
+    # position (window wider than the clampable span), reset to full
+    anchor = {
+        "cursorAxisPos": 150.0, "hzRange": [0.0, 12000.0],
+        "zeroHzPos": 100.0, "maxTrackHzPos": 50.0,
+    }
+    out = T.freq_shift_drag(anchor, 150.0, 300.0, "Linear", 12000.0)
+    assert out == [0, INF]
+
+
+def test_freq_wheel_max_hz():
+    out = T.freq_wheel_max_hz([0.0, 8000.0], 0.0, "Linear", 12000.0)
+    assert out[1] == pytest.approx(8000.0)  # deltaY 0 = top of 500px axis
+    out = T.freq_wheel_max_hz([0.0, 8000.0], 250.0, "Linear", 12000.0)
+    assert out[1] == pytest.approx(4000.0)  # halfway down the virtual axis
+
+
+def test_zoom_freq_range_at_anchor_and_reset():
+    r = T.zoom_freq_range_at(None, 8000.0, "Linear", 0.5, 0.5)
+    assert r is not None
+    assert r[0] == pytest.approx(2000.0) and r[1] == pytest.approx(6000.0)
+    # zooming out from full stays full (returns None)
+    assert T.zoom_freq_range_at(None, 8000.0, "Linear", 1.3, 0.5) is None
+    # anchored at the bottom: lower edge fixed
+    r = T.zoom_freq_range_at([2000.0, 6000.0], 8000.0, "Linear", 0.5, 0.0)
+    assert r[0] == pytest.approx(2000.0) and r[1] == pytest.approx(4000.0)
+
+
+# ---------------------------------------------------------------------------
+# amp axis — AmpAxis.tsx:31-108
+
+
+def test_amp_drag_grabbed_value_follows_cursor():
+    # invariant of the reference formula: the amp value grabbed at the
+    # anchor ratio appears at the cursor ratio after the drag
+    anchor = {"cursorRatio": 0.2, "ampRange": [-1.0, 1.0]}
+    out = T.amp_drag("positive", 0.1, anchor)
+    interval0, zero0 = T.calc_interval_zero_ratio([-1.0, 1.0])
+    grabbed = interval0 * (zero0 - 0.2)
+    interval1, zero1 = T.calc_interval_zero_ratio(out)
+    at_cursor = interval1 * (zero1 - 0.1)
+    assert at_cursor == pytest.approx(grabbed)
+    assert out[0] == pytest.approx(-out[1])  # symmetric stays symmetric
+
+
+def test_amp_drag_cursor_limited_near_zero():
+    anchor = {"cursorRatio": 0.2, "ampRange": [-1.0, 1.0]}
+    # cursor crossing the zero line is pinned 0.01 away (tracks.ts:203)
+    out = T.amp_drag("positive", 0.6, anchor)
+    limited = 0.5 - T.MIN_DIST_FROM_0_FOR_DRAG
+    expect_interval = (2.0 * (0.2 - 0.5)) / (limited - 0.5)
+    assert out[1] == pytest.approx(min(expect_interval * 0.5, T.MAX_ABS_AMP_RANGE))
+
+
+def test_amp_range_clamped():
+    assert T.clamp_amp_range([-50, 50]) == [-5, 5]
+    assert T.clamp_amp_range([-1e-9, 1e-9]) == [-1e-5, 1e-5]
+
+
+def test_amp_wheel_zoom():
+    out = T.amp_wheel([-1.0, 1.0], -500.0)  # wheel up doubles the interval
+    assert out == [-2.0, 2.0]
+    out = T.amp_wheel([-1.0, 1.0], 250.0)
+    assert out == [-0.5, 0.5]
+    out = T.amp_wheel([-1.0, 1.0], 1e9)  # interval floor at 0 -> min clamp
+    assert out == [-1e-5, 1e-5]
+
+
+def test_amp_axis_cursor_state():
+    assert T.amp_axis_cursor_state(10, 160) == "positive"
+    assert T.amp_axis_cursor_state(90, 160) == "negative"
+
+
+# ---------------------------------------------------------------------------
+# overview lens — Overview.tsx:109-183
+
+
+def test_overview_cursor_states():
+    # lens [100, 200] px: THICKNESS=3 zones on either edge
+    args = (1.0, 1.0, 100.0)  # startSec=1s, lens=1s, pxPerSec=100 -> [100,200]
+    assert T.overview_cursor_state(97, *args) == "left"
+    assert T.overview_cursor_state(103, *args) == "left"
+    assert T.overview_cursor_state(104, *args) == "inlens"
+    assert T.overview_cursor_state(196, *args) == "inlens"
+    assert T.overview_cursor_state(197, *args) == "right"
+    assert T.overview_cursor_state(204, *args) == "outlens"
+    assert T.overview_cursor_state(50, *args) == "outlens"
+
+
+def test_overview_drag_anchor():
+    # inside the lens: anchored at the grab fraction
+    a = T.overview_drag_anchor("inlens", 150.0, 1000.0, 100.0, 10.0, 10.0)
+    # sec at x=150 of 1000px/100s = 15s; (15-10)/10 = 0.5
+    assert a == pytest.approx(0.5)
+    assert T.overview_drag_anchor("outlens", 150.0, 1000.0, 100.0, 10.0, 10.0) == 0.5
+    assert T.overview_drag_anchor("left", 0.0, 1000.0, 100.0, 10.0, 10.0) == 0.5
+
+
+def test_overview_wave_level():
+    assert T.overview_wave_level(600_000, 600) == 10  # 1024 spb -> 586 bins
+    assert T.overview_wave_level(500, 600) == 0
+
+
+def test_colorbar_color_index_endpoints():
+    n = 258
+    assert T.colorbar_color_index(0, 48, n) == n - 1  # top = max dB = white
+    assert T.colorbar_color_index(47, 48, n) == 1  # bottom = first real color
+    for y in range(48):
+        idx = T.colorbar_color_index(y, 48, n)
+        assert 1 <= idx <= n - 1  # index 0 (reserved black) never used
+
+
+# ---------------------------------------------------------------------------
+# misc formulas + JS numeric semantics
+
+
+def test_fit_and_splitter_and_scrub():
+    assert T.fit_px_per_sec(W, 100.0) == 10.0
+    assert T.splitter_width(200, -500) == 90
+    assert T.splitter_width(200, 500) == 480
+    assert T.scrub_sec_at(500.0, 100.0, 10.0, 100.0) == pytest.approx(14.0)
+    assert T.scrub_sec_at(0.0, 100.0, 0.5, 100.0) == 0.0  # clamped at 0
+
+
+def test_jump_amounts():
+    assert T.jump_amount_sec(False) == 1.0
+    assert T.jump_amount_sec(True) == 5.0
+
+
+def test_fmt_time_goldens():
+    assert T.fmt_time(0) == "00:00:00.000"
+    # 3725.678 % 1 = 0.67799999... in binary; JS floors to 677 the same way
+    assert T.fmt_time(3725.678) == "01:02:05.677"
+    assert T.fmt_time(3725.5) == "01:02:05.500"
+    assert T.fmt_time(59.9999) == "00:00:59.999"  # floor-to-ms, no rounding up
+    assert T.fmt_time(-5) == "00:00:00.000"
+    assert T.fmt_time(float("nan")) == "00:00:00.000"
+
+
+def test_sr_khz_label():
+    assert T.sr_khz_label(16000) == "16"
+    assert T.sr_khz_label(44100) == "44.1"
+    assert T.sr_khz_label(22050) == "22.1"  # JS (22.05).toFixed(1) === "22.1"
+    assert T.sr_khz_label(8000) == "8"
+
+
+def test_lufs_label():
+    assert T.lufs_label(-26.12148) == "-26.1 LUFS"
+    assert T.lufs_label(float("-inf")) == "-∞ LUFS"
+
+
+def test_js_to_fixed_tie_semantics():
+    # JS toFixed picks the LARGER candidate on exact decimal ties
+    assert T._js_to_fixed(0.25, 1) == "0.3"
+    assert T._js_to_fixed(-0.25, 1) == "-0.2"
+    assert T._js_to_fixed(1.005, 2) == "1.00"  # 1.005 is below the tie in binary
+    assert T._js_to_fixed(2.5, 0) == "3"
+
+
+def test_js_round_semantics():
+    assert T._js_round(0.5) == 1
+    assert T._js_round(1.5) == 2
+    assert T._js_round(-0.5) == 0  # JS Math.round(-0.5) === -0
+    assert T._js_round(-1.5) == -1

@@ -174,7 +174,9 @@ def test_js_constants_match_twin():
     assert "WAVE_TILE_CACHE_BYTES = 32 * 1024 * 1024" in srcs["caches.js"]
     assert twin.SPEC_TILE_CACHE_BYTES == 128 * 1024 * 1024
     assert twin.WAVE_TILE_CACHE_BYTES == 32 * 1024 * 1024
-    assert "MAX_PX_PER_SEC = 384000" in srcs["app.js"]
+    assert "MAX_PX_PER_SEC = 384000" in srcs["applogic.js"]
+    # the magic zoom constant lives ONLY in the twinned pure module
+    assert "384000" not in srcs["app.js"]
 
 
 def test_tick_scale_lookup_semantics():
@@ -276,3 +278,83 @@ def test_single_compositor_canvas():
     # hit-testing stays on the divs: the overlay never takes pointer events
     css = (VIEWER / "style.css").read_text()
     assert re.search(r"#compositor\s*{[^}]*pointer-events:\s*none", css)
+
+
+# ---------------------------------------------------------------------------
+# Executed app-layer twins (VERDICT r3 #1): viewer/js/applogic.js holds ALL
+# of app.js/overview.js's pure interaction math; thesia_tpu/viewer/twin_app.py
+# mirrors every export and tests/test_viewer_applogic.py golden-tests them
+# against the reference formulas.  These checks make drift impossible:
+# a new applogic export without a twin — or new inline math in app.js that
+# should live in applogic — fails here.
+
+from thesia_tpu.viewer import twin_app
+
+
+def _applogic_exports():
+    src = _js_sources()["applogic.js"]
+    consts = re.findall(r"^export const (\w+)", src, re.M)
+    funcs = re.findall(r"^export function (\w+)", src, re.M)
+    return set(consts), set(funcs)
+
+
+def test_applogic_exports_all_twinned():
+    consts, funcs = _applogic_exports()
+    exported = consts | funcs
+    twinned = set(twin_app.TWINNED)
+    assert exported - twinned == set(), f"untwinned applogic exports: {sorted(exported - twinned)}"
+    assert twinned - exported == set(), f"twins without JS export: {sorted(twinned - exported)}"
+
+
+def test_applogic_constants_match_twin():
+    src = _js_sources()["applogic.js"]
+    consts, _ = _applogic_exports()
+    for name in sorted(consts):
+        m = re.search(rf"export const {name} = ([\w.e-]+);", src)
+        assert m, f"cannot parse constant {name}"
+        assert float(m.group(1)) == float(twin_app.TWINNED[name]), name
+
+
+def test_app_and_overview_use_applogic():
+    srcs = _js_sources()
+    for name in ("app.js", "overview.js"):
+        assert 'import * as L from "./applogic.js"' in srcs[name], name
+    # the interaction entry points actually route through the pure module
+    app = srcs["app.js"]
+    for call in (
+        "L.updateLensParams(", "L.classifyWheel(", "L.horizontalZoom(",
+        "L.horizontalScroll(", "L.zoomHeightAtCursor(", "L.selectTrack(",
+        "L.selectAllTracks(", "L.selectAfterAddTracks(",
+        "L.selectAfterRemoveTracks(", "L.followPlayheadStartSec(",
+        "L.selectSecAutoScroll(", "L.playerPosition(", "L.freqMaxDrag(",
+        "L.freqMinDrag(", "L.freqShiftDrag(", "L.freqWheelMaxHz(",
+        "L.ampDrag(", "L.ampWheel(", "L.clampAmpRange(", "L.zoomFreqRangeAt(",
+        "L.moveLensStartSec(", "L.resizeLensLeft(", "L.resizeLensRight(",
+        "L.fmtTime(", "L.scrubSecAt(", "L.jumpAmountSec(", "L.splitterWidth(",
+        "L.fitPxPerSec(", "L.lufsLabel(", "L.srKhzLabel(",
+    ):
+        assert call in app, f"app.js no longer routes through {call}"
+    ov = srcs["overview.js"]
+    for call in (
+        "L.overviewCursorState(", "L.overviewDragAnchor(",
+        "L.overviewSecFromX(", "L.overviewWaveLevel(", "L.colorbarColorIndex(",
+    ):
+        assert call in ov, f"overview.js no longer routes through {call}"
+
+
+def test_js_sources_bracket_balanced():
+    """No JS runtime exists here; at minimum every source must tokenize with
+    balanced delimiters (catches the breakage class a syntax error causes)."""
+    from tests.jscheck import check_js
+
+    for name, src in _js_sources().items():
+        errs = check_js(src, name)
+        assert not errs, errs
+
+
+def test_row_height_is_css_variable():
+    """Height zoom (MainViewer.tsx:414-489) drives --row-h; the stylesheet
+    must consume it or the zoom silently does nothing."""
+    css = (VIEWER / "style.css").read_text()
+    assert "var(--row-h, 160px)" in css
+    assert "--row-h" in _js_sources()["app.js"]

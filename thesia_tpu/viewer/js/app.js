@@ -9,10 +9,10 @@ import { api, jsonNumber } from "./api.js";
 import { Compositor, TrackViewport } from "./viewport.js";
 import { timeTickParams, updateAmpAxis, updateFreqAxis, updateTimeAxis } from "./axes.js";
 import { Overview, drawColorbar } from "./overview.js";
-import { hzFromRelativePos, relativeFreqPos } from "./freqscale.js";
-
-const MAX_PX_PER_SEC = 384000; // reference: constants/tracks.ts:189
-const MIN_PX_PER_SEC = 0.01;
+// ALL pure interaction math lives in applogic.js (executed Python twins in
+// viewer/twin_app.py golden-test it against the reference formulas); this
+// file only wires DOM events to it.
+import * as L from "./applogic.js";
 
 const state = {
   trackIds: [], // display order (DnD reorder permutes this)
@@ -24,15 +24,18 @@ const state = {
   maxSec: 0,
   maxTrackHz: 0,
   hzRange: null, // null -> full [0, maxTrackHz]
-  ampRanges: new Map(), // trackId -> symmetric max (axis asserts min==-max)
+  ampRanges: new Map(), // trackId -> [min, max] (reference AmpAxis.tsx)
   freqScale: "Mel",
+  rowHeight: 160, // height-zoomable (reference MainViewer.tsx:414-489)
   playing: false,
   playerAnchor: { positionSec: 0, at: performance.now(), isPlaying: false },
-  selected: new Set(),
-  selectPivot: null,
+  selected: [], // ORDERED ids (reference useSelectedTracks.ts pivot rules)
+  selectPivot: -1,
   selectedTrack: null, // primary (playback) selection
   fitMode: false,
   followPlayhead: true,
+  needFollowCursor: true, // cleared by user pan/zoom while playing
+  prevSelectSec: 0,
   needsRedraw: true,
 };
 
@@ -61,29 +64,37 @@ function hzRangeOrFull() {
   return state.hzRange || [0, state.maxTrackHz || 1];
 }
 
-// cursor/center-anchored freq-range zoom in relative-position space; a
-// full-range result resets to null (reference: MainViewer.tsx:414-489)
+// cursor/center-anchored freq-range zoom (math in applogic.js; the menu
+// freq-zoom-in/out analogue, menu.rs:427-445)
 function zoomFreqRangeAt(factor, anchorFrac) {
-  const maxHz = state.maxTrackHz || 1;
-  const [lo0, hi0] = hzRangeOrFull();
-  const pLo = relativeFreqPos(lo0, maxHz, state.freqScale);
-  const pHi = relativeFreqPos(hi0, maxHz, state.freqScale);
-  const span = pHi - pLo;
-  const anchor = pLo + anchorFrac * span;
-  const newSpan = Math.min(Math.max(span * factor, 0.01), 1);
-  let lo = anchor - anchorFrac * newSpan;
-  let hi = lo + newSpan;
-  if (lo < 0) { hi -= lo; lo = 0; }
-  if (hi > 1) { lo -= hi - 1; hi = 1; }
-  state.hzRange = (lo <= 1e-9 && hi >= 1 - 1e-9) ? null : [
-    hzFromRelativePos(lo, maxHz, state.freqScale),
-    hzFromRelativePos(hi, maxHz, state.freqScale),
-  ];
+  state.hzRange = L.zoomFreqRangeAt(
+    state.hzRange, state.maxTrackHz || 1, state.freqScale, factor, anchorFrac
+  );
+}
+
+// a freq-range result from the FreqAxis interactions: hi === Infinity (or
+// the track max) means "reset to full" = null in our state
+function setHzRangeResult(range) {
+  state.hzRange =
+    range[1] === Infinity || (range[0] <= 0 && range[1] >= (state.maxTrackHz || 1))
+      ? null : [range[0], range[1]];
 }
 
 function ampRangeOf(trackId) {
-  const m = state.ampRanges.get(trackId) ?? 1.0;
-  return [-m, m];
+  return state.ampRanges.get(trackId) ?? [-1.0, 1.0];
+}
+
+// every lens (startSec, pxPerSec) change funnels through the reference's
+// normalize pipeline (MainViewer.tsx:373-392 via applogic.updateLensParams)
+function setLens(params, turnOffFollowCursor = true) {
+  if (state.playing && turnOffFollowCursor) state.needFollowCursor = false;
+  const out = L.updateLensParams(
+    { startSec: state.startSec, pxPerSec: state.pxPerSec },
+    params, state.maxSec, viewWidth()
+  );
+  state.startSec = out.startSec;
+  state.pxPerSec = out.pxPerSec;
+  return out;
 }
 
 // ---------------------------------------------------------------------------
@@ -117,12 +128,14 @@ async function addPaths(paths) {
   if (reload.length) await api.reloadTracks(reload);
   if (fresh.length) {
     const ids = fresh.map(() => state.nextId++);
+    const prevIds = displayOrder();
     const added = await api.addTracks(ids, fresh);
     const failed = fresh.filter((_, i) => !added.includes(ids[i]));
     if (failed.length) showError(`Could not open: ${failed.join(", ")}`);
     await refreshAll();
     for (const id of added) await buildRow(id);
-    if (added.length) selectOnly(added[added.length - 1]);
+    // select exactly the new tracks (useSelectedTracks.ts:77-80)
+    applySelection(L.selectAfterAddTracks(prevIds, displayOrder()));
   } else {
     await refreshAll();
     await rebuildAllRowInfo();
@@ -206,9 +219,7 @@ async function buildRow(trackId) {
       showTooltip(e, vp, row);
       // playhead locator affordance (reference: src/modules/Locator.tsx)
       if (Number(row.dataset.trackId) === state.selectedTrack) {
-        const a = state.playerAnchor;
-        const pos = a.isPlaying
-          ? a.positionSec + (performance.now() - a.at) / 1000 : a.positionSec;
+        const pos = L.playerPosition(state.playerAnchor, performance.now());
         const x = (pos - state.startSec) * state.pxPerSec;
         vpc.style.cursor = Math.abs(e.offsetX - x) <= 4 ? "ew-resize" : "crosshair";
       }
@@ -217,9 +228,7 @@ async function buildRow(trackId) {
     vpc.addEventListener("mousedown", (e) => {
       // drag the playhead locator to scrub
       if (Number(row.dataset.trackId) !== state.selectedTrack) return;
-      const a = state.playerAnchor;
-      const pos = a.isPlaying
-        ? a.positionSec + (performance.now() - a.at) / 1000 : a.positionSec;
+      const pos = L.playerPosition(state.playerAnchor, performance.now());
       const x = (pos - state.startSec) * state.pxPerSec;
       if (Math.abs(e.offsetX - x) > 4) return;
       e.preventDefault();
@@ -228,7 +237,7 @@ async function buildRow(trackId) {
       let lastSeek = 0;
       let lastSec = 0;
       const secAt = (ev) =>
-        Math.max(state.startSec + (ev.clientX - rect.left) / state.pxPerSec, 0);
+        L.scrubSecAt(ev.clientX, rect.left, state.startSec, state.pxPerSec);
       axisDrag = {
         move(ev) {
           lastSec = secAt(ev);
@@ -279,9 +288,9 @@ async function updateRowInfo(row, trackId, ch, nCh) {
   ]);
   row.querySelector(".track-name").textContent =
     nCh > 1 ? `${name} [ch${ch}]` : name;
-  const lufsTxt = isFinite(lufs) ? `${lufs.toFixed(1)} LUFS` : "-∞ LUFS";
+  const lufsTxt = L.lufsLabel(lufs);
   row.querySelector(".track-meta").textContent =
-    `${fmt.name} · ${(sr / 1000).toFixed(sr % 1000 ? 1 : 0)} kHz · ${sec.toFixed(2)} s`;
+    `${fmt.name} · ${L.srKhzLabel(sr)} kHz · ${sec.toFixed(2)} s`;
   const guardTxt = guard.filter(([c]) => c === -1 || c === ch)
     .map(([, s]) => s).join("; ");
   row.querySelector(".track-stats").textContent =
@@ -289,10 +298,10 @@ async function updateRowInfo(row, trackId, ch, nCh) {
 }
 
 async function removeTracks(trackIds) {
+  const prevIds = displayOrder();
   await api.removeTracks(trackIds);
   for (const trackId of trackIds) {
     state.trackIds = state.trackIds.filter((x) => x !== trackId);
-    state.selected.delete(trackId);
     state.ampRanges.delete(trackId);
     for (const [key] of [...state.viewports]) {
       if (key.startsWith(`${trackId}_`)) {
@@ -302,13 +311,11 @@ async function removeTracks(trackIds) {
     }
     if (state.selectedTrack === trackId) state.selectedTrack = null;
   }
-  if (state.selectedTrack === null) {
-    if (state.trackIds.length) {
-      selectOnly(state.trackIds[0]);
-    } else if (overview) {
-      overview.setTrack(null); // last track removed: clear the strip
-    }
-  }
+  // survivors keep their selection; otherwise walk outward from the old
+  // pivot for the nearest remaining track (useSelectedTracks.ts:82-113)
+  applySelection(
+    L.selectAfterRemoveTracks(prevIds, displayOrder(), state.selected, state.selectPivot)
+  );
   await refreshAll();
   redraw();
 }
@@ -316,69 +323,57 @@ async function removeTracks(trackIds) {
 function fitIfFirst() {
   if (state.trackIds.length >= 1 && state.maxSec > 0) {
     if (state.startSec === 0 && Math.abs(state.pxPerSec - 100) < 1e-9) {
-      state.pxPerSec = Math.max(viewWidth() / state.maxSec, MIN_PX_PER_SEC);
+      state.pxPerSec = L.fitPxPerSec(viewWidth(), state.maxSec);
     }
     if (state.fitMode) applyFit();
   }
 }
 
 // ---------------------------------------------------------------------------
-// selection (reference: useSelectedTracks.ts:5-126 pivot semantics)
+// selection (math in applogic.js — reference useSelectedTracks.ts:5-126
+// pivot semantics over the ORDERED selection array)
+
+function displayOrder() {
+  return [...new Set([...rowsEl.children].map((r) => Number(r.dataset.trackId)))];
+}
 
 function applySelectionClasses() {
   for (const row of rowsEl.children) {
     const tid = Number(row.dataset.trackId);
-    row.classList.toggle("selected", state.selected.has(tid));
+    row.classList.toggle("selected", state.selected.includes(tid));
     row.classList.toggle("primary", tid === state.selectedTrack);
   }
 }
 
-function selectOnly(trackId) {
-  state.selected = new Set([trackId]);
-  state.selectPivot = trackId;
-  state.selectedTrack = trackId;
-  if (overview) overview.setTrack(trackId).then(redraw);
+function applySelection(result) {
+  if (!result) return;
+  state.selected = result.selected;
+  state.selectPivot = result.pivotId;
+  state.selectedTrack = result.selected.length
+    ? result.selected[result.selected.length - 1] : null;
+  if (overview && state.selectedTrack !== null) {
+    overview.setTrack(state.selectedTrack).then(redraw);
+  } else if (overview && state.selectedTrack === null) {
+    overview.setTrack(null);
+  }
   applySelectionClasses();
+}
+
+function selectOnly(trackId) {
+  applySelection({ selected: [trackId], pivotId: trackId });
 }
 
 function selectClick(trackId, e) {
-  if (e.metaKey || e.ctrlKey) {
-    if (state.selected.has(trackId)) {
-      state.selected.delete(trackId);
-      if (state.selectedTrack === trackId) {
-        state.selectedTrack = [...state.selected].pop() ?? null;
-      }
-    } else {
-      state.selected.add(trackId);
-      state.selectPivot = trackId;
-      state.selectedTrack = trackId;
-    }
-  } else if (e.shiftKey && state.selectPivot !== null) {
-    const order = [...rowsEl.children].map((r) => Number(r.dataset.trackId));
-    const uniq = [...new Set(order)];
-    const a = uniq.indexOf(state.selectPivot);
-    const b = uniq.indexOf(trackId);
-    if (a >= 0 && b >= 0) {
-      state.selected = new Set(uniq.slice(Math.min(a, b), Math.max(a, b) + 1));
-      state.selectedTrack = trackId;
-    }
-  } else {
-    state.selected = new Set([trackId]);
-    state.selectPivot = trackId;
-    state.selectedTrack = trackId;
-  }
-  if (overview && state.selectedTrack !== null) {
-    overview.setTrack(state.selectedTrack).then(redraw);
-  }
-  applySelectionClasses();
+  applySelection(
+    L.selectTrack(state.selected, state.selectPivot, trackId, displayOrder(), {
+      command: e.metaKey || e.ctrlKey,
+      shift: e.shiftKey,
+    })
+  );
 }
 
 function selectAll() {
-  state.selected = new Set(state.trackIds);
-  if (state.selectedTrack === null && state.trackIds.length) {
-    state.selectedTrack = state.trackIds[0];
-  }
-  applySelectionClasses();
+  applySelection(L.selectAllTracks(state.selected, displayOrder()));
 }
 
 function setupRowSelection(row, trackId) {
@@ -495,45 +490,68 @@ window.addEventListener("mouseup", (e) => {
 });
 
 function setupFreqAxisEditing(row) {
+  // three drag zones (reference FreqAxis.tsx:30-34): top third rescales the
+  // upper limit, middle shifts the window, bottom third rescales the lower
   const axis = row.querySelector(".freq-axis");
   axis.style.cursor = "ns-resize";
   axis.addEventListener("mousedown", (e) => {
-    const start = { y: e.clientY, range: hzRangeOrFull(), h: axis.clientHeight || 1 };
+    const h = axis.clientHeight || 1;
+    const maxHz = state.maxTrackHz || 1;
+    const range = hzRangeOrFull();
+    const zone = L.freqAxisCursorState(e.offsetY, h);
+    const anchor = {
+      cursorAxisPos: e.offsetY,
+      hzRange: range,
+      zeroHzPos: L.freqHzToPos(state.freqScale, 0, h, range[0], range[1], maxHz),
+      maxTrackHzPos: L.freqHzToPos(state.freqScale, maxHz, h, range[0], range[1], maxHz),
+    };
+    const startClientY = e.clientY;
     axisDrag = {
       move(ev) {
-        const maxHz = state.maxTrackHz || 1;
-        const dy = (ev.clientY - start.y) / start.h; // drag down -> shift down
-        const pLo = relativeFreqPos(start.range[0], maxHz, state.freqScale);
-        const pHi = relativeFreqPos(start.range[1], maxHz, state.freqScale);
-        const span = pHi - pLo;
-        let lo = pLo + dy * span;
-        let hi = pHi + dy * span;
-        if (lo < 0) { hi -= lo; lo = 0; }
-        if (hi > 1) { lo -= hi - 1; hi = 1; }
-        state.hzRange = [
-          hzFromRelativePos(lo, maxHz, state.freqScale),
-          hzFromRelativePos(hi, maxHz, state.freqScale),
-        ];
+        const pos = anchor.cursorAxisPos + (ev.clientY - startClientY);
+        let result;
+        if (zone === "control-max-hz") {
+          result = L.freqMaxDrag(anchor, pos, h, state.freqScale, maxHz);
+        } else if (zone === "control-min-hz") {
+          result = L.freqMinDrag(anchor, pos, state.freqScale, maxHz);
+        } else {
+          result = L.freqShiftDrag(anchor, pos, h, state.freqScale, maxHz);
+        }
+        setHzRangeResult(result);
         redraw();
       },
     };
   });
   axis.addEventListener("dblclick", (e) => {
-    // top half edits the upper limit, bottom half the lower
-    // (reference menu events edit-freq-upper/lower-limit-{id})
+    // top/bottom zones open the limit input (reference FreqAxis.tsx:196-211
+    // + menu events edit-freq-upper/lower-limit-{id})
     const h = axis.clientHeight || 1;
-    const editUpper = e.offsetY < h / 2;
+    const zone = L.freqAxisCursorState(e.offsetY, h);
+    if (zone === "shift-hz-range") return;
+    const editUpper = zone === "control-max-hz";
     const [lo, hi] = hzRangeOrFull();
     openFloatingInput(e.clientX, e.clientY, String(Math.round(editUpper ? hi : lo)), async (text) => {
       const v = await parseHzLabel(text);
       if (v === null) return;
       const maxHz = state.maxTrackHz || 1;
       const r = hzRangeOrFull().slice();
-      if (editUpper) r[1] = Math.min(Math.max(v, r[0] + 1), maxHz);
-      else r[0] = Math.max(Math.min(v, r[1] - 1), 0);
-      state.hzRange = r;
+      if (editUpper) setHzRangeResult([r[0], L.clampMaxHz(v, r[0], maxHz)]);
+      else setHzRangeResult([L.clampMinHz(v, r[1]), r[1]]);
       redraw();
     });
+  });
+  axis.addEventListener("wheel", (e) => {
+    // alt+wheel rescales the upper limit (reference FreqAxis.tsx:178-195)
+    if (!e.altKey) return;
+    e.preventDefault();
+    if (Math.abs(e.deltaY) < Math.abs(e.deltaX)) return;
+    setHzRangeResult(
+      L.freqWheelMaxHz(hzRangeOrFull(), e.deltaY, state.freqScale, state.maxTrackHz || 1)
+    );
+    redraw();
+  }, { passive: false });
+  axis.addEventListener("click", (e) => {
+    if (e.altKey) { state.hzRange = null; redraw(); } // alt+click reset
   });
   axis.addEventListener("contextmenu", (e) => {
     e.preventDefault();
@@ -543,26 +561,46 @@ function setupFreqAxisEditing(row) {
 }
 
 function setupAmpAxisEditing(row, trackId) {
+  // zero-anchored interval rescale (reference AmpAxis.tsx:42-108): the amp
+  // value grabbed under the cursor follows it; clamp [1e-5, 5] per side
   const axis = row.querySelector(".amp-axis");
   axis.style.cursor = "ns-resize";
   axis.addEventListener("mousedown", (e) => {
-    const start = { y: e.clientY, max: state.ampRanges.get(trackId) ?? 1.0 };
+    const h = axis.clientHeight || 1;
+    const range = ampRangeOf(trackId);
+    const zone = L.ampAxisCursorState(e.offsetY, h);
+    const anchor = {
+      cursorRatio: L.limitAmpCursorRatio(zone, e.offsetY / h, range),
+      ampRange: range.slice(),
+    };
+    const startClientY = e.clientY;
+    const startOffsetY = e.offsetY;
     axisDrag = {
       move(ev) {
         if (!state.trackIds.includes(trackId)) return; // row removed mid-drag
-        const factor = Math.exp((ev.clientY - start.y) * 0.01);
-        const v = Math.min(Math.max(start.max * factor, 1e-4), 16);
-        state.ampRanges.set(trackId, v);
+        const ratio = (startOffsetY + (ev.clientY - startClientY)) / h;
+        state.ampRanges.set(trackId, L.ampDrag(zone, ratio, anchor));
         redraw();
       },
     };
   });
+  axis.addEventListener("wheel", (e) => {
+    // alt+wheel zooms the interval around zero (reference AmpAxis.tsx:98-108)
+    if (!e.altKey) return;
+    e.preventDefault();
+    if (Math.abs(e.deltaY) < Math.abs(e.deltaX)) return;
+    state.ampRanges.set(trackId, L.ampWheel(ampRangeOf(trackId), e.deltaY));
+    redraw();
+  }, { passive: false });
+  axis.addEventListener("click", (e) => {
+    if (e.altKey) { state.ampRanges.delete(trackId); redraw(); } // reset
+  });
   axis.addEventListener("dblclick", (e) => {
-    const cur = state.ampRanges.get(trackId) ?? 1.0;
+    const cur = ampRangeOf(trackId)[1];
     openFloatingInput(e.clientX, e.clientY, String(cur), (text) => {
       const v = parseFloat(text);
       if (!isNaN(v) && v > 0) {
-        state.ampRanges.set(trackId, Math.min(v, 16));
+        state.ampRanges.set(trackId, L.clampAmpRange([-v, v]));
         redraw();
       }
     });
@@ -582,7 +620,7 @@ function redraw() { state.needsRedraw = true; }
 function applyFit() {
   // fit mode: whole longest track in view (reference MainViewer fit button)
   if (state.maxSec > 0) {
-    state.pxPerSec = Math.max(viewWidth() / state.maxSec, MIN_PX_PER_SEC);
+    state.pxPerSec = L.fitPxPerSec(viewWidth(), state.maxSec);
     state.startSec = 0;
   }
 }
@@ -629,17 +667,33 @@ function scheduleAxisUpdate(hzRange) {
 function renderFrame() {
   // playhead extrapolation (reference: usePlayer.ts:44-52)
   const a = state.playerAnchor;
-  const pos = a.isPlaying
-    ? a.positionSec + (performance.now() - a.at) / 1000
-    : a.positionSec;
-  $("#time-display").textContent = fmtTime(pos);
+  const pos = L.playerPosition(a, performance.now());
+  $("#time-display").textContent = L.fmtTime(pos);
 
-  // follow-playhead autoscroll (reference MainViewer updateByPlayerStatus)
-  if (state.followPlayhead && a.isPlaying) {
-    const viewSec = viewWidth() / state.pxPerSec;
-    if (pos > state.startSec + viewSec * 0.95 || pos < state.startSec) {
-      state.startSec = Math.max(pos - viewSec * 0.05, 0);
-      state.needsRedraw = true;
+  // follow-playhead autoscroll (reference MainViewer.tsx:853-871): while
+  // playing, scroll only when the playhead leaves the view (and the user
+  // hasn't panned away); paused, follow the select cursor's jumps
+  const endSec = state.startSec + viewWidth() / state.pxPerSec;
+  if (a.isPlaying) {
+    if (state.followPlayhead && state.needFollowCursor) {
+      const ns = L.followPlayheadStartSec(pos, state.startSec, endSec);
+      if (ns !== null) {
+        setLens({ startSec: ns }, false);
+        state.needsRedraw = true;
+      }
+    }
+  } else {
+    state.needFollowCursor = true;
+    const sel = state.selectCursorSec;
+    if (sel !== undefined) {
+      const ns = L.selectSecAutoScroll(
+        sel, state.prevSelectSec, state.startSec, endSec, viewWidth(), state.pxPerSec
+      );
+      if (ns !== null) {
+        setLens({ startSec: ns }, false);
+        state.needsRedraw = true;
+      }
+      state.prevSelectSec = sel;
     }
   }
 
@@ -690,14 +744,6 @@ function renderFrame() {
     scheduleAxisUpdate(hzRange);
   }
   requestAnimationFrame(renderFrame);
-}
-
-function fmtTime(sec) {
-  if (!isFinite(sec) || sec < 0) sec = 0;
-  const h = Math.floor(sec / 3600), m = Math.floor(sec / 60) % 60;
-  const s = Math.floor(sec) % 60, ms = Math.floor((sec % 1) * 1000);
-  return `${String(h).padStart(2, "0")}:${String(m).padStart(2, "0")}:` +
-    `${String(s).padStart(2, "0")}.${String(ms).padStart(3, "0")}`;
 }
 
 // ---------------------------------------------------------------------------
@@ -765,29 +811,50 @@ function hideTooltip() {
 // zoom / pan (reference: MainViewer.tsx:538-595 wheel gestures;
 // :414-489 cursor-anchored horizontal & vertical zoom w/ scroll correction)
 
+// the reference's wheel-gesture table (MainViewer.tsx:538-595, normalized
+// by applogic.classifyWheel): zoom chord + dominant axis decide between
+// cursor-anchored time zoom, row-height zoom w/ scroll correction,
+// horizontal scroll, and native vertical scroll
+const IS_APPLE = /Mac|iP(hone|ad|od)/.test(navigator.platform || "");
+
+function applyHeightZoom(delta, clientY) {
+  const rows = [...rowsEl.children];
+  const rowTops = rows.map((_r, i) => i * state.rowHeight);
+  const rect = rowsEl.getBoundingClientRect();
+  const out = L.zoomHeightAtCursor(
+    rowTops, state.rowHeight, state.rowHeight, delta,
+    clientY - rect.top, rowsEl.scrollTop, 0
+  );
+  if (!out) return;
+  state.rowHeight = out.height;
+  document.documentElement.style.setProperty("--row-h", `${out.height}px`);
+  rowsEl.scrollTop = out.scrollTop;
+  redraw();
+}
+
 rowsEl.addEventListener("wheel", (e) => {
+  if (!state.trackIds.length) return;
+  const g = L.classifyWheel(e, IS_APPLE);
+  if (g.kind === "native") return; // let the rows container scroll
   e.preventDefault();
   const rect = rowsEl.getBoundingClientRect();
   const xInView = e.clientX - rect.left - leftOffset();
-  if (e.shiftKey && !e.ctrlKey && !e.metaKey) {
-    // vertical freq zoom anchored at cursor (y=0 is top = high freq)
-    const row = e.target.closest?.(".track-row");
-    const h = row ? row.clientHeight : 160;
-    const yFrac = row
-      ? Math.min(Math.max((e.clientY - row.getBoundingClientRect().top) / h, 0), 1)
-      : 0.5;
-    zoomFreqRangeAt(Math.exp(e.deltaY * 0.002), 1 - yFrac);
-  } else if (e.ctrlKey || e.metaKey) {
+  if (xInView < 0) return; // over the axis/info gutter
+  const cur = { startSec: state.startSec, pxPerSec: state.pxPerSec };
+  if (g.kind === "hzoom") {
     leaveFit();
-    const anchorSec = state.startSec + xInView / state.pxPerSec;
-    const factor = Math.exp(-e.deltaY * 0.002);
-    state.pxPerSec = Math.min(Math.max(state.pxPerSec * factor, MIN_PX_PER_SEC), MAX_PX_PER_SEC);
-    state.startSec = anchorSec - xInView / state.pxPerSec;
+    if (state.playing) state.needFollowCursor = false;
+    const out = L.horizontalZoom(cur, xInView, g.delta, state.maxSec, viewWidth());
+    state.startSec = out.startSec;
+    state.pxPerSec = out.pxPerSec;
+  } else if (g.kind === "vzoom") {
+    applyHeightZoom(g.delta, e.clientY);
   } else {
     leaveFit();
-    state.startSec += (e.deltaY + e.deltaX) / state.pxPerSec * 0.5;
+    if (state.playing) state.needFollowCursor = false;
+    const out = L.horizontalScroll(cur, g.delta, state.maxSec, viewWidth());
+    state.startSec = out.startSec;
   }
-  state.startSec = Math.max(state.startSec, -1);
   redraw();
 }, { passive: false });
 
@@ -950,7 +1017,7 @@ function setupSplitter() {
     const start = { x: e.clientX, w: leftOffset() - 98 };
     axisDrag = {
       move(ev) {
-        const w = Math.min(Math.max(start.w + ev.clientX - start.x, 90), 480);
+        const w = L.splitterWidth(start.w, ev.clientX - start.x);
         document.documentElement.style.setProperty("--info-w", `${w}px`);
         localStorage.setItem("thesia.infoW", String(w));
         redraw();
@@ -1012,7 +1079,7 @@ async function setupControls() {
   // remove-selected-tracks, select-all-tracks)
   document.addEventListener("keydown", async (e) => {
     if (e.target.tagName === "INPUT" || e.target.tagName === "SELECT") return;
-    const jump = e.shiftKey ? 5.0 : 1.0; // PLAY_BIG_JUMP_SEC / PLAY_JUMP_SEC
+    const jump = L.jumpAmountSec(e.shiftKey); // PLAY_BIG_JUMP_SEC / PLAY_JUMP_SEC
     if (e.code === "Space") {
       e.preventDefault();
       togglePlay();
@@ -1021,24 +1088,22 @@ async function setupControls() {
       selectAll();
     } else if (e.code === "ArrowLeft" || e.code === "ArrowRight") {
       e.preventDefault();
-      const a = state.playerAnchor;
-      const pos = a.isPlaying
-        ? a.positionSec + (performance.now() - a.at) / 1000 : a.positionSec;
+      const pos = L.playerPosition(state.playerAnchor, performance.now());
       await api.seekPlayer(pos + (e.code === "ArrowRight" ? jump : -jump));
       pollPlayer();
     } else if (e.code === "Home") {
       e.preventDefault();
       await api.seekPlayer(0);
-      state.startSec = 0;
+      setLens({ startSec: 0 }, false);
       redraw();
       pollPlayer();
     } else if (e.key === "+" || e.key === "=") {
       leaveFit();
-      state.pxPerSec = Math.min(state.pxPerSec * 1.5, MAX_PX_PER_SEC);
+      setLens({ pxPerSec: state.pxPerSec * 1.5 });
       redraw();
     } else if (e.key === "-") {
       leaveFit();
-      state.pxPerSec = Math.max(state.pxPerSec / 1.5, MIN_PX_PER_SEC);
+      setLens({ pxPerSec: state.pxPerSec / 1.5 });
       redraw();
     } else if (e.key === "]" || e.key === "[") {
       // freq-zoom-in/out around the range center (menu.rs freq-zoom events)
@@ -1210,18 +1275,31 @@ async function togglePlay() {
       $("#norm-target").disabled = $("#norm-type").value === "Off";
     }
   }
+  // overview lens callbacks route through the reference's moveLens /
+  // resizeLensLeft / resizeLensRight normalize pipeline
+  // (MainViewer.tsx:394-412 via applogic)
   overview = new Overview($("#overview"));
-  overview.onSeekView = (centerSec) => {
+  overview.onMoveLens = (sec, anchorRatio) => {
     leaveFit();
-    state.startSec = centerSec - viewWidth() / state.pxPerSec / 2;
+    setLens({
+      startSec: L.moveLensStartSec(sec, anchorRatio, state.pxPerSec, viewWidth()),
+    });
     redraw();
   };
-  overview.onResizeLens = (s0, s1) => {
+  overview.onResizeLensLeft = (sec) => {
     leaveFit();
-    state.pxPerSec = Math.min(
-      Math.max(viewWidth() / Math.max(s1 - s0, 1e-4), MIN_PX_PER_SEC), MAX_PX_PER_SEC
-    );
-    state.startSec = s0;
+    const cur = { startSec: state.startSec, pxPerSec: state.pxPerSec };
+    const out = L.resizeLensLeft(cur, sec, state.maxSec, viewWidth());
+    state.startSec = out.startSec;
+    state.pxPerSec = out.pxPerSec;
+    redraw();
+  };
+  overview.onResizeLensRight = (sec) => {
+    leaveFit();
+    const cur = { startSec: state.startSec, pxPerSec: state.pxPerSec };
+    const out = L.resizeLensRight(cur, sec, state.maxSec, viewWidth());
+    state.startSec = out.startSec;
+    state.pxPerSec = out.pxPerSec;
     redraw();
   };
   await setupControls();

@@ -3,6 +3,7 @@
 // reference: src/prototypes/Overview/OverviewWaveformViewport.tsx.
 
 import { api } from "./api.js";
+import * as L from "./applogic.js";
 
 const GAIN_COLOR = "rgba(245,145,73,0.55)";
 const WAVE_COLOR = "#2d92e5";
@@ -18,55 +19,55 @@ export class Overview {
     this.metadata = null;
     this.bins = null; // [Float32Array of (min,max,mean)*N] per channel lane
     this.gain = null;
-    this.onSeekView = () => {};
-    this.onResizeLens = () => {}; // (startSec, endSec) — zoom to range
-    this._drag = null; // "move" | "left" | "right"
-    this._lensPx = [0, 0];
+    // reference Overview.tsx handler trio: inside/outside the lens moves it
+    // (anchored at the grab fraction), edges resize through the
+    // MainViewer's normalize pipeline (resizeLensLeft/Right)
+    this.onMoveLens = () => {}; // (sec, anchorRatio)
+    this.onResizeLensLeft = () => {}; // (sec)
+    this.onResizeLensRight = () => {}; // (sec)
+    this._drag = null; // {state, anchorRatio}
+    this._lens = { startSec: 0, durationSec: 0 }; // set each draw()
     canvas.addEventListener("mousemove", (e) => {
       if (this._drag) return;
-      canvas.style.cursor = this._edgeAt(e) ? "col-resize" : "ew-resize";
+      const s = this._cursorState(e);
+      canvas.style.cursor =
+        s === "left" || s === "right" ? "col-resize" : "ew-resize";
     });
     canvas.addEventListener("mousedown", (e) => {
-      this._drag = this._edgeAt(e) || "move";
-      if (this._drag === "move") this._moveLens(e);
+      if (!this.metadata) return;
+      const rect = this.canvas.getBoundingClientRect();
+      const cursorState = this._cursorState(e);
+      const anchorRatio = L.overviewDragAnchor(
+        cursorState, e.clientX - rect.left, rect.width || 1,
+        this.metadata.trackSec, this._lens.startSec, this._lens.durationSec
+      );
+      this._drag = { state: cursorState, anchorRatio };
+      this._applyDrag(e);
     });
     window.addEventListener("mousemove", (e) => {
-      if (this._drag === "move") this._moveLens(e);
-      else if (this._drag) this._resizeLens(e);
+      if (this._drag) this._applyDrag(e);
     });
     window.addEventListener("mouseup", () => (this._drag = null));
   }
 
-  _edgeAt(e) {
-    // lens edge-drag resize (reference: Overview.tsx lens drag/resize)
+  _cursorState(e) {
+    // reference: Overview.tsx:158-173 (left | inlens | right | outlens)
     const rect = this.canvas.getBoundingClientRect();
-    const x = e.clientX - rect.left;
-    const [x0, x1] = this._lensPx;
-    if (Math.abs(x - x0) <= 4) return "left";
-    if (Math.abs(x - x1) <= 4) return "right";
-    return null;
+    const pxPerSec = (rect.width || 1) / Math.max(this.metadata?.trackSec ?? 1, 1e-8);
+    return L.overviewCursorState(
+      e.clientX - rect.left, this._lens.startSec, this._lens.durationSec, pxPerSec
+    );
   }
 
-  _fracAt(e) {
+  _applyDrag(e) {
+    if (!this.metadata || !this._drag) return;
     const rect = this.canvas.getBoundingClientRect();
-    return Math.min(Math.max((e.clientX - rect.left) / rect.width, 0), 1);
-  }
-
-  _moveLens(e) {
-    if (!this.metadata) return;
-    this.onSeekView(this._fracAt(e) * this.metadata.trackSec);
-  }
-
-  _resizeLens(e) {
-    if (!this.metadata) return;
-    const sec = this._fracAt(e) * this.metadata.trackSec;
-    const w = this.canvas.getBoundingClientRect().width || 1;
-    const total = this.metadata.trackSec;
-    let s0 = (this._lensPx[0] / w) * total;
-    let s1 = (this._lensPx[1] / w) * total;
-    if (this._drag === "left") s0 = Math.min(sec, s1 - 0.01);
-    else s1 = Math.max(sec, s0 + 0.01);
-    this.onResizeLens(s0, s1);
+    const sec = L.overviewSecFromX(
+      e.clientX - rect.left, rect.width || 1, this.metadata.trackSec
+    );
+    if (this._drag.state === "left") this.onResizeLensLeft(sec);
+    else if (this._drag.state === "right") this.onResizeLensRight(sec);
+    else this.onMoveLens(sec, this._drag.anchorRatio);
   }
 
   async setTrack(trackId, force = false) {
@@ -86,9 +87,7 @@ export class Overview {
     // (reference: OverviewWaveformViewport.tsx:18-143)
     const nCh = Math.min(await api.getChannelCounts(trackId).catch(() => 1), 4);
     const width = this.canvas.clientWidth || 600;
-    const level = Math.max(
-      0, Math.ceil(Math.log2(this.metadata.sampleCount / Math.max(width, 1)))
-    );
+    const level = L.overviewWaveLevel(this.metadata.sampleCount, width);
     const spb = 1 << level;
     const tileSamples = 1024 * spb;
     const nTiles = Math.ceil(this.metadata.sampleCount / tileSamples);
@@ -177,9 +176,9 @@ export class Overview {
     }
     // lens
     const [vs, vw] = pxPerSecViewWidthSec;
+    this._lens = { startSec: vs, durationSec: vw };
     const x0 = (vs / this.metadata.trackSec) * w;
     const x1 = ((vs + vw) / this.metadata.trackSec) * w;
-    this._lensPx = [x0, Math.max(x1, x0 + 2)];
     ctx.fillStyle = LENS_FILL;
     ctx.fillRect(x0, 0, Math.max(x1 - x0, 2), h);
     ctx.strokeStyle = LENS_EDGE;
@@ -200,9 +199,7 @@ export async function drawColorbar(canvas, colormap, minDb, maxDb) {
   const n = colormap.length / 4;
   for (let y = 0; y < h; y++) {
     // top = max dB = end of colormap (skipping the reserved black at 0)
-    const idx = Math.min(
-      n - 1, 1 + Math.round(((h - 1 - y) / Math.max(h - 1, 1)) * (n - 2))
-    );
+    const idx = L.colorbarColorIndex(y, h, n);
     ctx.fillStyle = `rgb(${colormap[idx * 4]},${colormap[idx * 4 + 1]},${colormap[idx * 4 + 2]})`;
     ctx.fillRect(0, y, barW, 1);
   }
