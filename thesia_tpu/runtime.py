@@ -53,6 +53,13 @@ def _do_warmup() -> None:
                 _thread = None
 
 
+def warmup_done() -> bool:
+    """True once the one-time device<->host warmup has completed (or on
+    backends where it's instant).  The shape warmer gates on this so its
+    background compiles never contend with the first-touch tunnel setup."""
+    return _done
+
+
 def device_warmup(background: bool = False) -> None:
     """One-time device<->host transfer warmup.
 
