@@ -169,7 +169,7 @@ def test_pallas_spec_kernel_parity():
     import jax
     import jax.numpy as jnp
 
-    from thesia_tpu.dsp.pallas_spec import spec_db_pallas
+    from tests.pallas_spec import spec_db_pallas
 
     def batched_spec_db(frames, cw, sw, mel_fb):
         re = jnp.einsum("btw,wf->btf", frames, cw, precision=jax.lax.Precision.HIGHEST)
@@ -448,7 +448,7 @@ def test_pallas_spec_linear_kernel_parity():
     shape) == XLA path, incl. the exact -inf-at-zero dB rule."""
     import jax.numpy as jnp
 
-    from thesia_tpu.dsp.pallas_spec import spec_db_pallas_linear
+    from tests.pallas_spec import spec_db_pallas_linear
 
     rng = np.random.default_rng(1)
     T, win, F = 96, 320, 257

@@ -198,11 +198,11 @@ def _build_padded(raw, n, *, pad: int, bucket: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "hop_length", "t_overlap", "use_mel", "bucket", "pad", "use_pallas", "t_cap"
+        "hop_length", "t_overlap", "use_mel", "bucket", "pad", "t_cap"
     ),
 )
 def _spec_full(raw, n, gain, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
-               use_mel: bool, bucket: int, pad: int, use_pallas: bool = False,
+               use_mel: bool, bucket: int, pad: int,
                t_cap: int | None = None):
     """Whole-track fused pipeline.
 
@@ -227,24 +227,17 @@ def _spec_full(raw, n, gain, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
     frames = jnp.concatenate(
         [blocks[:, i : i + t_max] for i in range(t_overlap)], axis=2
     )  # (C, T_max, win)
-    if use_pallas and use_mel:
-        from .pallas_spec import spec_db_pallas
-
-        db = spec_db_pallas(
-            frames.reshape(c * t_max, -1), cw, sw, mel_fb
-        ).reshape(c, t_max, -1)
+    re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=_matmul_precision())
+    im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=_matmul_precision())
+    mag = jnp.sqrt(re * re + im * im)
+    if use_mel:
+        out = jnp.einsum(
+            "ctf,fm->ctm", mag, mel_fb, precision=_matmul_precision()
+        )
     else:
-        re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=_matmul_precision())
-        im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=_matmul_precision())
-        mag = jnp.sqrt(re * re + im * im)
-        if use_mel:
-            out = jnp.einsum(
-                "ctf,fm->ctm", mag, mel_fb, precision=_matmul_precision()
-            )
-        else:
-            out = mag
-        # dB from amplitude with amin=0 (decibel.rs:212): 0 -> -inf exactly
-        db = 20.0 * jnp.where(out > 0, jnp.log10(jnp.where(out > 0, out, 1.0)), -jnp.inf)
+        out = mag
+    # dB from amplitude with amin=0 (decibel.rs:212): 0 -> -inf exactly
+    db = 20.0 * jnp.where(out > 0, jnp.log10(jnp.where(out > 0, out, 1.0)), -jnp.inf)
     n_frames = (n + 2 * pad - win_length) // hop_length + 1
     mask = (jnp.arange(t_max, dtype=jnp.int32) < n_frames)[None, :, None]
     min_db = jnp.min(jnp.where(mask, db, jnp.inf))
@@ -713,7 +706,6 @@ class SpectrogramAnalyzer:
             use_mel=use_mel,
             bucket=bucket,
             pad=pad,
-            use_pallas=os.environ.get("THESIA_PALLAS", "0") not in ("", "0", "false", "False"),
             t_cap=frame_cap(n_frames),
         )
         return SpecResult(db, n_frames, mn, mx)
