@@ -279,11 +279,10 @@ def test_landed_interval_bookkeeping():
     t._merge_landed(10, 20)
     t._merge_landed(30, 40)
     assert t.covers(12, 18) and not t.covers(5, 12) and not t.covers(15, 35)
-    assert t.host_cols == 0  # no contiguous prefix yet
     t._merge_landed(0, 10)
-    assert t.landed[0] == [0, 20] and t.host_cols == 20
+    assert t.landed[0] == [0, 20]
     t._merge_landed(18, 32)  # bridges the gap
-    assert t.landed == [[0, 40]] and t.host_cols == 40
+    assert t.landed == [[0, 40]]
     assert t.next_gap(1000) == (40, 100)
     assert t.next_gap(25) == (40, 65)
     t._merge_landed(40, 100)

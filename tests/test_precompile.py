@@ -186,8 +186,10 @@ def test_probe_shape_wav_and_flac(tmp_path):
 
 
 def test_warm_for_pending_add_submits_current_setting_first(monkeypatch, tmp_path):
-    """The header-probed warm pass covers the CURRENT setting (the add's own
-    programs) before any neighbor."""
+    """The header-probed warm pass covers the CURRENT setting first, and
+    warms the program the engine would actually EXECUTE: _spec_full for a
+    lone add (the manager's len(track_ids) > 1 gate routes singles through
+    calc_spec_multi), _spec_groups for a multi-file add."""
     monkeypatch.setenv("THESIA_PRECOMPILE", "1")
     from thesia_tpu.engine.manager import TrackManager
     from thesia_tpu.engine.track import TrackList
@@ -199,9 +201,35 @@ def test_warm_for_pending_add_submits_current_setting_first(monkeypatch, tmp_pat
     monkeypatch.setattr(
         tm.shape_warmer, "submit", lambda jobs: captured.setdefault("jobs", list(jobs))
     )
-    tm.warm_for_pending_add(tl, [("probe:x", (1, 48000), 16000)])
-    jobs = captured["jobs"]
-    assert len(jobs) > 0
-    # first job is the current-setting fused program
+    tm.warm_for_pending_add([], [("probe:x", (1, 48000), 16000)], 16000)
+    jobs = captured.pop("jobs")
     key, _lower = jobs[0]()
-    assert key[0] == "spec_groups"
+    assert key[0] == "spec_full"  # single add dispatches _spec_full
+
+    tm2 = TrackManager()
+    tm2.set_colormap_length(tl, 258)
+    monkeypatch.setattr(
+        tm2.shape_warmer, "submit", lambda jobs: captured.setdefault("jobs", list(jobs))
+    )
+    tm2.warm_for_pending_add(
+        [], [("probe:x", (1, 48000), 16000), ("probe:y", (2, 48000), 16000)], 16000
+    )
+    jobs = captured.pop("jobs")
+    key, _lower = jobs[0]()
+    assert key[0] == "spec_groups"  # multi-file add dispatches the batch
+
+
+def test_spec_full_job_lowers_the_real_program(monkeypatch):
+    """spec_full_job's lowered signature must accept the exact call
+    calc_spec_multi makes (bucket choice incl. the pad-overflow grow)."""
+    monkeypatch.setenv("THESIA_PRECOMPILE", "1")
+    an = SpectrogramAnalyzer()
+    setting = SpecSetting(t_overlap=2)
+    w = precompile.ShapeWarmer()
+    w.submit([precompile.spec_full_job(an, (1, 50000), 8000, setting)])
+    assert w.drain(timeout=120.0)
+    assert w.compiled_count == 1
+    # the real single-track call under that setting still works
+    wavs = np.random.default_rng(1).uniform(-0.5, 0.5, (1, 50000)).astype(np.float32)
+    res = an.calc_spec_multi(wavs, 8000, setting, cache_key="sfj", token=0)
+    assert res.n_frames > 0

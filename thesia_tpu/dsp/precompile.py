@@ -318,6 +318,66 @@ def quantize_jobs(analyzer, items, setting: SpecSetting, max_sr: int, colormap_l
     return jobs
 
 
+def spec_full_job(analyzer, shape, sr, setting: SpecSetting):
+    """Job callable warming the SINGLE-track fused program (_spec_full) —
+    the executable the engine dispatches when exactly one track updates
+    (manager's len(track_ids) > 1 gate routes singles through
+    calc_spec_multi, a different jitted program with its own persistent
+    cache entry than _spec_groups; review finding)."""
+
+    def make():
+        from .spectrogram import _spec_full
+
+        c, n = shape
+        hop, win, n_fft = setting.calc_framing_params(sr)
+        pad = win // 2
+        if n <= pad + 1 or n < win:
+            raise ValueError("short-track path runs on host")
+        # mirror calc_spec_multi's bucket choice: the device wav cache
+        # allocates wav_size_bucket(n), grown only when padding overflows
+        bucket = wav_size_bucket(n)
+        if pad + n + pad > bucket:
+            bucket = wav_size_bucket(n + 2 * pad)
+        use_mel = setting.freq_scale is FreqScale.Mel
+        cw, _sw = analyzer._dft_mats(win, n_fft)
+        mel_shape = (
+            tuple(analyzer.mel_fb(sr, n_fft).shape) if use_mel else (1, 1)
+        )
+        t_cap = frame_cap(stft_frame_count(n, win, hop))
+        statics = dict(
+            hop_length=hop, t_overlap=win // hop, use_mel=use_mel,
+            bucket=bucket, pad=pad, t_cap=t_cap,
+        )
+        sds = jax.ShapeDtypeStruct
+        key = ("spec_full", (c, bucket), tuple(cw.shape), mel_shape,
+               tuple(sorted(statics.items())))
+
+        def lower():
+            _spec_full.lower(
+                sds((c, bucket), jnp.float32),
+                sds((), jnp.int32),
+                sds((), jnp.float32),
+                sds(tuple(cw.shape), jnp.float32),
+                sds(tuple(cw.shape), jnp.float32),
+                sds(mel_shape, jnp.float32),
+                **statics,
+            ).compile()
+
+        return key, lower
+
+    return make
+
+
+def spec_jobs_for(analyzer, items, setting: SpecSetting, shardings=None):
+    """The spec-program warm jobs matching what the engine would EXECUTE
+    for `items` under `setting`: the batched _spec_groups program when more
+    than one track updates, the single-track _spec_full program otherwise."""
+    if len(items) == 1:
+        _key, shape, sr = items[0]
+        return [spec_full_job(analyzer, shape, sr, setting)]
+    return [spec_groups_job(analyzer, items, setting, shardings)]
+
+
 def spec_groups_job(analyzer, items, setting: SpecSetting, shardings=None):
     """Job callable for ShapeWarmer: warms the fused recompute program the
     session would run under `setting`."""

@@ -112,7 +112,15 @@ def gated_lufs_from_blocks(z: np.ndarray, *, histogram: bool = True) -> float:
     histogram=False gates over exact block energies (kept as
     cross-validation; differs from histogram mode by <= ~0.05 LU).  The
     three in-repo paths (scipy host, native C, device f64 scans) agree with
-    each other to <=1e-9 in both modes (tests/test_dynamics_device.py)."""
+    each other to <=1e-9 in both modes (tests/test_dynamics_device.py) —
+    with one caveat: a block energy within ~1 ulp of a bin BOUNDARY can
+    quantize to different bins across paths (their reductions round
+    differently), shifting the result by up to 0.1/N_gated LU; measure-zero
+    for real audio but worth knowing if the cross-path test ever flakes.
+    The relative gate keeps BS.1770's strict `>` comparison (in energy
+    space over bin centers); whether libebur128 includes a bin whose center
+    EXACTLY equals the threshold is reachable only at sub-ulp float
+    coincidences."""
     if z.size == 0:
         return -np.inf
     if histogram:

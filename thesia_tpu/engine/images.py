@@ -151,12 +151,12 @@ class TrackImages:
     streamer mostly left-to-right, but interactive tile requests can pull a
     region forward (VERDICT r3 weak #2): `landed` is the merged list of
     [start, end) full-res column intervals already host-resident (all
-    channels); `host_cols` remains the CONTIGUOUS landed prefix.
+    channels).
     """
 
     __slots__ = (
         "track_id", "n_ch", "n_frames", "height", "dev_img", "dev_mips",
-        "host", "host_cols", "landed", "stream_hint", "host_mips",
+        "host", "landed", "stream_hint", "host_mips",
         "complete", "dropped", "evicted", "stream_retries", "last_use",
     )
 
@@ -168,7 +168,6 @@ class TrackImages:
         self.dev_img = dev_img  # (C, H, T_valid) device u16 (cols >= n_frames clamped)
         self.dev_mips = dev_mips  # {level: (C, H, ceil(T/2^l)) device u16}
         self.host: list[np.ndarray | None] = [None] * n_ch
-        self.host_cols = 0
         self.landed: list[list[int]] = []  # merged [start, end) intervals
         self.stream_hint: tuple[int, int] | None = None  # viewport priority
         self.host_mips: dict[int, np.ndarray] = {}
@@ -197,7 +196,6 @@ class TrackImages:
         out.append(new)
         out.sort()
         self.landed = out
-        self.host_cols = out[0][1] if out and out[0][0] == 0 else 0
 
     def covers(self, x0: int, x1: int) -> bool:
         return any(iv[0] <= x0 and x1 <= iv[1] for iv in self.landed)
@@ -215,7 +213,6 @@ class TrackImages:
 
     def reset_host(self) -> None:
         self.host = [None] * self.n_ch
-        self.host_cols = 0
         self.landed = []
         self.stream_hint = None
         self.host_mips = {}

@@ -159,29 +159,37 @@ class TrackManager:
             self._update_spec_imgs(tracklist, force_update_all=True)
         self._warm_neighbor_shapes(tracklist)
 
-    def warm_for_pending_add(self, tracklist: TrackList, probed_items) -> None:
-        """Start warming BEFORE decode finishes (VERDICT r3 weak #1):
-        `probed_items` are (path, (n_ch, n_samples), sr) shapes probed from
+    def warm_for_pending_add(self, existing_items, probed_items, max_sr) -> None:
+        """Start warming BEFORE decode finishes (VERDICT r3 weak #1).
+
+        existing_items: [(track_id, (n_ch, n), sr)] snapshot of the current
+        tracklist, captured by the SESSION under its read lock (reading the
+        tracklist here raced concurrent write commands — review finding);
+        probed_items: (path, (n_ch, n_samples), sr) shapes probed from
         container headers (io/probe.py).  Submits the CURRENT setting's
-        programs first (the add itself hits those), then the nearest-knob
-        neighbors — all running on the warmer thread concurrently with the
-        decode/stats pass."""
+        programs first — mirroring what the add itself will execute: the
+        batched program over the probed files only, or the single-track
+        _spec_full program for a lone add — then the nearest-knob neighbors
+        over all tracks (a settings change recomputes everything), all on
+        the warmer thread concurrently with the decode/stats pass."""
         from ..dsp import precompile
         from ..parallel.sharding import active_spec_sharding
 
         if not precompile.enabled() or not probed_items:
             return
-        items = [
-            (tid, tuple(tracklist[tid].audio.wavs.shape), tracklist[tid].sr)
-            for tid in tracklist.all_ids()
-        ] + [(f"probe:{k}", shape, sr) for k, shape, sr in probed_items]
+        probed = [(f"probe:{k}", shape, sr) for k, shape, sr in probed_items]
+        items = list(existing_items) + probed
         sh = active_spec_sharding()
-        max_sr = max(
-            [tracklist.max_sr()] + [sr for _k, _s, sr in probed_items]
+        spec_jobs = list(
+            precompile.spec_jobs_for(self.spec_analyzer, probed, self.setting, sh)
         )
-        spec_jobs, quant_jobs = [], []
-        for s in [self.setting] + precompile.neighbor_settings(self.setting):
-            spec_jobs.append(precompile.spec_groups_job(self.spec_analyzer, items, s, sh))
+        quant_jobs = list(
+            precompile.quantize_jobs(
+                self.spec_analyzer, items, self.setting, max_sr, self.colormap_length
+            )
+        )
+        for s in precompile.neighbor_settings(self.setting):
+            spec_jobs.extend(precompile.spec_jobs_for(self.spec_analyzer, items, s, sh))
             quant_jobs.extend(
                 precompile.quantize_jobs(
                     self.spec_analyzer, items, s, max_sr, self.colormap_length
@@ -210,10 +218,12 @@ class TrackManager:
         # ALL fused-recompute programs (the big compiles every knob turn
         # blocks on) before ANY quantize program: a user turning a second
         # knob 10 s after the first must not find its spec program queued
-        # behind the first neighbor's quantize tail (measured 10.1 s live)
+        # behind the first neighbor's quantize tail (measured 10.1 s live).
+        # spec_jobs_for picks the program the engine would actually run
+        # (single-track sessions dispatch _spec_full, not _spec_groups).
         spec_jobs, quant_jobs = [], []
         for s in precompile.neighbor_settings(self.setting):
-            spec_jobs.append(precompile.spec_groups_job(self.spec_analyzer, items, s, sh))
+            spec_jobs.extend(precompile.spec_jobs_for(self.spec_analyzer, items, s, sh))
             quant_jobs.extend(
                 precompile.quantize_jobs(
                     self.spec_analyzer, items, s, max_sr, self.colormap_length

@@ -331,8 +331,21 @@ class EngineSession:
             if got is not None:
                 n_ch, n, sr = got
                 probed.append((str(path), (n_ch, n), sr))
-        if probed:
-            self.tm.warm_for_pending_add(self.tracklist, probed)
+        if not probed:
+            return
+        # snapshot the tracklist under the READ lock: this runs on the
+        # caller thread before the add's write item, concurrently with any
+        # other client's mutating command (review finding: lock-free
+        # iteration raced remove_tracks)
+        with self.rw.read():
+            existing = [
+                (tid, tuple(self.tracklist[tid].audio.wavs.shape), self.tracklist[tid].sr)
+                for tid in self.tracklist.all_ids()
+            ]
+            max_sr = max(
+                [self.tracklist.max_sr()] + [sr for _k, _s, sr in probed]
+            )
+        self.tm.warm_for_pending_add(existing, probed, max_sr)
 
     @staticmethod
     def _read_file(path):

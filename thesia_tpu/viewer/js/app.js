@@ -839,7 +839,10 @@ rowsEl.addEventListener("wheel", (e) => {
   e.preventDefault();
   const rect = rowsEl.getBoundingClientRect();
   const xInView = e.clientX - rect.left - leftOffset();
-  if (xInView < 0) return; // over the axis/info gutter
+  // preventDefault-then-bounds-return matches the reference exactly
+  // (MainViewer.tsx:565-575: gestures over the gutter are consumed, not
+  // acted on)
+  if (xInView < 0) return;
   const cur = { startSec: state.startSec, pxPerSec: state.pxPerSec };
   if (g.kind === "hzoom") {
     leaveFit();
@@ -1288,6 +1291,7 @@ async function togglePlay() {
   };
   overview.onResizeLensLeft = (sec) => {
     leaveFit();
+    if (state.playing) state.needFollowCursor = false;
     const cur = { startSec: state.startSec, pxPerSec: state.pxPerSec };
     const out = L.resizeLensLeft(cur, sec, state.maxSec, viewWidth());
     state.startSec = out.startSec;
@@ -1296,6 +1300,7 @@ async function togglePlay() {
   };
   overview.onResizeLensRight = (sec) => {
     leaveFit();
+    if (state.playing) state.needFollowCursor = false;
     const cur = { startSec: state.startSec, pxPerSec: state.pxPerSec };
     const out = L.resizeLensRight(cur, sec, state.maxSec, viewWidth());
     state.startSec = out.startSec;
