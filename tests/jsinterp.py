@@ -1,0 +1,1134 @@
+"""Minimal ES-subset interpreter — executes the viewer's PURE-math modules
+(freqscale.js, applogic.js) inside the test suite, where no JS runtime
+exists (no node/browser in this image).
+
+This closes the last gap in the viewer-twin story: twin_app.py mirrors
+every applogic export and is golden-tested against the reference formulas,
+and tests/test_js_execution.py runs the ACTUAL JavaScript through this
+interpreter differentially against the twins, so a sign flip in the .js
+that the hand-written mirror didn't copy fails the suite.
+
+Supported subset (exactly what the pure viewer modules use):
+  statements  const/let (array + object destructuring), if/else, classic
+              for (;;), while, break/continue, return, blocks, expression
+              statements, function declarations, export const/function
+  expressions numbers, strings, template literals w/ ${}, identifiers,
+              member + computed access, calls, unary -+!, ** * / % + -,
+              comparisons, === !==, && || ??, ternary, assignment (=, +=,
+              -=, *=, /=), ++/--, arrow functions, object literals
+              (incl. shorthand), array literals
+  runtime     Math.*, Number.isFinite, isFinite, Infinity, NaN, String(),
+              Number.prototype.toFixed, String.prototype methods the code
+              uses, Array methods (indexOf, includes, slice, concat,
+              filter, every, map, reverse, push, join), .length
+JS semantics honored: undefined vs null, strict equality (NaN !== NaN),
+truthiness, % as remainder-with-dividend-sign, Math.round half-toward-+inf,
+toFixed decimal ties toward +inf, number->string without trailing ".0".
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from decimal import Decimal
+
+
+class JSUndefined:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "undefined"
+
+
+UNDEF = JSUndefined()
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*|/\*.*?\*/)
+  | (?P<num>0x[0-9a-fA-F]+|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)
+  | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<tpl>`)
+  | (?P<id>[A-Za-z_$][\w$]*)
+  | (?P<punct>=>|\*\*=?|===|!==|<<=?|>>>?=?|<=|>=|&&|\|\||\?\?|\+\+|--|[+\-*/%]=|[{}()\[\];,<>+\-*/%!?:.=&|~^])
+    """,
+    re.X | re.S,
+)
+
+
+class Tok:
+    __slots__ = ("kind", "val", "pos")
+
+    def __init__(self, kind, val, pos):
+        self.kind, self.val, self.pos = kind, val, pos
+
+    def __repr__(self):
+        return f"{self.kind}:{self.val!r}"
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise SyntaxError(f"tokenize error at {i}: {src[i:i+30]!r}")
+        if m.lastgroup == "tpl":
+            # template literal: split into parts + ${expr} token streams
+            parts, exprs = [], []
+            j = m.end()
+            buf = []
+            while j < len(src):
+                c = src[j]
+                if c == "\\":
+                    buf.append(src[j + 1])
+                    j += 2
+                    continue
+                if c == "`":
+                    j += 1
+                    break
+                if c == "$" and j + 1 < len(src) and src[j + 1] == "{":
+                    parts.append("".join(buf))
+                    buf = []
+                    depth = 1
+                    k = j + 2
+                    while k < len(src) and depth:
+                        if src[k] == "{":
+                            depth += 1
+                        elif src[k] == "}":
+                            depth -= 1
+                        k += 1
+                    exprs.append(src[j + 2 : k - 1])
+                    j = k
+                    continue
+                buf.append(c)
+                j += 1
+            parts.append("".join(buf))
+            toks.append(Tok("template", (parts, exprs), m.start()))
+            i = j
+            continue
+        if m.lastgroup not in ("ws", "comment"):
+            kind = m.lastgroup
+            val = m.group()
+            if kind == "str":
+                val = val[1:-1].encode().decode("unicode_escape") \
+                    if "\\" in val else val[1:-1]
+            toks.append(Tok(kind, val, m.start()))
+        i = m.end()
+    toks.append(Tok("eof", None, len(src)))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# parser (Pratt) — produces tuple-based AST nodes
+
+_KEYWORDS = {
+    "const", "let", "var", "if", "else", "for", "while", "return", "function",
+    "true", "false", "null", "undefined", "break", "continue", "export",
+    "import", "from", "of", "new", "typeof",
+}
+
+_BINARY_PREC = {
+    "??": 1, "||": 2, "&&": 3,
+    "===": 7, "!==": 7, "<": 8, ">": 8, "<=": 8, ">=": 8,
+    "+": 10, "-": 10, "*": 11, "/": 11, "%": 11, "**": 12,
+    "<<": 9, ">>": 9,
+}
+
+
+class Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k=0):
+        return self.toks[self.i + k]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eat(self, val):
+        t = self.next()
+        if t.val != val:
+            raise SyntaxError(f"expected {val!r}, got {t.val!r} @{t.pos}")
+        return t
+
+    def at(self, val):
+        return self.peek().val == val and self.peek().kind in ("punct", "id")
+
+    # -- statements --------------------------------------------------------
+    def parse_program(self):
+        stmts = []
+        while self.peek().kind != "eof":
+            stmts.append(self.parse_statement())
+        return ("block", stmts)
+
+    def parse_statement(self):
+        t = self.peek()
+        if t.kind == "id":
+            if t.val == "import":
+                # skip to end of line statement: import ... ;
+                while self.next().val != ";":
+                    pass
+                return ("empty",)
+            if t.val == "export":
+                self.next()
+                return self.parse_statement()
+            if t.val in ("const", "let", "var"):
+                return self.parse_decl()
+            if t.val == "function":
+                return self.parse_function_decl()
+            if t.val == "if":
+                return self.parse_if()
+            if t.val == "for":
+                return self.parse_for()
+            if t.val == "while":
+                return self.parse_while()
+            if t.val == "return":
+                self.next()
+                if self.at(";"):
+                    self.next()
+                    return ("return", ("undef",))
+                e = self.parse_expr()
+                if self.at(";"):
+                    self.next()
+                return ("return", e)
+            if t.val == "break":
+                self.next()
+                if self.at(";"):
+                    self.next()
+                return ("break",)
+            if t.val == "continue":
+                self.next()
+                if self.at(";"):
+                    self.next()
+                return ("continue",)
+        if t.val == "{":
+            return self.parse_block()
+        if t.val == ";":
+            self.next()
+            return ("empty",)
+        e = self.parse_expr()
+        if self.at(";"):
+            self.next()
+        return ("expr", e)
+
+    def parse_block(self):
+        self.eat("{")
+        stmts = []
+        while not self.at("}"):
+            stmts.append(self.parse_statement())
+        self.eat("}")
+        return ("block", stmts)
+
+    def parse_decl(self):
+        self.next()  # const/let/var
+        decls = []
+        while True:
+            target = self.parse_binding_target()
+            init = ("undef",)
+            if self.at("="):
+                self.next()
+                init = self.parse_assign()
+            decls.append((target, init))
+            if self.at(","):
+                self.next()
+                continue
+            break
+        if self.at(";"):
+            self.next()
+        return ("decl", decls)
+
+    def parse_binding_target(self):
+        t = self.peek()
+        if t.val == "[":
+            self.next()
+            names = []
+            while not self.at("]"):
+                names.append(self.parse_binding_target())
+                if self.at(","):
+                    self.next()
+            self.eat("]")
+            return ("arr_pat", names)
+        if t.val == "{":
+            self.next()
+            pairs = []  # (source_key, target_pattern)
+            while not self.at("}"):
+                key = self.next().val
+                if self.at(":"):
+                    self.next()
+                    pairs.append((key, self.parse_binding_target()))
+                else:
+                    pairs.append((key, ("id_pat", key)))
+                if self.at(","):
+                    self.next()
+            self.eat("}")
+            return ("obj_pat", pairs)
+        return ("id_pat", self.next().val)
+
+    def parse_function_decl(self):
+        self.eat("function")
+        name = self.next().val
+        params = self.parse_params()
+        body = self.parse_block()
+        return ("funcdecl", name, params, body)
+
+    def parse_params(self):
+        self.eat("(")
+        params = []
+        while not self.at(")"):
+            target = self.parse_binding_target()
+            default = None
+            if self.at("="):
+                self.next()
+                default = self.parse_assign()
+            params.append((target, default))
+            if self.at(","):
+                self.next()
+        self.eat(")")
+        return params
+
+    def parse_if(self):
+        self.eat("if")
+        self.eat("(")
+        cond = self.parse_expr()
+        self.eat(")")
+        then = self.parse_statement()
+        other = None
+        if self.peek().val == "else":
+            self.next()
+            other = self.parse_statement()
+        return ("if", cond, then, other)
+
+    def parse_for(self):
+        self.eat("for")
+        self.eat("(")
+        # for (const x of y) or classic
+        if self.peek().val in ("const", "let", "var") and self.peek(2).val == "of":
+            self.next()
+            name = self.next().val
+            self.eat("of")
+            it = self.parse_expr()
+            self.eat(")")
+            body = self.parse_statement()
+            return ("forof", name, it, body)
+        init = ("empty",)
+        if not self.at(";"):
+            if self.peek().val in ("const", "let", "var"):
+                init = self.parse_decl()
+            else:
+                init = ("expr", self.parse_expr())
+                if self.at(";"):
+                    self.next()
+        else:
+            self.next()
+        cond = ("bool", True)
+        if not self.at(";"):
+            cond = self.parse_expr()
+        self.eat(";")
+        update = None
+        if not self.at(")"):
+            update = self.parse_expr()
+        self.eat(")")
+        body = self.parse_statement()
+        return ("for", init, cond, update, body)
+
+    def parse_while(self):
+        self.eat("while")
+        self.eat("(")
+        cond = self.parse_expr()
+        self.eat(")")
+        body = self.parse_statement()
+        return ("while", cond, body)
+
+    # -- expressions -------------------------------------------------------
+    def parse_expr(self):
+        e = self.parse_assign()
+        while self.at(","):
+            # comma operator unused in our sources except in for-updates
+            self.next()
+            e = ("comma", e, self.parse_assign())
+        return e
+
+    def parse_assign(self):
+        left = self.parse_ternary()
+        t = self.peek()
+        if t.kind == "punct" and t.val in ("=", "+=", "-=", "*=", "/="):
+            self.next()
+            right = self.parse_assign()
+            return ("assign", t.val, left, right)
+        return left
+
+    def parse_ternary(self):
+        cond = self.parse_binary(0)
+        if self.at("?"):
+            self.next()
+            a = self.parse_assign()
+            self.eat(":")
+            b = self.parse_assign()
+            return ("ternary", cond, a, b)
+        return cond
+
+    def parse_binary(self, min_prec):
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind != "punct" or t.val not in _BINARY_PREC:
+                break
+            prec = _BINARY_PREC[t.val]
+            if prec < min_prec:
+                break
+            self.next()
+            right = self.parse_binary(prec + 1)
+            left = ("binop", t.val, left, right)
+        return left
+
+    def parse_unary(self):
+        t = self.peek()
+        if t.kind == "punct" and t.val in ("-", "+", "!", "~"):
+            self.next()
+            return ("unary", t.val, self.parse_unary())
+        if t.kind == "punct" and t.val in ("++", "--"):
+            self.next()
+            target = self.parse_unary()
+            return ("preincr", t.val, target)
+        if t.kind == "id" and t.val == "typeof":
+            self.next()
+            return ("typeof", self.parse_unary())
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        e = self.parse_primary()
+        while True:
+            t = self.peek()
+            if t.val == "." and t.kind == "punct":
+                self.next()
+                e = ("member", e, self.next().val)
+            elif t.val == "[" and t.kind == "punct":
+                self.next()
+                idx = self.parse_expr()
+                self.eat("]")
+                e = ("index", e, idx)
+            elif t.val == "(" and t.kind == "punct":
+                self.next()
+                args = []
+                while not self.at(")"):
+                    if self.at("..."):
+                        raise SyntaxError("spread unsupported")
+                    args.append(self.parse_assign())
+                    if self.at(","):
+                        self.next()
+                self.eat(")")
+                e = ("call", e, args)
+            elif t.val in ("++", "--") and t.kind == "punct":
+                self.next()
+                e = ("postincr", t.val, e)
+            else:
+                break
+        return e
+
+    def _is_arrow_ahead(self):
+        """At '(' — scan for the matching ')' followed by '=>'."""
+        depth = 0
+        j = self.i
+        while j < len(self.toks):
+            v = self.toks[j].val
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                depth -= 1
+                if depth == 0:
+                    return self.toks[j + 1].val == "=>"
+            j += 1
+        return False
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "num":
+            self.next()
+            v = t.val
+            return ("num", float(int(v, 16)) if v.startswith("0x") else float(v))
+        if t.kind == "str":
+            self.next()
+            return ("str", t.val)
+        if t.kind == "template":
+            self.next()
+            parts, exprs = t.val
+            parsed = [Parser(tokenize(e)).parse_expr() for e in exprs]
+            return ("template", parts, parsed)
+        if t.kind == "id":
+            if t.val == "true":
+                self.next()
+                return ("bool", True)
+            if t.val == "false":
+                self.next()
+                return ("bool", False)
+            if t.val == "null":
+                self.next()
+                return ("null",)
+            if t.val == "undefined":
+                self.next()
+                return ("undef",)
+            if t.val == "function":
+                self.next()
+                name = None
+                if self.peek().kind == "id":
+                    name = self.next().val
+                params = self.parse_params()
+                body = self.parse_block()
+                return ("func", name, params, body)
+            # arrow with single bare param: x => ...
+            if self.peek(1).val == "=>":
+                name = self.next().val
+                self.eat("=>")
+                return self._arrow_body([(("id_pat", name), None)])
+            self.next()
+            return ("name", t.val)
+        if t.val == "(":
+            if self._is_arrow_ahead():
+                params = self.parse_params()
+                self.eat("=>")
+                return self._arrow_body(params)
+            self.next()
+            e = self.parse_expr()
+            self.eat(")")
+            return e
+        if t.val == "[":
+            self.next()
+            items = []
+            while not self.at("]"):
+                items.append(self.parse_assign())
+                if self.at(","):
+                    self.next()
+            self.eat("]")
+            return ("array", items)
+        if t.val == "{":
+            self.next()
+            pairs = []
+            while not self.at("}"):
+                k = self.next()
+                key = k.val if k.kind in ("id", "str") else str(k.val)
+                if self.at(":"):
+                    self.next()
+                    pairs.append((key, self.parse_assign()))
+                else:
+                    pairs.append((key, ("name", key)))  # shorthand
+                if self.at(","):
+                    self.next()
+            self.eat("}")
+            return ("object", pairs)
+        raise SyntaxError(f"unexpected token {t!r}")
+
+    def _arrow_body(self, params):
+        if self.at("{"):
+            return ("func", None, params, self.parse_block())
+        return ("func", None, params, ("return", self.parse_assign()))
+
+
+# ---------------------------------------------------------------------------
+# evaluator
+
+class BreakEx(Exception):
+    pass
+
+
+class ContinueEx(Exception):
+    pass
+
+
+class ReturnEx(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class Env:
+    def __init__(self, parent=None):
+        self.vars = {}
+        self.parent = parent
+
+    def get(self, name):
+        e = self
+        while e is not None:
+            if name in e.vars:
+                return e.vars[name]
+            e = e.parent
+        raise NameError(f"undefined identifier {name}")
+
+    def set(self, name, value):
+        e = self
+        while e is not None:
+            if name in e.vars:
+                e.vars[name] = value
+                return
+            e = e.parent
+        raise NameError(f"assignment to undeclared {name}")
+
+    def declare(self, name, value):
+        self.vars[name] = value
+
+
+class JSFunction:
+    def __init__(self, name, params, body, env, interp):
+        self.name, self.params, self.body, self.env, self.interp = (
+            name, params, body, env, interp
+        )
+
+    def __call__(self, *args):
+        local = Env(self.env)
+        for k, (target, default) in enumerate(self.params):
+            v = args[k] if k < len(args) else UNDEF
+            if v is UNDEF and default is not None:
+                v = self.interp.eval(default, local)
+            self.interp.bind(target, v, local)
+        try:
+            self.interp.exec(self.body, local)
+        except ReturnEx as r:
+            return r.value
+        return UNDEF
+
+
+def js_truthy(v) -> bool:
+    if v is UNDEF or v is None:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return not (v == 0.0 or math.isnan(v))
+    if isinstance(v, str):
+        return v != ""
+    return True
+
+
+def js_num(v) -> float:
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, float):
+        return v
+    if v is None:
+        return 0.0
+    if v is UNDEF:
+        return math.nan
+    if isinstance(v, str):
+        s = v.strip()
+        if s == "":
+            return 0.0
+        try:
+            return float(s)
+        except ValueError:
+            return math.nan
+    return math.nan
+
+
+def js_strict_eq(a, b) -> bool:
+    if a is UNDEF or b is UNDEF:
+        return a is b
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return False
+        return a == b
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    return a is b
+
+
+def js_number_to_string(x: float) -> str:
+    if math.isnan(x):
+        return "NaN"
+    if x == math.inf:
+        return "Infinity"
+    if x == -math.inf:
+        return "-Infinity"
+    if x == int(x) and abs(x) < 1e21:
+        return str(int(x))
+    return repr(x)
+
+
+def js_to_string(v) -> str:
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return js_number_to_string(v)
+    if v is None:
+        return "null"
+    if v is UNDEF:
+        return "undefined"
+    if isinstance(v, list):
+        return ",".join("" if x is None or x is UNDEF else js_to_string(x) for x in v)
+    return str(v)
+
+
+def js_to_fixed(x: float, digits: int) -> str:
+    d = Decimal(x)
+    scaled = d * (10 ** digits)
+    n = int((scaled + Decimal("0.5")).to_integral_value(rounding="ROUND_FLOOR"))
+    sign = "-" if n < 0 else ""
+    s = str(abs(n)).rjust(digits + 1, "0")
+    return f"{sign}{s[:-digits]}.{s[-digits:]}" if digits else f"{sign}{s}"
+
+
+_MATH = {
+    "floor": lambda x: float(math.floor(x)),
+    "ceil": lambda x: float(math.ceil(x)),
+    "round": lambda x: float(math.floor(x + 0.5)),
+    "abs": abs,
+    "sqrt": lambda x: math.sqrt(x) if x >= 0 else math.nan,
+    "exp": math.exp,
+    "log": lambda x: math.log(x) if x > 0 else (-math.inf if x == 0 else math.nan),
+    "log2": lambda x: math.log2(x) if x > 0 else (-math.inf if x == 0 else math.nan),
+    "log10": lambda x: math.log10(x) if x > 0 else (-math.inf if x == 0 else math.nan),
+    "min": lambda *a: min(a) if a and not any(math.isnan(x) for x in a) else (math.nan if a else math.inf),
+    "max": lambda *a: max(a) if a and not any(math.isnan(x) for x in a) else (math.nan if a else -math.inf),
+    "sign": lambda x: math.nan if math.isnan(x) else (0.0 if x == 0 else math.copysign(1.0, x)),
+    "pow": lambda a, b: float(a ** b),
+    "PI": math.pi,
+    "E": math.e,
+}
+
+
+class Interp:
+    def __init__(self):
+        self.global_env = Env()
+        g = self.global_env
+        g.declare("Infinity", math.inf)
+        g.declare("NaN", math.nan)
+        g.declare("Math", ("__math__",))
+        g.declare("Number", ("__number__",))
+        g.declare("String", ("__string_ctor__",))
+        g.declare("isFinite", lambda v: math.isfinite(js_num(v)))
+        g.declare("parseFloat", lambda v: js_num(v))
+
+    def load(self, source: str):
+        """Parse + execute top-level declarations of a module source.
+        Statements execute directly in the global env (the generic block
+        path would scope module bindings into a discarded child env)."""
+        ast = Parser(tokenize(source)).parse_program()
+        for stmt in ast[1]:
+            self.exec(stmt, self.global_env)
+
+    # -- statements --------------------------------------------------------
+    def exec(self, node, env):
+        kind = node[0]
+        if kind == "block":
+            block_env = Env(env)
+            for s in node[1]:
+                self.exec(s, block_env)
+        elif kind == "decl":
+            for target, init in node[1]:
+                self.bind(target, self.eval(init, env), env)
+        elif kind == "funcdecl":
+            env.declare(node[1], JSFunction(node[1], node[2], node[3], env, self))
+        elif kind == "if":
+            if js_truthy(self.eval(node[1], env)):
+                self.exec(node[2], env)
+            elif node[3] is not None:
+                self.exec(node[3], env)
+        elif kind == "for":
+            loop_env = Env(env)
+            self.exec(node[1], loop_env)
+            while js_truthy(self.eval(node[2], loop_env)):
+                try:
+                    self.exec(node[4], loop_env)
+                except BreakEx:
+                    break
+                except ContinueEx:
+                    pass
+                if node[3] is not None:
+                    self.eval(node[3], loop_env)
+        elif kind == "forof":
+            for item in self.eval(node[2], env):
+                loop_env = Env(env)
+                loop_env.declare(node[1], item)
+                try:
+                    self.exec(node[3], loop_env)
+                except BreakEx:
+                    break
+                except ContinueEx:
+                    continue
+        elif kind == "while":
+            while js_truthy(self.eval(node[1], env)):
+                try:
+                    self.exec(node[2], env)
+                except BreakEx:
+                    break
+                except ContinueEx:
+                    continue
+        elif kind == "return":
+            raise ReturnEx(self.eval(node[1], env))
+        elif kind == "break":
+            raise BreakEx()
+        elif kind == "continue":
+            raise ContinueEx()
+        elif kind == "expr":
+            self.eval(node[1], env)
+        elif kind == "empty":
+            pass
+        else:
+            raise RuntimeError(f"unknown stmt {kind}")
+
+    def bind(self, target, value, env):
+        kind = target[0]
+        if kind == "id_pat":
+            env.declare(target[1], value)
+        elif kind == "arr_pat":
+            for i, sub in enumerate(target[1]):
+                v = value[i] if isinstance(value, list) and i < len(value) else UNDEF
+                self.bind(sub, v, env)
+        elif kind == "obj_pat":
+            for key, sub in target[1]:
+                v = value.get(key, UNDEF) if isinstance(value, dict) else UNDEF
+                self.bind(sub, v, env)
+        else:
+            raise RuntimeError(f"bad binding {target}")
+
+    # -- expressions -------------------------------------------------------
+    def eval(self, node, env):
+        kind = node[0]
+        if kind == "num":
+            return node[1]
+        if kind == "str":
+            return node[1]
+        if kind == "bool":
+            return node[1]
+        if kind == "null":
+            return None
+        if kind == "undef":
+            return UNDEF
+        if kind == "name":
+            return env.get(node[1])
+        if kind == "template":
+            parts, exprs = node[1], node[2]
+            out = [parts[0]]
+            for p, e in zip(parts[1:], exprs):
+                out.append(js_to_string(self.eval(e, env)))
+                out.append(p)
+            return "".join(out)
+        if kind == "array":
+            return [self.eval(e, env) for e in node[1]]
+        if kind == "object":
+            return {k: self.eval(v, env) for k, v in node[1]}
+        if kind == "func":
+            return JSFunction(node[1], node[2], node[3], env, self)
+        if kind == "ternary":
+            return (
+                self.eval(node[2], env)
+                if js_truthy(self.eval(node[1], env))
+                else self.eval(node[3], env)
+            )
+        if kind == "comma":
+            self.eval(node[1], env)
+            return self.eval(node[2], env)
+        if kind == "unary":
+            op = node[1]
+            v = self.eval(node[2], env)
+            if op == "-":
+                return -js_num(v)
+            if op == "+":
+                return js_num(v)
+            if op == "!":
+                return not js_truthy(v)
+            if op == "~":
+                return float(~int(js_num(v)))
+        if kind == "typeof":
+            try:
+                v = self.eval(node[1], env)
+            except NameError:
+                return "undefined"
+            if v is UNDEF:
+                return "undefined"
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, float):
+                return "number"
+            if isinstance(v, str):
+                return "string"
+            if callable(v):
+                return "function"
+            return "object"
+        if kind in ("preincr", "postincr"):
+            old = js_num(self.eval(node[2], env))
+            new = old + (1.0 if node[1] == "++" else -1.0)
+            self._assign_to(node[2], new, env)
+            return new if kind == "preincr" else old
+        if kind == "binop":
+            return self._binop(node[1], node[2], node[3], env)
+        if kind == "assign":
+            op = node[1]
+            if op == "=":
+                v = self.eval(node[3], env)
+            else:
+                cur = self.eval(node[2], env)
+                rhs = self.eval(node[3], env)
+                if op == "+=" and (isinstance(cur, str) or isinstance(rhs, str)):
+                    v = js_to_string(cur) + js_to_string(rhs)
+                else:
+                    a, b = js_num(cur), js_num(rhs)
+                    v = {"+=": a + b, "-=": a - b, "*=": a * b,
+                         "/=": self._div(a, b)}[op]
+            self._assign_to(node[2], v, env)
+            return v
+        if kind == "member":
+            return self._member(self.eval(node[1], env), node[2])
+        if kind == "index":
+            obj = self.eval(node[1], env)
+            idx = self.eval(node[2], env)
+            if isinstance(obj, list):
+                i = int(idx)
+                return obj[i] if 0 <= i < len(obj) else UNDEF
+            if isinstance(obj, dict):
+                return obj.get(idx if isinstance(idx, str) else js_to_string(idx), UNDEF)
+            if isinstance(obj, str):
+                i = int(idx)
+                return obj[i] if 0 <= i < len(obj) else UNDEF
+            raise TypeError(f"cannot index {obj!r}")
+        if kind == "call":
+            callee = node[1]
+            args = [self.eval(a, env) for a in node[2]]
+            if callee[0] == "member":
+                obj = self.eval(callee[1], env)
+                return self._call_method(obj, callee[2], args)
+            if callee[0] == "index":
+                obj = self.eval(callee[1], env)
+                meth = self.eval(callee[2], env)
+                return self._call_method(obj, meth, args)
+            fn = self.eval(callee, env)
+            if fn == ("__string_ctor__",):
+                return js_to_string(args[0]) if args else ""
+            if callable(fn):
+                return fn(*args)
+            raise TypeError(f"not callable: {fn!r}")
+        raise RuntimeError(f"unknown expr {kind}")
+
+    @staticmethod
+    def _div(a, b):
+        if b == 0:
+            if a == 0 or math.isnan(a):
+                return math.nan
+            return math.copysign(math.inf, a) * math.copysign(1.0, b)
+        return a / b
+
+    def _binop(self, op, ln, rn, env):
+        if op == "&&":
+            left = self.eval(ln, env)
+            return self.eval(rn, env) if js_truthy(left) else left
+        if op == "||":
+            left = self.eval(ln, env)
+            return left if js_truthy(left) else self.eval(rn, env)
+        if op == "??":
+            left = self.eval(ln, env)
+            return self.eval(rn, env) if left is None or left is UNDEF else left
+        a = self.eval(ln, env)
+        b = self.eval(rn, env)
+        if op == "===":
+            return js_strict_eq(a, b)
+        if op == "!==":
+            return not js_strict_eq(a, b)
+        if op == "+":
+            if isinstance(a, str) or isinstance(b, str):
+                return js_to_string(a) + js_to_string(b)
+            return js_num(a) + js_num(b)
+        if op in ("<", ">", "<=", ">="):
+            if isinstance(a, str) and isinstance(b, str):
+                return {"<": a < b, ">": a > b, "<=": a <= b, ">=": a >= b}[op]
+            x, y = js_num(a), js_num(b)
+            if math.isnan(x) or math.isnan(y):
+                return False
+            return {"<": x < y, ">": x > y, "<=": x <= y, ">=": x >= y}[op]
+        x, y = js_num(a), js_num(b)
+        if op == "-":
+            return x - y
+        if op == "*":
+            return x * y
+        if op == "/":
+            return self._div(x, y)
+        if op == "%":
+            if y == 0 or math.isnan(x) or math.isnan(y) or math.isinf(x):
+                return math.nan
+            if math.isinf(y):
+                return x
+            return math.fmod(x, y)
+        if op == "**":
+            return float(x ** y)
+        if op == "<<":
+            return float(_to_int32(x) << (int(y) & 31))
+        if op == ">>":
+            return float(_to_int32(x) >> (int(y) & 31))
+        raise RuntimeError(f"unknown op {op}")
+
+    def _assign_to(self, target, value, env):
+        if target[0] == "name":
+            env.set(target[1], value)
+        elif target[0] == "member":
+            obj = self.eval(target[1], env)
+            obj[target[2]] = value
+        elif target[0] == "index":
+            obj = self.eval(target[1], env)
+            idx = self.eval(target[2], env)
+            if isinstance(obj, list):
+                obj[int(idx)] = value
+            else:
+                obj[idx if isinstance(idx, str) else js_to_string(idx)] = value
+        else:
+            raise RuntimeError(f"bad assignment target {target}")
+
+    def _member(self, obj, name):
+        if obj == ("__math__",):
+            return _MATH[name]
+        if obj == ("__number__",):
+            if name == "isFinite":
+                return lambda v: isinstance(v, float) and math.isfinite(v)
+            if name == "isNaN":
+                return lambda v: isinstance(v, float) and math.isnan(v)
+            if name == "POSITIVE_INFINITY":
+                return math.inf
+            raise AttributeError(f"Number.{name}")
+        if isinstance(obj, dict):
+            return obj.get(name, UNDEF)
+        if isinstance(obj, (list, str)) and name == "length":
+            return float(len(obj))
+        if isinstance(obj, (list, str, float)):
+            # bound method sentinel
+            return ("__method__", obj, name)
+        if obj is None or obj is UNDEF:
+            raise TypeError(f"cannot read {name!r} of {obj!r}")
+        raise AttributeError(f"{type(obj)}.{name}")
+
+    def _call_method(self, obj, name, args):
+        if isinstance(name, tuple) and name[0] == "__method__":
+            _tag, obj, name = name
+        if obj == ("__math__",):
+            return _MATH[name](*[js_num(a) for a in args])
+        if obj == ("__number__",):
+            return self._member(obj, name)(*args)
+        if isinstance(obj, float):
+            if name == "toFixed":
+                return js_to_fixed(obj, int(args[0]) if args else 0)
+            raise AttributeError(f"number.{name}")
+        if isinstance(obj, str):
+            if name == "padStart":
+                width = int(args[0])
+                fill = args[1] if len(args) > 1 else " "
+                return obj.rjust(width, fill)
+            if name == "padEnd":
+                return obj.ljust(int(args[0]), args[1] if len(args) > 1 else " ")
+            if name == "slice":
+                return _js_slice(obj, args)
+            if name == "includes":
+                return args[0] in obj
+            if name == "startsWith":
+                return obj.startswith(args[0])
+            if name == "endsWith":
+                return obj.endswith(args[0])
+            if name == "indexOf":
+                return float(obj.find(args[0]))
+            if name == "toFixed":
+                raise AttributeError("string.toFixed")
+            if name == "split":
+                return obj.split(args[0])
+            if name == "repeat":
+                return obj * int(args[0])
+            if name == "charCodeAt":
+                return float(ord(obj[int(args[0]) if args else 0]))
+            raise AttributeError(f"string.{name}")
+        if isinstance(obj, list):
+            if name == "indexOf":
+                for i, x in enumerate(obj):
+                    if js_strict_eq(x, args[0]):
+                        return float(i)
+                return -1.0
+            if name == "includes":
+                return any(js_strict_eq(x, args[0]) for x in obj)
+            if name == "slice":
+                return _js_slice(obj, args)
+            if name == "concat":
+                out = list(obj)
+                for a in args:
+                    if isinstance(a, list):
+                        out.extend(a)
+                    else:
+                        out.append(a)
+                return out
+            if name == "filter":
+                return [x for i, x in enumerate(obj) if js_truthy(args[0](x, float(i)))]
+            if name == "map":
+                return [args[0](x, float(i)) for i, x in enumerate(obj)]
+            if name == "every":
+                return all(js_truthy(args[0](x, float(i))) for i, x in enumerate(obj))
+            if name == "some":
+                return any(js_truthy(args[0](x, float(i))) for i, x in enumerate(obj))
+            if name == "reverse":
+                obj.reverse()
+                return obj
+            if name == "push":
+                obj.extend(args)
+                return float(len(obj))
+            if name == "join":
+                sep = args[0] if args else ","
+                return sep.join(js_to_string(x) for x in obj)
+            if name == "reduce":
+                acc = args[1]
+                for i, x in enumerate(obj):
+                    acc = args[0](acc, x, float(i))
+                return acc
+            if name == "sort":
+                raise AttributeError("array.sort unsupported")
+            raise AttributeError(f"array.{name}")
+        if isinstance(obj, dict):
+            fn = obj.get(name, UNDEF)
+            if callable(fn):
+                return fn(*args)
+            raise TypeError(f"object member {name} not callable")
+        raise TypeError(f"cannot call {name} on {obj!r}")
+
+
+def _to_int32(x: float) -> int:
+    if math.isnan(x) or math.isinf(x):
+        return 0
+    n = int(x) & 0xFFFFFFFF
+    return n - 0x100000000 if n >= 0x80000000 else n
+
+
+def _js_slice(seq, args):
+    n = len(seq)
+
+    def norm(v, default):
+        if v is UNDEF or v is None:
+            return default
+        i = int(v)
+        return max(n + i, 0) if i < 0 else min(i, n)
+
+    start = norm(args[0] if args else UNDEF, 0)
+    end = norm(args[1] if len(args) > 1 else UNDEF, n)
+    out = seq[start:end] if start < end else seq[:0]
+    return list(out) if isinstance(seq, list) else out
+
+
+def load_viewer_logic():
+    """Interpreter with freqscale.js + applogic.js loaded; returns (interp,
+    env-dict of the modules' top-level bindings)."""
+    import pathlib
+
+    js_dir = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "thesia_tpu" / "viewer" / "js"
+    )
+    interp = Interp()
+    interp.load((js_dir / "freqscale.js").read_text())
+    interp.load((js_dir / "applogic.js").read_text())
+    return interp

@@ -1,0 +1,356 @@
+"""Differential execution: the ACTUAL viewer JavaScript (applogic.js +
+freqscale.js, run through tests/jsinterp.py's ES-subset interpreter) versus
+the Python twins (thesia_tpu/viewer/twin_app.py) on case batteries per
+function.
+
+twin_app is golden-tested against the reference formulas
+(test_viewer_applogic.py); this module closes the remaining gap — a sign
+flip or dropped clamp in the .js that the hand-written mirror didn't copy
+now FAILS the suite, instead of shipping silently (no JS runtime exists in
+this image otherwise).  Every TWINNED export must have a case battery here;
+the completeness test enforces it.
+"""
+
+import math
+
+import pytest
+
+from tests.jsinterp import UNDEF, load_viewer_logic
+from thesia_tpu.viewer import twin_app as T
+
+RNG_SEED = 20260817
+
+
+@pytest.fixture(scope="module")
+def js():
+    return load_viewer_logic().global_env.vars
+
+
+def _to_js(v):
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, (list, tuple)):
+        return [_to_js(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _to_js(x) for k, x in v.items()}
+    return v
+
+
+def _norm(v):
+    """Normalize twin/JS results for comparison."""
+    if v is UNDEF:
+        return None
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return f
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    return v
+
+
+def _eq(a, b, path=""):
+    if isinstance(a, list) and isinstance(b, list):
+        assert len(a) == len(b), f"{path}: len {len(a)} != {len(b)}"
+        for i, (x, y) in enumerate(zip(a, b)):
+            _eq(x, y, f"{path}[{i}]")
+        return
+    if isinstance(a, dict) and isinstance(b, dict):
+        assert set(a) == set(b), f"{path}: keys {set(a)} != {set(b)}"
+        for k in a:
+            _eq(a[k], b[k], f"{path}.{k}")
+        return
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isinf(a) or math.isinf(b):
+            assert a == b, f"{path}: {a} != {b}"
+            return
+        assert a == pytest.approx(b, rel=1e-12, abs=1e-12), f"{path}: {a} != {b}"
+        return
+    assert a == b, f"{path}: {a!r} != {b!r}"
+
+
+def check(js_env, name, *args):
+    twin = T.TWINNED[name]
+    js_args = [_to_js(a) for a in args]
+    got_js = _norm(js_env[name](*js_args))
+    got_py = _norm(twin(*args))
+    _eq(got_py, got_js, name)
+
+
+import numpy as _np
+
+_rng = _np.random.default_rng(RNG_SEED)
+
+
+def _floats(n, lo, hi):
+    return [float(x) for x in _rng.uniform(lo, hi, n)]
+
+
+# ---------------------------------------------------------------------------
+# case batteries.  Each entry: list of args tuples passed to both sides.
+
+def _lens_cases():
+    cases = []
+    for s in (-5.0, 0.0, 20.0, 55.0, 99.999, 120.0):
+        for pps in (1e-9, 0.5, 10.0, 100.0, 5e5):
+            cases.append((s, pps, 100.0, 1000.0))
+    cases.append((3.0, 10.0, 5.0, 1000.0))
+    return cases
+
+
+def _cur(s, p):
+    return {"startSec": s, "pxPerSec": p}
+
+
+CASES = {
+    "normalizeStartSec": _lens_cases(),
+    "normalizePxPerSec": [
+        (p, s, 100.0, 1000.0)
+        for p in (1e-12, 5.0, 50.0, 1e9)
+        for s in (0.0, 50.0, 100.0 - 1e-3, 100.0, 120.0)
+    ],
+    "updateLensParams": [
+        (_cur(50.0, 100.0), {"startSec": 55.0, "pxPerSec": 20.0}, 60.0, 1000.0),
+        (_cur(0.0, 1.0), {"pxPerSec": 10.0}, 100.0, 1000.0),
+        (_cur(10.0, 100.0), {}, 100.0, 1000.0),
+        (_cur(10.0, 100.0), {"startSec": -3.0}, 100.0, 1000.0),
+        (_cur(0.0, 10.0), {"pxPerSec": 1e9}, 100.0, 1000.0),
+    ],
+    "moveLensStartSec": [
+        (30.0, a, 100.0, 1000.0) for a in (0.0, 0.25, 0.5, 1.0)
+    ],
+    "resizeLensLeft": [
+        (_cur(10.0, 100.0), s, 100.0, 1000.0) for s in (-2.0, 5.0, 14.0, 19.99, 25.0)
+    ],
+    "resizeLensRight": [
+        (_cur(10.0, 100.0), s, 100.0, 1000.0) for s in (9.0, 10.0, 14.0, 200.0)
+    ],
+    "classifyWheel": [
+        ({"deltaX": dx, "deltaY": dy, "shiftKey": sk, "ctrlKey": ck, "altKey": ak}, ap)
+        for dx in (0.0, 7.0)
+        for dy in (5.0, 1.0, -3.0)
+        for sk in (False, True)
+        for ck in (False, True)
+        for ak in (False, True)
+        for ap in (False, True)
+    ],
+    "horizontalZoom": [
+        (_cur(10.0, 100.0), x, d, 1000.0, 1000.0)
+        for x in (0.0, 300.0, 999.0)
+        for d in (-900.0, -100.0, 100.0, 500.0, 5000.0)
+    ],
+    "horizontalScroll": [
+        (_cur(10.0, 100.0), d, 1000.0, 1000.0) for d in (-500.0, -40.0, 0.0, 40.0, 9999.0)
+    ],
+    "calcZoomedHeight": [
+        (160.0, d) for d in (-2000.0, -20.5, -20.4, 0.0, 20.4, 20.5, 6000.0)
+    ],
+    "calcScrollTopAtCursor": [
+        ([0.0, 160.0, 320.0], 160.0, 160.0, nh, cy, st, hh)
+        for nh in (120.0, 160.0, 200.0, 480.0)
+        for cy in (10.0, 250.0, 900.0)
+        for st in (0.0, 40.0, 300.0)
+        for hh in (0.0, 24.0)
+    ] + [([], 160.0, 160.0, 200.0, 50.0, 0.0, 0.0)],
+    "zoomHeightAtCursor": [
+        ([0.0, 160.0], 160.0, 160.0, d, 100.0, 20.0, 0.0)
+        for d in (-500.0, -50.0, 50.0, 500.0)
+    ] + [([], 160.0, 160.0, 100.0, 50.0, 0.0, 0.0)],
+    "followPlayheadStartSec": [
+        (p, 0.0, 10.0) for p in (None, -1.0, 0.0, 5.0, 10.0, 10.1, 12.0)
+    ] + [(1.0, 3.0, 10.0)],
+    "selectSecAutoScroll": [
+        (sel, prev, 0.0, 10.0, 1000.0, 100.0)
+        for sel in (5.0, 10.0, 12.0, 100.0)
+        for prev in (4.0, 10.0, 12.0)
+    ] + [(100.0, 10.0, 20.0, 30.0, 1000.0, 100.0)],
+    "playerPosition": [
+        ({"positionSec": 3.0, "at": 1000.0, "isPlaying": True}, 3500.0),
+        ({"positionSec": 3.0, "at": 1000.0, "isPlaying": False}, 99999.0),
+    ],
+    "selectTrack": [
+        ([3, 5], 5, 7, [3, 5, 7], {}),
+        ([7], 7, 7, [3, 5, 7], {}),
+        ([3], 3, 5, [3, 5, 7], {"command": True}),
+        ([3, 5], 5, 3, [3, 5, 7], {"command": True}),
+        ([3, 7, 5], 5, 5, [3, 5, 7], {"command": True}),
+        ([3], 3, 3, [3, 5, 7], {"command": True}),
+        ([3], 3, 9, [3, 5, 7, 9], {"shift": True}),
+        ([7], 7, 3, [3, 5, 7, 9], {"shift": True}),
+        ([5, 7, 9], 5, 3, [3, 5, 7, 9], {"shift": True}),
+        ([5, 7], 5, 7, [3, 5, 7, 9], {"shift": True}),
+        ([9, 5], 5, 9, [3, 5, 7, 9], {"shift": True}),
+        ([5, 7], 5, 5, [3, 5, 7, 9], {"shift": True}),
+    ],
+    "selectAllTracks": [
+        ([3, 5, 7], [3, 5, 7]),
+        ([5], [3, 5, 7]),
+        ([5, 3, 7], [3, 5, 7]),
+    ],
+    "selectAfterAddTracks": [
+        ([3, 5], [3, 5, 8, 9]),
+        ([3, 5], [3, 5]),
+        ([], [1, 2]),
+    ],
+    "selectAfterRemoveTracks": [
+        ([3, 5, 7], [3, 7], [5, 7], 5),
+        ([3, 5, 7], [3, 7], [3, 7], 7),
+        ([1, 2, 3, 4, 5], [1, 5], [2, 3, 4], 3),
+        ([1, 2, 3, 4, 5], [5], [1, 2, 3], 2),
+        ([1], [], [1], 1),
+    ],
+    "freqPosToHz": [
+        (sc, pos, 300, 100.0, 8000.0, 12000.0)
+        for sc in ("Linear", "Mel")
+        for pos in (0.0, 37.5, 150.0, 300.0, -10.0)
+    ],
+    "freqHzToPos": [
+        (sc, hz, 300, 100.0, 8000.0, 12000.0)
+        for sc in ("Linear", "Mel")
+        for hz in (100.0, 440.0, 4000.0, 8000.0)
+    ],
+    "freqAxisCursorState": [(p, 300.0) for p in (0.0, 99.0, 100.0, 199.0, 200.0, 299.0)],
+    "clampMaxHz": [(20000.0, 0.0, 12000.0), (50.0, 0.0, 12000.0), (8000.0, 7950.0, 12000.0)],
+    "clampMinHz": [(-5.0, 8000.0), (7950.0, 8000.0), (500.0, 8000.0)],
+    "freqMaxDrag": [
+        ({"cursorAxisPos": 100.0, "hzRange": [0.0, 8000.0]}, p, 300.0, sc, 12000.0)
+        for p in (50.0, 100.0, 200.0, 299.0)
+        for sc in ("Linear", "Mel")
+    ],
+    "freqMinDrag": [
+        ({"cursorAxisPos": 250.0, "hzRange": [500.0, 8000.0]}, p, sc, 12000.0)
+        for p in (0.5, 100.0, 300.0)
+        for sc in ("Linear", "Mel")
+    ],
+    "freqShiftDrag": [
+        (
+            {"cursorAxisPos": 150.0, "hzRange": [1000.0, 6000.0],
+             "zeroHzPos": z, "maxTrackHzPos": m},
+            p, 300.0, sc, 12000.0,
+        )
+        for (z, m) in ((420.0, -80.0), (300.0, 0.0), (100.0, 50.0), (None, None))
+        for p in (150.0, 140.0, 260.0, -800.0)
+        for sc in ("Linear", "Mel")
+    ],
+    "freqWheelMaxHz": [
+        ([0.0, 8000.0], d, sc, 12000.0)
+        for d in (-200.0, 0.0, 250.0, 600.0)
+        for sc in ("Linear", "Mel")
+    ],
+    "zoomFreqRangeAt": [
+        (rng_, 8000.0, sc, f, a)
+        for rng_ in (None, [2000.0, 6000.0], [0.0, 100.0])
+        for sc in ("Linear", "Mel")
+        for f in (0.5, 1.3, 100.0)
+        for a in (0.0, 0.5, 1.0)
+    ],
+    "calcIntervalZeroRatio": [([-1.0, 1.0],), ([-0.5, 2.0],), ([-3.0, 0.25],)],
+    "clampAmpRange": [([-50.0, 50.0],), ([-1e-9, 1e-9],), ([-0.5, 0.7],)],
+    "limitAmpCursorRatio": [
+        (st, r, [-1.0, 1.0])
+        for st in ("positive", "negative")
+        for r in (0.0, 0.3, 0.49, 0.5, 0.51, 0.9)
+    ],
+    "ampAxisCursorState": [(10.0, 160.0), (80.0, 160.0), (90.0, 160.0)],
+    "ampDrag": [
+        (st, r, {"cursorRatio": a, "ampRange": [-1.0, 1.0]})
+        for st in ("positive", "negative")
+        for r in (0.05, 0.3, 0.6, 0.95)
+        for a in (0.2, 0.8)
+    ],
+    "ampWheel": [
+        ([-1.0, 1.0], d) for d in (-500.0, -100.0, 0.0, 250.0, 499.0, 1e9)
+    ],
+    "overviewSecFromX": [(150.0, 1000.0, 100.0), (0.0, 600.0, 44.03)],
+    "overviewCursorState": [
+        (x, 1.0, 1.0, 100.0)
+        for x in (50.0, 96.9, 97.0, 103.0, 104.0, 150.0, 196.0, 197.0, 203.0, 204.0)
+    ],
+    "overviewDragAnchor": [
+        (st, 150.0, 1000.0, 100.0, 10.0, 10.0)
+        for st in ("inlens", "outlens", "left", "right")
+    ],
+    "overviewWaveLevel": [(600000.0, 600.0), (500.0, 600.0), (57600000.0, 800.0), (1024.0, 0.0)],
+    "colorbarColorIndex": [
+        (y, 48.0, 258.0) for y in (0.0, 1.0, 24.0, 46.0, 47.0)
+    ] + [(0.0, 1.0, 258.0)],
+    "fitPxPerSec": [(1000.0, 100.0), (1000.0, 0.0), (50.0, 7200.0)],
+    "splitterWidth": [(200.0, -500.0), (200.0, 500.0), (200.0, 13.0)],
+    "scrubSecAt": [(500.0, 100.0, 10.0, 100.0), (0.0, 100.0, 0.5, 100.0)],
+    "jumpAmountSec": [(False,), (True,)],
+    "srKhzLabel": [(16000,), (44100,), (22050,), (8000,), (192000,)],
+    "lufsLabel": [(-26.12148,), (float("-inf"),), (0.0,), (-3.0499999,)],
+    "fmtTime": [
+        (0.0,), (3725.678,), (3725.5,), (59.9999,), (-5.0,), (float("nan"),),
+        (86399.999,),
+    ],
+}
+
+_CONSTANTS = [
+    name for name, v in T.TWINNED.items() if isinstance(v, (int, float))
+]
+
+
+def test_every_twinned_function_has_js_execution_cases():
+    funcs = {n for n, v in T.TWINNED.items() if callable(v)}
+    missing = funcs - set(CASES)
+    assert not missing, f"no differential cases for: {sorted(missing)}"
+
+
+def test_constants_equal(js):
+    for name in _CONSTANTS:
+        assert float(js[name]) == float(T.TWINNED[name]), name
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_js_matches_twin(js, name):
+    for args in CASES[name]:
+        check(js, name, *args)
+
+
+def test_js_matches_twin_randomized(js):
+    """Random sweeps over the numeric-heavy functions."""
+    for _ in range(200):
+        s, p = _floats(1, -10, 120)[0], 10 ** _rng.uniform(-8, 6)
+        w, m = _floats(1, 50, 2000)[0], _floats(1, 0.5, 7200)[0]
+        check(js, "normalizeStartSec", s, p, m, w)
+        check(js, "normalizePxPerSec", p, s, m, w)
+        check(js, "updateLensParams", _cur(s, p),
+              {"startSec": _floats(1, -10, 200)[0]}, m, w)
+        check(js, "horizontalZoom", _cur(abs(s), max(p, 1e-6)),
+              _floats(1, 0, 1000)[0], _floats(1, -999, 5000)[0], m, w)
+        d = _floats(1, -600, 600)[0]
+        check(js, "calcZoomedHeight", _floats(1, 100, 5000)[0], d)
+        check(js, "ampWheel", [-abs(_floats(1, 0.1, 4)[0])] + _floats(1, 0.1, 4), d)
+        lo = _floats(1, 0, 4000)[0]
+        hi = lo + _floats(1, 200, 8000)[0]
+        sc = "Mel" if _rng.integers(2) else "Linear"
+        check(js, "freqPosToHz", sc, _floats(1, -20, 320)[0], 300, lo, hi, 12000.0)
+        check(js, "freqHzToPos", sc, _floats(1, 0, 12000)[0], 300, lo, hi, 12000.0)
+        check(js, "zoomFreqRangeAt", [lo, hi], 12000.0, sc,
+              10 ** _rng.uniform(-1.5, 1.5), _floats(1, 0, 1)[0])
+        check(js, "fmtTime", _floats(1, 0, 90000)[0])
+    # selection fuzz: random ordered ids + random ops
+    for _ in range(300):
+        n = int(_rng.integers(1, 8))
+        ids = [int(x) for x in _rng.permutation(100)[:n]]
+        sel_n = int(_rng.integers(1, n + 1))
+        selected = [int(x) for x in _rng.permutation(ids)[:sel_n]]
+        pivot = int(selected[_rng.integers(len(selected))])
+        tid = int(ids[_rng.integers(len(ids))])
+        mods = {}
+        r = _rng.integers(3)
+        if r == 1:
+            mods = {"command": True}
+        elif r == 2:
+            mods = {"shift": True}
+        check(js, "selectTrack", selected, pivot, tid, ids, mods)
+        survivors = [i for i in ids if _rng.random() > 0.4]
+        check(js, "selectAfterRemoveTracks", ids, survivors, selected, pivot)
