@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<tpl>`)
   | (?P<id>[A-Za-z_$][\w$]*)
-  | (?P<punct>=>|\*\*=?|===|!==|<<=?|>>>?=?|<=|>=|&&|\|\||\?\?|\+\+|--|[+\-*/%]=|[{}()\[\];,<>+\-*/%!?:.=&|~^])
+  | (?P<punct>\.\.\.|=>|\*\*=?|===|!==|<<=?|>>>?=?|<=|>=|&&|\|\||\?\?|\+\+|--|[+\-*/%]=|[{}()\[\];,<>+\-*/%!?:.=&|~^])
     """,
     re.X | re.S,
 )
@@ -134,7 +134,8 @@ def tokenize(src: str) -> list[Tok]:
 _KEYWORDS = {
     "const", "let", "var", "if", "else", "for", "while", "return", "function",
     "true", "false", "null", "undefined", "break", "continue", "export",
-    "import", "from", "of", "new", "typeof",
+    "import", "from", "of", "new", "typeof", "class", "async", "await",
+    "try", "catch", "finally", "throw",
 }
 
 _BINARY_PREC = {
@@ -177,6 +178,19 @@ class Parser:
     def parse_statement(self):
         t = self.peek()
         if t.kind == "id":
+            if t.val == "async" and self.peek(1).val == "function":
+                self.next()
+                return self.parse_function_decl()
+            if t.val == "class":
+                return self.parse_class()
+            if t.val == "try":
+                return self.parse_try()
+            if t.val == "throw":
+                self.next()
+                e = self.parse_expr()
+                if self.at(";"):
+                    self.next()
+                return ("throw", e)
             if t.val == "import":
                 # skip to end of line statement: import ... ;
                 while self.next().val != ";":
@@ -299,6 +313,39 @@ class Parser:
         self.eat(")")
         return params
 
+    def parse_class(self):
+        self.eat("class")
+        name = self.next().val
+        self.eat("{")
+        methods = {}
+        while not self.at("}"):
+            if self.peek().val == "async":
+                self.next()
+            mname = self.next().val
+            params = self.parse_params()
+            body = self.parse_block()
+            methods[mname] = (params, body)
+        self.eat("}")
+        return ("classdecl", name, methods)
+
+    def parse_try(self):
+        self.eat("try")
+        block = self.parse_block()
+        catch_block = None
+        catch_name = None
+        fin = None
+        if self.peek().val == "catch":
+            self.next()
+            if self.at("("):
+                self.next()
+                catch_name = self.next().val
+                self.eat(")")
+            catch_block = self.parse_block()
+        if self.peek().val == "finally":
+            self.next()
+            fin = self.parse_block()
+        return ("try", block, catch_name, catch_block, fin)
+
     def parse_if(self):
         self.eat("if")
         self.eat("(")
@@ -315,14 +362,19 @@ class Parser:
         self.eat("for")
         self.eat("(")
         # for (const x of y) or classic
-        if self.peek().val in ("const", "let", "var") and self.peek(2).val == "of":
+        if self.peek().val in ("const", "let", "var") and (
+            self.peek(2).val == "of" or self.peek(1).val in ("[", "{")
+        ):
+            save = self.i
             self.next()
-            name = self.next().val
-            self.eat("of")
-            it = self.parse_expr()
-            self.eat(")")
-            body = self.parse_statement()
-            return ("forof", name, it, body)
+            target = self.parse_binding_target()
+            if self.peek().val == "of":
+                self.eat("of")
+                it = self.parse_expr()
+                self.eat(")")
+                body = self.parse_statement()
+                return ("forof", target, it, body)
+            self.i = save  # classic for with decl init
         init = ("empty",)
         if not self.at(";"):
             if self.peek().val in ("const", "let", "var"):
@@ -406,6 +458,24 @@ class Parser:
         if t.kind == "id" and t.val == "typeof":
             self.next()
             return ("typeof", self.parse_unary())
+        if t.kind == "id" and t.val == "await":
+            self.next()
+            return self.parse_unary()  # synchronous model: await is identity
+        if t.kind == "id" and t.val == "new":
+            self.next()
+            callee = self.parse_primary()
+            while self.at("."):
+                self.next()
+                callee = ("member", callee, self.next().val)
+            args = []
+            if self.at("("):
+                self.next()
+                while not self.at(")"):
+                    args.append(self.parse_assign())
+                    if self.at(","):
+                        self.next()
+                self.eat(")")
+            return ("new", callee, args)
         return self.parse_postfix()
 
     def parse_postfix(self):
@@ -468,6 +538,9 @@ class Parser:
             parsed = [Parser(tokenize(e)).parse_expr() for e in exprs]
             return ("template", parts, parsed)
         if t.kind == "id":
+            if t.val == "async" and (self.peek(1).val == "(" or self.peek(2).val == "=>"):
+                self.next()
+                t = self.peek()
             if t.val == "true":
                 self.next()
                 return ("bool", True)
@@ -508,7 +581,11 @@ class Parser:
             self.next()
             items = []
             while not self.at("]"):
-                items.append(self.parse_assign())
+                if self.at("..."):
+                    self.next()
+                    items.append(("spread", self.parse_assign()))
+                else:
+                    items.append(self.parse_assign())
                 if self.at(","):
                     self.next()
             self.eat("]")
@@ -579,13 +656,20 @@ class Env:
 
 
 class JSFunction:
-    def __init__(self, name, params, body, env, interp):
+    def __init__(self, name, params, body, env, interp, this_val=None):
         self.name, self.params, self.body, self.env, self.interp = (
             name, params, body, env, interp
         )
+        self.this_val = this_val
+
+    def bind_this(self, this_val):
+        return JSFunction(self.name, self.params, self.body, self.env,
+                          self.interp, this_val)
 
     def __call__(self, *args):
         local = Env(self.env)
+        if self.this_val is not None:
+            local.declare("this", self.this_val)
         for k, (target, default) in enumerate(self.params):
             v = args[k] if k < len(args) else UNDEF
             if v is UNDEF and default is not None:
@@ -596,6 +680,92 @@ class JSFunction:
         except ReturnEx as r:
             return r.value
         return UNDEF
+
+
+class JSClass:
+    def __init__(self, name, methods, env, interp):
+        self.name, self.methods, self.env, self.interp = name, methods, env, interp
+
+    def construct(self, args):
+        inst = JSInstance(self)
+        ctor = self.methods.get("constructor")
+        if ctor is not None:
+            params, body = ctor
+            JSFunction("constructor", params, body, self.env, self.interp,
+                       this_val=inst)(*args)
+        return inst
+
+
+class JSInstance(dict):
+    """Instance = dict of own properties + method lookup via its class."""
+
+    def __init__(self, cls):
+        super().__init__()
+        self.cls = cls
+
+
+class JSMap:
+    def __init__(self, interp=None):
+        self.d = {}
+
+    def _k(self, key):
+        return key if isinstance(key, (str, float, bool)) else id(key)
+
+    def get(self, key):
+        return self.d.get(self._k(key), (None, UNDEF))[1]
+
+    def set(self, key, value):
+        self.d[self._k(key)] = (key, value)
+        return self
+
+    def has(self, key):
+        return self._k(key) in self.d
+
+    def delete(self, key):
+        return self.d.pop(self._k(key), None) is not None
+
+    def keys(self):
+        return [k for k, _v in self.d.values()]
+
+    def values(self):
+        return [v for _k, v in self.d.values()]
+
+    def entries(self):
+        return [[k, v] for k, v in self.d.values()]
+
+    def __iter__(self):
+        return iter([[k, v] for k, v in list(self.d.values())])
+
+    @property
+    def size(self):
+        return float(len(self.d))
+
+
+class JSSet:
+    def __init__(self):
+        self.m = JSMap()
+
+    def add(self, v):
+        self.m.set(v, True)
+        return self
+
+    def has(self, v):
+        return self.m.has(v)
+
+    def delete(self, v):
+        return self.m.delete(v)
+
+    def __iter__(self):
+        return iter(self.m.keys())
+
+    @property
+    def size(self):
+        return self.m.size
+
+
+class JSThrow(Exception):
+    def __init__(self, value):
+        self.value = value
 
 
 def js_truthy(v) -> bool:
@@ -713,6 +883,14 @@ class Interp:
         g.declare("String", ("__string_ctor__",))
         g.declare("isFinite", lambda v: math.isfinite(js_num(v)))
         g.declare("parseFloat", lambda v: js_num(v))
+        g.declare("Map", ("__ctor__", JSMap))
+        g.declare("Set", ("__ctor__", JSSet))
+        g.declare("WeakMap", ("__ctor__", JSMap))
+        g.declare("performance", {"now": lambda: 0.0})
+        g.declare("console", {
+            "log": lambda *a: UNDEF, "warn": lambda *a: UNDEF,
+            "error": lambda *a: UNDEF,
+        })
 
     def load(self, source: str):
         """Parse + execute top-level declarations of a module source.
@@ -734,6 +912,27 @@ class Interp:
                 self.bind(target, self.eval(init, env), env)
         elif kind == "funcdecl":
             env.declare(node[1], JSFunction(node[1], node[2], node[3], env, self))
+        elif kind == "classdecl":
+            env.declare(node[1], JSClass(node[1], node[2], env, self))
+        elif kind == "throw":
+            raise JSThrow(self.eval(node[1], env))
+        elif kind == "try":
+            _blk, catch_name, catch_block, fin = node[1], node[2], node[3], node[4]
+            try:
+                try:
+                    self.exec(_blk, env)
+                except (JSThrow, TypeError, AttributeError, NameError,
+                        KeyError, IndexError) as exc:
+                    if catch_block is None:
+                        raise
+                    cenv = Env(env)
+                    if catch_name:
+                        val = exc.value if isinstance(exc, JSThrow) else str(exc)
+                        cenv.declare(catch_name, val)
+                    self.exec(catch_block, cenv)
+            finally:
+                if fin is not None:
+                    self.exec(fin, env)
         elif kind == "if":
             if js_truthy(self.eval(node[1], env)):
                 self.exec(node[2], env)
@@ -752,9 +951,15 @@ class Interp:
                 if node[3] is not None:
                     self.eval(node[3], loop_env)
         elif kind == "forof":
-            for item in self.eval(node[2], env):
+            it = self.eval(node[2], env)
+            items = list(it) if not isinstance(it, str) else list(it)
+            for item in items:
                 loop_env = Env(env)
-                loop_env.declare(node[1], item)
+                target = node[1]
+                if isinstance(target, str):
+                    loop_env.declare(target, item)
+                else:
+                    self.bind(target, item, loop_env)
                 try:
                     self.exec(node[3], loop_env)
                 except BreakEx:
@@ -820,7 +1025,21 @@ class Interp:
                 out.append(p)
             return "".join(out)
         if kind == "array":
-            return [self.eval(e, env) for e in node[1]]
+            out = []
+            for e in node[1]:
+                if e[0] == "spread":
+                    out.extend(list(self.eval(e[1], env)))
+                else:
+                    out.append(self.eval(e, env))
+            return out
+        if kind == "new":
+            callee = self.eval(node[1], env)
+            args = [self.eval(a, env) for a in node[2]]
+            if isinstance(callee, JSClass):
+                return callee.construct(args)
+            if isinstance(callee, tuple) and callee[0] == "__ctor__":
+                return callee[1]()
+            raise TypeError(f"not constructible: {callee!r}")
         if kind == "object":
             return {k: self.eval(v, env) for k, v in node[1]}
         if kind == "func":
@@ -988,6 +1207,22 @@ class Interp:
             raise RuntimeError(f"bad assignment target {target}")
 
     def _member(self, obj, name):
+        if isinstance(obj, JSInstance):
+            if name in obj:
+                return obj[name]
+            if name in obj.cls.methods:
+                params, body = obj.cls.methods[name]
+                return JSFunction(name, params, body, obj.cls.env,
+                                  obj.cls.interp, this_val=obj)
+            return UNDEF
+        if isinstance(obj, JSMap):
+            if name == "size":
+                return obj.size
+            return ("__method__", obj, name)
+        if isinstance(obj, JSSet):
+            if name == "size":
+                return obj.size
+            return ("__method__", obj, name)
         if obj == ("__math__",):
             return _MATH[name]
         if obj == ("__number__",):
@@ -1003,8 +1238,18 @@ class Interp:
         if isinstance(obj, (list, str)) and name == "length":
             return float(len(obj))
         if isinstance(obj, (list, str, float)):
-            # bound method sentinel
-            return ("__method__", obj, name)
+            known = {
+                float: {"toFixed"},
+                str: {"padStart", "padEnd", "slice", "includes", "startsWith",
+                      "endsWith", "indexOf", "split", "repeat", "charCodeAt",
+                      "toLowerCase", "toUpperCase", "trim"},
+                list: {"indexOf", "includes", "slice", "concat", "filter",
+                       "map", "every", "some", "reverse", "push", "join",
+                       "reduce", "pop", "shift", "find", "findIndex", "flat"},
+            }[type(obj) if type(obj) in (float, str) else list]
+            if name in known:
+                return ("__method__", obj, name)
+            return UNDEF  # unknown property on a primitive (JS: undefined)
         if obj is None or obj is UNDEF:
             raise TypeError(f"cannot read {name!r} of {obj!r}")
         raise AttributeError(f"{type(obj)}.{name}")
@@ -1012,6 +1257,17 @@ class Interp:
     def _call_method(self, obj, name, args):
         if isinstance(name, tuple) and name[0] == "__method__":
             _tag, obj, name = name
+        if isinstance(obj, JSInstance):
+            fn = self._member(obj, name)
+            if callable(fn):
+                return fn(*args)
+            raise TypeError(f"{obj.cls.name}.{name} not callable")
+        if isinstance(obj, (JSMap, JSSet)):
+            m = getattr(obj, name, None)
+            if m is None:
+                raise AttributeError(f"{type(obj).__name__}.{name}")
+            out = m(*args)
+            return out
         if obj == ("__math__",):
             return _MATH[name](*[js_num(a) for a in args])
         if obj == ("__number__",):
@@ -1120,8 +1376,9 @@ def _js_slice(seq, args):
 
 
 def load_viewer_logic():
-    """Interpreter with freqscale.js + applogic.js loaded; returns (interp,
-    env-dict of the modules' top-level bindings)."""
+    """Interpreter with every PURE viewer module loaded (freqscale, caches,
+    axes, viewport, applogic — app.js/overview.js touch the DOM at module
+    top level and stay twin-only)."""
     import pathlib
 
     js_dir = (
@@ -1129,6 +1386,7 @@ def load_viewer_logic():
         / "thesia_tpu" / "viewer" / "js"
     )
     interp = Interp()
-    interp.load((js_dir / "freqscale.js").read_text())
-    interp.load((js_dir / "applogic.js").read_text())
+    for name in ("freqscale.js", "caches.js", "axes.js", "viewport.js",
+                 "applogic.js"):
+        interp.load((js_dir / name).read_text())
     return interp

@@ -354,3 +354,121 @@ def test_js_matches_twin_randomized(js):
         check(js, "selectTrack", selected, pivot, tid, ids, mods)
         survivors = [i for i in ids if _rng.random() > 0.4]
         check(js, "selectAfterRemoveTracks", ids, survivors, selected, pivot)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 twin surfaces (viewer/twin.py), now ALSO executed as real JS:
+# tick tables/lookup (axes.js), LOD selection + cache keys (viewport.js),
+# byte-budgeted LRU (caches.js).
+
+from thesia_tpu.viewer import twin
+
+
+@pytest.fixture(scope="module")
+def interp():
+    return load_viewer_logic()
+
+
+def _method(interp, obj, name, *args):
+    return interp._call_method(obj, name, [_to_js(a) for a in args])
+
+
+def test_js_tick_tables_and_lookup(interp):
+    g = interp.global_env.vars
+    for js_name, table in [
+        ("TIME_TICK_SIZE", twin.TIME_TICK_SIZE),
+        ("AMP_TICK_NUM", twin.AMP_TICK_NUM),
+        ("FREQ_TICK_NUM", twin.FREQ_TICK_NUM),
+        ("DB_TICK_NUM", twin.DB_TICK_NUM),
+    ]:
+        js_table = _norm(g[js_name])
+        assert js_table == [[float(x) for x in row] for row in table], js_name
+        values = [row[0] for row in table] + [
+            row[0] - 1e-6 for row in table
+        ] + [row[0] + 0.5 for row in table] + [0.0, 1e9]
+        for v in values:
+            got = g["tickScale"](g[js_name], float(v))
+            exp = twin.tick_scale(table, v)
+            if exp is None:
+                assert got is None or got is UNDEF
+            else:
+                assert _norm(got) == [float(exp[0]), float(exp[1])], (js_name, v)
+
+
+def test_js_time_tick_params(interp):
+    g = interp.global_env.vars
+    for pps in (0.0001, 0.001, 0.5, 5.7, 100.0, 384000.0, 1e6):
+        got = g["timeTickParams"](float(pps))
+        exp = twin.tick_scale(twin.TIME_TICK_SIZE, pps)
+        if exp is None:
+            assert got is None or got is UNDEF
+        else:
+            assert _norm(got) == {"tickUnit": float(exp[0]),
+                                  "labelInterval": float(exp[1])}
+
+
+def test_js_viewport_lod_math(interp):
+    g = interp.global_env.vars
+    vp = g["TrackViewport"].construct(["0_0"])
+    for _ in range(120):
+        w = float(_rng.integers(100, 500000))
+        sec = float(_rng.uniform(1, 4000))
+        h = float(_rng.integers(64, 1024))
+        sr = float(_rng.choice([8000, 16000, 22050, 44100, 48000]))
+        pps = float(10 ** _rng.uniform(-2, 5.6))
+        dpr = float(_rng.choice([1.0, 1.5, 2.0]))
+        frac = float(_rng.uniform(0.1, 1.0))
+        view_h = float(_rng.integers(40, 400))
+        vp["metadata"] = {"spectrogramWidth": w, "trackSec": sec,
+                          "spectrogramHeight": h, "sampleRate": sr}
+        js_lv = _norm(_method(interp, vp, "specLevels", pps, view_h, frac))
+        lx, ly = twin.spec_levels(w, sec, h, pps, view_h, frac)
+        assert js_lv["levelX"] == float(lx) and js_lv["levelY"] == float(ly), (
+            w, sec, h, pps, view_h, frac, js_lv, (lx, ly))
+        js_wl = _method(interp, vp, "waveLevel", pps, dpr)
+        assert float(js_wl) == float(twin.wave_level(sr, pps, dpr)), (sr, pps, dpr)
+
+
+def test_js_lru_cache_differential(interp):
+    """Random op tape through the REAL caches.js LruByteCache and the twin:
+    identical hit/miss answers, byte accounting, and eviction order."""
+    g = interp.global_env.vars
+    js_cache = g["LruByteCache"].construct([500.0])
+    py_cache = twin.LruByteCache(500)
+    keys = [f"k{i}" for i in range(12)]
+    for step in range(400):
+        op = _rng.integers(5)
+        k = keys[int(_rng.integers(len(keys)))]
+        if op == 0:
+            nbytes = float(_rng.integers(1, 200))
+            _method(interp, js_cache, "set", k, f"v{step}", nbytes)
+            py_cache.set(k, f"v{step}", int(nbytes))
+        elif op == 1:
+            a = _method(interp, js_cache, "get", k)
+            b = py_cache.get(k)
+            a = None if a is UNDEF or a is None else a
+            assert a == b, (step, k, a, b)
+        elif op == 2:
+            assert bool(_method(interp, js_cache, "has", k)) == py_cache.has(k)
+        elif op == 3:
+            _method(interp, js_cache, "delete", k)
+            py_cache.delete(k)
+        else:
+            pred_keep = f"k{int(_rng.integers(len(keys)))}"
+            _method(interp, js_cache, "retain",
+                    lambda key, _i=None: key != pred_keep)
+            py_cache.retain(lambda key: key != pred_keep)
+        assert float(js_cache["bytes"]) == float(py_cache.bytes), step
+        js_keys = interp._call_method(js_cache["map"], "keys", [])
+        assert js_keys == py_cache.keys(), (step, js_keys, py_cache.keys())
+    _method(interp, js_cache, "clear")
+    py_cache.clear()
+    assert float(js_cache["bytes"]) == 0.0 and py_cache.bytes == 0
+
+
+def test_js_cache_key_formats(interp):
+    g = interp.global_env.vars
+    vp = g["TrackViewport"].construct(["3_1"])
+    md = {"spectrogramRevision": 7.0, "waveformRevision": 4.0}
+    assert _method(interp, vp, "_specKey", md, 1.0, 0.0, 3.0, 0.0) == "3_1:7:1:0:3:0"
+    assert _method(interp, vp, "_waveKey", md, 5.0, 2.0) == "3_1:4:5:2"

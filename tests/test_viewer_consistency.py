@@ -1,5 +1,7 @@
-"""Static consistency checks for the no-build viewer (no JS runtime exists
-in this image, so cross-reference the sources instead of executing them):
+"""Static consistency checks for the no-build viewer (no system JS runtime
+exists in this image; the PURE modules additionally EXECUTE via the
+bundled ES-subset interpreter — tests/jsinterp.py + test_js_execution.py —
+while the DOM-wiring layers are cross-referenced here):
 
   * every `$("#id")` / `querySelector("#id")` in the JS exists in index.html;
   * every `api.<method>` used by app/viewport/overview is defined in api.js;
