@@ -261,16 +261,17 @@ def bench_settings_change(reps: int = 4):
     session.tm.images.drain()
     a = {"winMillisec": 40.0, "tOverlap": 4, "fOverlap": 1, "freqScale": "Mel"}
     b = {"winMillisec": 40.0, "tOverlap": 8, "fOverlap": 1, "freqScale": "Mel"}
-    # warm both shapes
-    session.set_spec_setting(b)
+    # warm both shapes (defer=False: this benchmarks the switch WORK, not
+    # the deferred dispatch)
+    session.set_spec_setting(b, defer=False)
     session.tm.images.drain()
-    session.set_spec_setting(a)
+    session.set_spec_setting(a, defer=False)
     session.tm.images.drain()
     times = []
     for i in range(reps):
         target = b if i % 2 == 0 else a
         t0 = time.perf_counter()
-        session.set_spec_setting(target)
+        session.set_spec_setting(target, defer=False)
         times.append(time.perf_counter() - t0)
         session.tm.images.drain()
     return statistics.median(times)
@@ -310,7 +311,8 @@ def bench_cold_shape_with_warmer():
         session.tm.shape_warmer.drain(timeout=600)
         t0 = time.perf_counter()
         session.set_spec_setting(
-            {"winMillisec": 40.0, "tOverlap": 16, "fOverlap": 1, "freqScale": "Mel"}
+            {"winMillisec": 40.0, "tOverlap": 16, "fOverlap": 1, "freqScale": "Mel"},
+            defer=False,
         )
         dt = time.perf_counter() - t0
         session.tm.images.drain()
@@ -355,14 +357,20 @@ def bench_knob_change_after_add():
         session.init(default_colormap_rgba8())
         session.add_tracks(list(range(len(paths))), paths)
         session.apply_track_list_changes()
-        # NO drain: the knob turns while the warmer is still working
+        # NO drain: the knob turns while the warmer is still working.
+        # Production default is the DEFERRED switch: the call returns at
+        # dispatch (the user-visible knob latency) and the recompute lands
+        # in the background; report both.
         t0 = time.perf_counter()
         session.set_spec_setting(
-            {"winMillisec": 40.0, "tOverlap": 8, "fOverlap": 1, "freqScale": "Mel"}
+            {"winMillisec": 40.0, "tOverlap": 8, "fOverlap": 1, "freqScale": "Mel"},
+            defer=True,
         )
-        dt = time.perf_counter() - t0
+        call_s = time.perf_counter() - t0
+        session.settings_settled(timeout=600)
+        settled_s = time.perf_counter() - t0
         session.tm.images.drain()
-        return dt
+        return call_s, settled_s
     finally:
         if prev is None:
             os.environ.pop("THESIA_PRECOMPILE", None)
@@ -380,7 +388,7 @@ def main():
     sustained_rt = bench_sustained()
     settings_s = bench_settings_change()
     cold_shape_s = bench_cold_shape_with_warmer()
-    knob_after_add_s = bench_knob_change_after_add()
+    knob_after_add_s, knob_settled_s = bench_knob_change_after_add()
     long_fields = bench_long_track_interactive()
     result = {
         "metric": "stft_mel_raster_realtime_factor_48k_stereo",
@@ -395,6 +403,7 @@ def main():
         "warm_settings_change_s": round(settings_s, 3),
         "cold_shape_precompiled_settings_change_s": round(cold_shape_s, 3),
         "knob_change_after_add_s": round(knob_after_add_s, 3),
+        "knob_change_after_add_settled_s": round(knob_settled_s, 3),
         **long_fields,
     }
     print(json.dumps(result))

@@ -538,9 +538,10 @@ class Parser:
             parsed = [Parser(tokenize(e)).parse_expr() for e in exprs]
             return ("template", parts, parsed)
         if t.kind == "id":
-            if t.val == "async" and (self.peek(1).val == "(" or self.peek(2).val == "=>"):
-                self.next()
-                t = self.peek()
+            if t.val == "async" and (self.peek(1).val == "(" or self.peek(2).val == "=>"
+                                     or self.peek(1).val == "function"):
+                self.next()  # drop the async modifier (synchronous model)
+                return self.parse_primary()
             if t.val == "true":
                 self.next()
                 return ("bool", True)

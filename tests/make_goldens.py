@@ -29,6 +29,8 @@ import numpy as np
 # goldens pin the CPU-backend pipeline — the backend tests run on
 # (tests/conftest.py); force it before jax initializes
 os.environ["JAX_PLATFORMS"] = "cpu"
+# goldens pin the post-switch state synchronously
+os.environ["THESIA_DEFER_SETTINGS"] = "0"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

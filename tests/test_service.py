@@ -285,3 +285,79 @@ async def _poisoned_settings(tmp_path):
         assert r.status == 200
     finally:
         await client.close()
+
+
+def test_service_deferred_settings_switch(tmp_path, samples_dir, monkeypatch):
+    """Production default (THESIA_DEFER_SETTINGS=1) over HTTP: the command
+    returns at dispatch, metadata polls through isComputing, and the new
+    revision + shape land without any 500s."""
+    import asyncio
+
+    if not (samples_dir / "sample_16k.wav").exists():
+        pytest.skip("sample corpus incomplete")
+    monkeypatch.setenv("THESIA_DEFER_SETTINGS", "1")
+    asyncio.run(_service_deferred_switch(tmp_path, samples_dir))
+
+
+async def _service_deferred_switch(tmp_path, samples_dir):
+    import asyncio
+    import time
+
+    session = EngineSession(settings_dir=tmp_path)
+    service = EngineService(session)
+    server = TestServer(service.make_app())
+    client = TestClient(server)
+    await client.start_server()
+    try:
+        r = await client.post(
+            "/api/init", json={"colormapRgba": default_colormap_rgba8().reshape(-1).tolist()}
+        )
+        assert r.status == 200
+        r = await client.post(
+            "/api/add_tracks",
+            json={"trackIds": [0], "paths": [str(samples_dir / "sample_16k.wav")]},
+        )
+        assert r.status == 200
+        await client.post("/api/apply_track_list_changes", json={})
+        session.tm.images.drain()
+        r = await client.post(
+            "/api/get_audio_render_metadata", json={"idChStr": "0_0"}
+        )
+        before = (await r.json())["result"]
+
+        t0 = time.perf_counter()
+        r = await client.post(
+            "/api/set_spec_setting",
+            json={"specSetting": {"winMillisec": 20, "tOverlap": 4,
+                                  "fOverlap": 1, "freqScale": "Mel"}},
+        )
+        assert r.status == 200
+        # read-back immediately reflects the target (viewer persist flow)
+        r = await client.post("/api/get_spec_setting", json={})
+        assert (await r.json())["result"]["winMillisec"] == 20
+
+        # poll metadata like the viewer's computing watchdog until the
+        # switch lands (revision bump + new shape, isComputing false)
+        deadline = time.perf_counter() + 120
+        md = before
+        while time.perf_counter() < deadline:
+            r = await client.post(
+                "/api/get_audio_render_metadata", json={"idChStr": "0_0"}
+            )
+            assert r.status == 200
+            md = (await r.json())["result"]
+            if not md["isComputing"] and md["spectrogramRevision"] > before["spectrogramRevision"]:
+                break
+            await asyncio.sleep(0.05)
+        assert md["spectrogramRevision"] > before["spectrogramRevision"]
+        assert md["spectrogramWidth"] != before["spectrogramWidth"]
+        # tiles serve under the new revision
+        r = await client.post(
+            "/api/get_spectrogram_tile",
+            json={"idChStr": "0_0", "levelX": 0, "levelY": 0, "tileX": 0, "tileY": 0},
+        )
+        assert r.status == 200
+        assert len(await r.read()) > 40
+    finally:
+        session.tm.images.shutdown()
+        await client.close()

@@ -324,3 +324,107 @@ def test_wav_prefetch_read_failure_falls_back(tmp_path, monkeypatch):
     added = s.add_tracks([1], [str(p)])
     assert added == [1]
     np.testing.assert_array_equal(s.tracklist[1].original.wavs, s.tracklist[0].original.wavs)
+
+
+# ---------------------------------------------------------------------------
+# Deferred settings switches (round 4): set_spec_setting returns at
+# dispatch; a serial background worker compiles off-lock then applies;
+# latest generation wins; metadata reports isComputing until it lands.
+
+
+def _deferred_session(tmp_path, monkeypatch):
+    import threading
+
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_f32
+    from thesia_tpu.render import default_colormap_rgba8
+
+    s = EngineSession(settings_dir=tmp_path / "cfg")
+    s.init(default_colormap_rgba8())
+    w = np.random.default_rng(0).uniform(-0.5, 0.5, (1, 16000)).astype(np.float32)
+    p = tmp_path / "d.wav"
+    p.write_bytes(encode_wav_f32(w, 8000))
+    assert s.add_tracks([0], [str(p)]) == [0]
+    s.apply_track_list_changes()
+    s.tm.images.drain()
+    gate = threading.Event()
+    entered = threading.Event()
+    orig = s._precompile_setting
+
+    def gated(setting, gen):
+        entered.set()
+        assert gate.wait(20)
+        return orig(setting, gen)
+
+    monkeypatch.setattr(s, "_precompile_setting", gated)
+    return s, gate, entered
+
+
+def test_deferred_settings_switch_returns_at_dispatch(tmp_path, monkeypatch):
+    import time
+
+    s, gate, entered = _deferred_session(tmp_path, monkeypatch)
+    md_before = s.get_audio_render_metadata("0_0")
+    t0 = time.perf_counter()
+    s.set_spec_setting(
+        {"winMillisec": 20, "tOverlap": 4, "fOverlap": 1, "freqScale": "Mel"},
+        defer=True,
+    )
+    call_s = time.perf_counter() - t0
+    assert call_s < 1.0  # returned before the (gated) compile
+    assert entered.wait(10)
+    # read-back sees the TARGET; metadata reports computing; the OLD
+    # revision keeps serving tiles
+    assert s.get_spec_setting()["winMillisec"] == 20
+    assert s.spec_switch_pending()
+    md_mid = s.get_audio_render_metadata("0_0")
+    assert md_mid["isComputing"] is True
+    assert md_mid["spectrogramWidth"] == md_before["spectrogramWidth"]
+    tile = s.get_spectrogram_tile("0_0", 0, 0, 0, 0)
+    assert len(tile) > 40  # old-revision tile still serves mid-switch
+    gate.set()
+    assert s.settings_settled(timeout=60)
+    s.tm.images.drain()
+    md_after = s.get_audio_render_metadata("0_0")
+    assert md_after["isComputing"] is False
+    assert md_after["spectrogramWidth"] != md_before["spectrogramWidth"]
+    assert md_after["spectrogramRevision"] > md_before["spectrogramRevision"]
+
+
+def test_deferred_settings_switch_latest_wins(tmp_path, monkeypatch):
+    s, gate, entered = _deferred_session(tmp_path, monkeypatch)
+    applied = []
+    orig_set = s.tm.set_setting
+
+    def counting(tracklist, setting):
+        applied.append(setting.win_ms)
+        return orig_set(tracklist, setting)
+
+    monkeypatch.setattr(s.tm, "set_setting", counting)
+    for wm in (20, 80, 10):
+        s.set_spec_setting(
+            {"winMillisec": wm, "tOverlap": 4, "fOverlap": 1, "freqScale": "Mel"},
+            defer=True,
+        )
+    assert entered.wait(10)
+    gate.set()
+    assert s.settings_settled(timeout=60)
+    s.tm.images.drain()
+    # superseded generations never dispatched; only the last applied
+    assert applied == [10.0]
+    assert s.get_spec_setting()["winMillisec"] == 10
+
+
+def test_deferred_env_default(tmp_path, monkeypatch):
+    """THESIA_DEFER_SETTINGS=1 (the production default) defers; the test
+    conftest pins 0 so the rest of the suite stays synchronous."""
+    monkeypatch.setenv("THESIA_DEFER_SETTINGS", "1")
+    s, gate, entered = _deferred_session(tmp_path, monkeypatch)
+    s.set_spec_setting(
+        {"winMillisec": 20, "tOverlap": 4, "fOverlap": 1, "freqScale": "Mel"}
+    )
+    assert entered.wait(10)  # went through the background worker
+    assert s.spec_switch_pending()
+    gate.set()
+    assert s.settings_settled(timeout=60)
+    assert s.get_spec_setting()["winMillisec"] == 20

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import json
+import threading
 import logging
 import math
 import os
@@ -125,6 +126,18 @@ class EngineSession:
         # add_tracks calls and could leak a second pool)
         self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=2, thread_name_prefix="wav-prefetch"
+        )
+        # deferred settings switches (return-at-dispatch, like apply/images):
+        # a cold-shape set_spec_setting otherwise blocks the caller on a
+        # multi-second XLA compile over the tunnel.  One serial worker,
+        # latest generation wins; metadata reports isComputing until the
+        # switch lands (the viewer's computing poll picks up the revision).
+        self._spec_switch_lock = threading.Lock()
+        self._spec_switch_cond = threading.Condition(self._spec_switch_lock)
+        self._spec_gen = 0
+        self._spec_applied_gen = 0
+        self._spec_switch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="spec-switch"
         )
         self.player = Player(self._player_get_track, self._emit_player_state)
 
@@ -249,6 +262,12 @@ class EngineSession:
             self._save_store("settings.json", user_settings)
             return user_settings
 
+        # init supersedes any in-flight deferred settings switch: a stale
+        # pre-init target must not re-apply over the freshly-restored state
+        with self._spec_switch_cond:
+            self._spec_gen += 1
+            self._spec_applied_gen = self._spec_gen
+            self._spec_switch_cond.notify_all()
         user_settings = self._write(work)
         self.tile_cache.invalidate_all()
         self.tile_cache.set_colormap(colormap_rgba.reshape(-1, 4))
@@ -470,7 +489,22 @@ class EngineSession:
     def get_spec_setting(self) -> dict:
         return self.spec_setting.to_json()
 
-    def set_spec_setting(self, spec_setting: dict | SpecSetting) -> None:
+    def set_spec_setting(
+        self, spec_setting: dict | SpecSetting, *, defer: bool | None = None
+    ) -> None:
+        """Switch the spectrogram settings.
+
+        Default (THESIA_DEFER_SETTINGS=1): validates, records the target
+        (get_spec_setting reads it back immediately) and returns; a serial
+        background worker compiles the new programs OFF the session lock
+        (reads and other clients proceed), then dispatches the actual
+        switch under the write lock — cache-warm, sub-second.  Until it
+        lands, metadata reports isComputing and tiles keep serving the old
+        revision; rapid knob turns supersede each other (latest wins).
+        A cold-shape switch previously blocked the caller 10-17 s on the
+        tunneled compile (measured live, round 4).
+        defer=False (and THESIA_DEFER_SETTINGS=0, the test default)
+        restores the fully synchronous reference-style semantics."""
         if isinstance(spec_setting, dict):
             spec_setting = SpecSetting.from_json(spec_setting)
         if not spec_setting.win_ms > 0.0:
@@ -478,8 +512,90 @@ class EngineSession:
         if spec_setting.t_overlap < 1 or spec_setting.f_overlap < 1:
             raise ValueError("tOverlap and fOverlap must be >= 1")
         self.spec_setting = spec_setting
-        self._write(lambda: self.tm.set_setting(self.tracklist, spec_setting))
-        self.tile_cache.invalidate_spectrogram()
+        if defer is None:
+            defer = os.environ.get("THESIA_DEFER_SETTINGS", "1") != "0"
+        with self._spec_switch_lock:
+            self._spec_gen += 1
+            gen = self._spec_gen
+        if defer:
+            self._spec_switch_pool.submit(self._apply_spec_setting, gen, spec_setting)
+        else:
+            self._apply_spec_setting(gen, spec_setting)
+
+    def _spec_superseded(self, gen: int) -> bool:
+        with self._spec_switch_lock:
+            return gen != self._spec_gen
+
+    def spec_switch_pending(self) -> bool:
+        with self._spec_switch_lock:
+            return self._spec_applied_gen < self._spec_gen
+
+    def settings_settled(self, timeout: float | None = None) -> bool:
+        """Block until every queued settings switch has been applied (or
+        superseded).  Test/bench synchronization point."""
+        with self._spec_switch_cond:
+            return self._spec_switch_cond.wait_for(
+                lambda: self._spec_applied_gen >= self._spec_gen, timeout=timeout
+            )
+
+    def _apply_spec_setting(self, gen: int, setting: SpecSetting) -> None:
+        try:
+            if self._spec_superseded(gen):
+                return
+            try:
+                # phase 1: AOT-compile the new programs with NO session lock
+                # held — tile serving and other commands proceed; a newer
+                # switch aborts between jobs
+                self._precompile_setting(setting, gen)
+            except Exception:
+                logging.getLogger(__name__).debug(
+                    "settings precompile failed; dispatch will compile inline",
+                    exc_info=True,
+                )
+            if self._spec_superseded(gen):
+                return
+
+            def work():
+                if self._spec_superseded(gen):
+                    return False
+                self.tm.set_setting(self.tracklist, setting)
+                return True
+
+            if self._write(work):
+                self.tile_cache.invalidate_spectrogram()
+        finally:
+            with self._spec_switch_cond:
+                if gen > self._spec_applied_gen:
+                    self._spec_applied_gen = gen
+                self._spec_switch_cond.notify_all()
+
+    def _precompile_setting(self, setting: SpecSetting, gen: int) -> None:
+        from ..dsp import precompile
+        from ..parallel.sharding import active_spec_sharding
+
+        with self.rw.read():
+            items = [
+                (tid, tuple(self.tracklist[tid].audio.wavs.shape), self.tracklist[tid].sr)
+                for tid in self.tracklist.all_ids()
+            ]
+            max_sr = self.tracklist.max_sr()
+        if not items:
+            return
+        sh = active_spec_sharding()
+        jobs = list(precompile.spec_jobs_for(self.tm.spec_analyzer, items, setting, sh))
+        jobs += precompile.quantize_jobs(
+            self.tm.spec_analyzer, items, setting, max_sr, self.tm.colormap_length
+        )
+        # pause the background warmer: this compile IS the interactive work
+        with self.tm.shape_warmer.interactive():
+            for make in jobs:
+                if self._spec_superseded(gen):
+                    return
+                try:
+                    _key, lower = make()
+                    lower()
+                except Exception:
+                    continue
 
     def get_common_guard_clipping(self) -> str:
         return self.tracklist.common_guard_clipping.value
@@ -525,9 +641,13 @@ class EngineSession:
         # host (VERDICT r2 #1: metadata must not wait for the image)
         shape = self.tm.images.geometry(track_id)
         md = self.tile_cache.metadata(len(wav), track.sr, track.sec, is_clipped, shape)
-        # still streaming from the device: the viewer keeps polling/backoff
-        # instead of giving up after its metadata retry budget
-        md["isComputing"] = self.tm.images.is_computing(track_id)
+        # still streaming from the device — or a deferred settings switch
+        # is in flight: the viewer keeps polling/backoff instead of giving
+        # up after its metadata retry budget, and picks up the new revision
+        # when the switch lands
+        md["isComputing"] = (
+            self.tm.images.is_computing(track_id) or self.spec_switch_pending()
+        )
         return md
 
     def get_waveform_tile(self, id_ch_str: str, level: int, tile_index: int) -> bytes:

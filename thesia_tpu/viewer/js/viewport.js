@@ -101,6 +101,39 @@ export class TrackViewport {
     waveTileCache.retain(
       (k) => !k.startsWith(specPrefix) || k.startsWith(`${specPrefix}${md.waveformRevision}:`)
     );
+    // deferred settings switch / background image stream: keep polling so
+    // this row adopts the NEW revision (and repaints) when the engine's
+    // isComputing flips false — the switch itself returns at dispatch
+    if (md.isComputing) this._watchComputing();
+  }
+
+  _watchComputing() {
+    const gen = (this._computingGen = (this._computingGen || 0) + 1);
+    const poll = async (delay) => {
+      if (gen !== this._computingGen) return; // a newer refresh took over
+      const md = await api.getMetadata(this.idChStr).catch(() => null);
+      if (gen !== this._computingGen || !md) return;
+      const changed =
+        !this.metadata ||
+        md.spectrogramRevision !== this.metadata.spectrogramRevision ||
+        md.waveformRevision !== this.metadata.waveformRevision ||
+        md.isComputing !== this.metadata.isComputing;
+      this.metadata = md;
+      if (changed) {
+        const specPrefix = `${this.idChStr}:`;
+        specTileCache.retain(
+          (k) => !k.startsWith(specPrefix) || k.startsWith(`${specPrefix}${md.spectrogramRevision}:`)
+        );
+        waveTileCache.retain(
+          (k) => !k.startsWith(specPrefix) || k.startsWith(`${specPrefix}${md.waveformRevision}:`)
+        );
+        this.onNeedsRedraw();
+      }
+      if (md.isComputing) {
+        setTimeout(() => poll(Math.min(delay * 1.25, 2000)), delay);
+      }
+    };
+    setTimeout(() => poll(400), 250);
   }
 
   // ---- LOD math (reference: AudioTrackViewport.tsx:385-476) ----
