@@ -117,3 +117,79 @@ def test_session_random_ops_soak(tmp_path, seed):
     imgs = s.tm.spec_imgs
     img_tids = {tid for tid, _ch in imgs}
     assert img_tids == live, (sorted(img_tids), sorted(live))
+
+
+def test_deferred_settings_churn_soak(tmp_path, monkeypatch):
+    """Randomized churn with DEFERRED switches on (the production default):
+    interleaved deferred knob turns, adds, removes, tile fetches, and dB
+    changes must settle to a consistent state — the last target applied,
+    every live track's image complete, tiles serving, no stuck
+    isComputing."""
+    import numpy as np
+
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_f32
+    from thesia_tpu.render import default_colormap_rgba8
+
+    monkeypatch.setenv("THESIA_DEFER_SETTINGS", "1")
+    rng = np.random.default_rng(77)
+    td = tmp_path
+    paths = []
+    for i, (sr, sec) in enumerate([(8000, 4.0), (16000, 3.0), (8000, 2.0)]):
+        w = rng.uniform(-0.6, 0.6, (1, int(sr * sec))).astype(np.float32)
+        p = td / f"soak{i}.wav"
+        p.write_bytes(encode_wav_f32(w, sr))
+        paths.append(str(p))
+
+    s = EngineSession(settings_dir=td / "cfg")
+    s.init(default_colormap_rgba8())
+    assert s.add_tracks([0], [paths[0]]) == [0]
+    s.apply_track_list_changes()
+    try:
+        live = {0}
+        next_id = 1
+        last_setting = None
+        for step in range(40):
+            op = rng.integers(5)
+            if op == 0:
+                last_setting = {
+                    "winMillisec": float(rng.choice([10, 20, 40, 80])),
+                    "tOverlap": int(rng.choice([1, 2, 4, 8])),
+                    "fOverlap": 1,
+                    "freqScale": str(rng.choice(["Mel", "Linear"])),
+                }
+                s.set_spec_setting(last_setting)  # deferred (env default)
+            elif op == 1 and len(live) < 3:
+                tid = next_id
+                next_id += 1
+                if s.add_tracks([tid], [paths[tid % len(paths)]]) == [tid]:
+                    live.add(tid)
+                s.apply_track_list_changes()
+            elif op == 2 and len(live) > 1:
+                tid = int(rng.choice(sorted(live)))
+                s.remove_tracks([tid])
+                live.discard(tid)
+                s.apply_track_list_changes()
+            elif op == 3:
+                s.set_db_range(float(rng.uniform(40, 120)))
+            else:
+                tid = int(rng.choice(sorted(live)))
+                try:
+                    s.get_spectrogram_tile(f"{tid}_0", 0, 0, 0, 0)
+                except KeyError:
+                    pass  # racing a remove
+        assert s.settings_settled(timeout=300)
+        s.tm.images.drain()
+        if last_setting is not None:
+            got = s.get_spec_setting()
+            assert got["winMillisec"] == last_setting["winMillisec"]
+            assert got["tOverlap"] == last_setting["tOverlap"]
+            assert s.tm.setting.win_ms == last_setting["winMillisec"]
+        for tid in live:
+            md = s.get_audio_render_metadata(f"{tid}_0")
+            assert md["isComputing"] is False, tid
+            assert md["spectrogramWidth"] > 0
+            tile = s.get_spectrogram_tile(f"{tid}_0", 0, 0, 0, 0)
+            assert len(tile) > 40
+    finally:
+        s.tm.images.shutdown()
