@@ -367,8 +367,10 @@ def bench_knob_change_after_add():
             defer=True,
         )
         call_s = time.perf_counter() - t0
-        session.settings_settled(timeout=600)
-        settled_s = time.perf_counter() - t0
+        settled = session.settings_settled(timeout=600)
+        # -1 flags "never settled within the timeout" — do NOT report the
+        # timeout itself as a measurement (review finding)
+        settled_s = (time.perf_counter() - t0) if settled else -1.0
         session.tm.images.drain()
         return call_s, settled_s
     finally:

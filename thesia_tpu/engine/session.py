@@ -511,16 +511,21 @@ class EngineSession:
             raise ValueError("winMillisec must be positive")
         if spec_setting.t_overlap < 1 or spec_setting.f_overlap < 1:
             raise ValueError("tOverlap and fOverlap must be >= 1")
-        self.spec_setting = spec_setting
         if defer is None:
             defer = os.environ.get("THESIA_DEFER_SETTINGS", "1") != "0"
         with self._spec_switch_lock:
+            # target + generation assigned atomically: two racing clients
+            # must not end with one's setting applied and the other's
+            # reported (review finding)
+            self.spec_setting = spec_setting
             self._spec_gen += 1
             gen = self._spec_gen
         if defer:
-            self._spec_switch_pool.submit(self._apply_spec_setting, gen, spec_setting)
+            self._spec_switch_pool.submit(
+                self._apply_spec_setting, gen, spec_setting, True
+            )
         else:
-            self._apply_spec_setting(gen, spec_setting)
+            self._apply_spec_setting(gen, spec_setting, False)
 
     def _spec_superseded(self, gen: int) -> bool:
         with self._spec_switch_lock:
@@ -538,20 +543,24 @@ class EngineSession:
                 lambda: self._spec_applied_gen >= self._spec_gen, timeout=timeout
             )
 
-    def _apply_spec_setting(self, gen: int, setting: SpecSetting) -> None:
+    def _apply_spec_setting(self, gen: int, setting: SpecSetting, deferred: bool) -> None:
         try:
             if self._spec_superseded(gen):
                 return
-            try:
-                # phase 1: AOT-compile the new programs with NO session lock
-                # held — tile serving and other commands proceed; a newer
-                # switch aborts between jobs
-                self._precompile_setting(setting, gen)
-            except Exception:
-                logging.getLogger(__name__).debug(
-                    "settings precompile failed; dispatch will compile inline",
-                    exc_info=True,
-                )
+            if deferred:
+                # phase 1 (deferred only — a synchronous caller compiles
+                # inline at dispatch; double-compiling would pay the AOT
+                # trace twice, review finding): AOT-compile the new
+                # programs with NO session lock held — tile serving and
+                # other commands proceed; a newer switch aborts between
+                # jobs
+                try:
+                    self._precompile_setting(setting, gen)
+                except Exception:
+                    logging.getLogger(__name__).debug(
+                        "settings precompile failed; dispatch will compile inline",
+                        exc_info=True,
+                    )
             if self._spec_superseded(gen):
                 return
 
@@ -561,7 +570,27 @@ class EngineSession:
                 self.tm.set_setting(self.tracklist, setting)
                 return True
 
-            if self._write(work):
+            try:
+                applied = self._write(work)
+            except Exception:
+                # deferred failures must not vanish into the discarded
+                # Future (review finding): log, surface an event, and roll
+                # the reported target back to the engine's ACTUAL setting
+                # so read-back/persistence can't diverge silently
+                logging.getLogger(__name__).warning(
+                    "deferred settings switch failed", exc_info=True
+                )
+                with self._spec_switch_lock:
+                    if gen == self._spec_gen:
+                        self.spec_setting = self.tm.setting
+                self._emit(
+                    "settings-switch-failed",
+                    {"specSetting": setting.to_json()},
+                )
+                if not deferred:
+                    raise
+                return
+            if applied:
                 self.tile_cache.invalidate_spectrogram()
         finally:
             with self._spec_switch_cond:

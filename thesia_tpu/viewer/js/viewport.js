@@ -109,10 +109,18 @@ export class TrackViewport {
 
   _watchComputing() {
     const gen = (this._computingGen = (this._computingGen || 0) + 1);
+    const FAILED = Symbol("fetch-failed");
     const poll = async (delay) => {
       if (gen !== this._computingGen) return; // a newer refresh took over
-      const md = await api.getMetadata(this.idChStr).catch(() => null);
-      if (gen !== this._computingGen || !md) return;
+      // a transient fetch error must RETRY with backoff, not kill the only
+      // poll loop mid-switch (distinct from a null result = track removed)
+      const md = await api.getMetadata(this.idChStr).catch(() => FAILED);
+      if (gen !== this._computingGen) return;
+      if (md === FAILED) {
+        setTimeout(() => poll(Math.min(delay * 1.25, 2000)), delay);
+        return;
+      }
+      if (!md) return; // track gone: stop
       const changed =
         !this.metadata ||
         md.spectrogramRevision !== this.metadata.spectrogramRevision ||
