@@ -135,7 +135,7 @@ _KEYWORDS = {
     "const", "let", "var", "if", "else", "for", "while", "return", "function",
     "true", "false", "null", "undefined", "break", "continue", "export",
     "import", "from", "of", "new", "typeof", "class", "async", "await",
-    "try", "catch", "finally", "throw",
+    "try", "catch", "finally", "throw", "switch", "case", "default",
 }
 
 _BINARY_PREC = {
@@ -185,6 +185,8 @@ class Parser:
                 return self.parse_class()
             if t.val == "try":
                 return self.parse_try()
+            if t.val == "switch":
+                return self.parse_switch()
             if t.val == "throw":
                 self.next()
                 e = self.parse_expr()
@@ -327,6 +329,28 @@ class Parser:
             methods[mname] = (params, body)
         self.eat("}")
         return ("classdecl", name, methods)
+
+    def parse_switch(self):
+        self.eat("switch")
+        self.eat("(")
+        subject = self.parse_expr()
+        self.eat(")")
+        self.eat("{")
+        cases = []  # (test_expr | None for default, [stmts])
+        while not self.at("}"):
+            if self.peek().val == "case":
+                self.next()
+                test = self.parse_expr()
+            else:
+                self.eat("default")
+                test = None
+            self.eat(":")
+            body = []
+            while self.peek().val not in ("case", "default", "}"):
+                body.append(self.parse_statement())
+            cases.append((test, body))
+        self.eat("}")
+        return ("switch", subject, cases)
 
     def parse_try(self):
         self.eat("try")
@@ -769,6 +793,69 @@ class JSThrow(Exception):
         self.value = value
 
 
+class JSArrayBuffer:
+    """Binary buffer (the HTTP tile Response bodies in api.js)."""
+
+    def __init__(self, data=b""):
+        self.data = bytes(data) if not isinstance(data, (int, float)) else bytes(int(data))
+
+    @property
+    def byteLength(self):
+        return float(len(self.data))
+
+
+class JSDataView:
+    def __init__(self, buf, byte_offset=0.0, byte_length=None):
+        self.buf = buf
+        self.off = int(byte_offset)
+
+    def _get(self, fmt, size, off, little):
+        import struct as _s
+
+        lb = "<" if (little is True or little == 1.0) else ">"
+        return _s.unpack_from(lb + fmt, self.buf.data, self.off + int(off))[0]
+
+    def getUint8(self, off, little=False):
+        return float(self._get("B", 1, off, True))
+
+    def getUint16(self, off, little=False):
+        return float(self._get("H", 2, off, little))
+
+    def getUint32(self, off, little=False):
+        return float(self._get("I", 4, off, little))
+
+    def getInt32(self, off, little=False):
+        return float(self._get("i", 4, off, little))
+
+    def getFloat32(self, off, little=False):
+        return float(self._get("f", 4, off, little))
+
+    def getFloat64(self, off, little=False):
+        return float(self._get("d", 8, off, little))
+
+    def getBigUint64(self, off, little=False):
+        # model BigInt as a float (tile revisions are far below 2^53)
+        return float(self._get("Q", 8, off, little))
+
+
+def _typed_array(fmt, itemsize):
+    import struct as _s
+
+    def ctor(buf, byte_offset=0.0, length=None):
+        if isinstance(buf, (int, float)):
+            return [0.0] * int(buf)
+        off = int(byte_offset)
+        data = buf.data
+        if length is None:
+            count = (len(data) - off) // itemsize
+        else:
+            count = int(length)
+        vals = _s.unpack_from(f"<{count}{fmt}", data, off)
+        return [float(v) for v in vals]
+
+    return ctor
+
+
 def js_truthy(v) -> bool:
     if v is UNDEF or v is None:
         return False
@@ -887,6 +974,13 @@ class Interp:
         g.declare("Map", ("__ctor__", JSMap))
         g.declare("Set", ("__ctor__", JSSet))
         g.declare("WeakMap", ("__ctor__", JSMap))
+        g.declare("DataView", ("__ctor__", JSDataView))
+        g.declare("ArrayBuffer", ("__ctor__", JSArrayBuffer))
+        g.declare("Float32Array", ("__ctor__", _typed_array("f", 4)))
+        g.declare("Uint8Array", ("__ctor__", _typed_array("B", 1)))
+        g.declare("Uint8ClampedArray", ("__ctor__", _typed_array("B", 1)))
+        g.declare("Uint16Array", ("__ctor__", _typed_array("H", 2)))
+        g.declare("Uint32Array", ("__ctor__", _typed_array("I", 4)))
         g.declare("performance", {"now": lambda: 0.0})
         g.declare("console", {
             "log": lambda *a: UNDEF, "warn": lambda *a: UNDEF,
@@ -917,6 +1011,22 @@ class Interp:
             env.declare(node[1], JSClass(node[1], node[2], env, self))
         elif kind == "throw":
             raise JSThrow(self.eval(node[1], env))
+        elif kind == "switch":
+            subject = self.eval(node[1], env)
+            sw_env = Env(env)
+            matched = False
+            try:
+                for test, body in node[2]:
+                    if not matched:
+                        if test is None:
+                            matched = True  # default: falls through like JS
+                        elif js_strict_eq(subject, self.eval(test, sw_env)):
+                            matched = True
+                    if matched:
+                        for s in body:
+                            self.exec(s, sw_env)
+            except BreakEx:
+                pass
         elif kind == "try":
             _blk, catch_name, catch_block, fin = node[1], node[2], node[3], node[4]
             try:
@@ -1039,7 +1149,7 @@ class Interp:
             if isinstance(callee, JSClass):
                 return callee.construct(args)
             if isinstance(callee, tuple) and callee[0] == "__ctor__":
-                return callee[1]()
+                return callee[1](*args)
             raise TypeError(f"not constructible: {callee!r}")
         if kind == "object":
             return {k: self.eval(v, env) for k, v in node[1]}
@@ -1216,6 +1326,12 @@ class Interp:
                 return JSFunction(name, params, body, obj.cls.env,
                                   obj.cls.interp, this_val=obj)
             return UNDEF
+        if isinstance(obj, JSDataView):
+            return ("__method__", obj, name)
+        if isinstance(obj, JSArrayBuffer):
+            if name == "byteLength":
+                return obj.byteLength
+            return ("__method__", obj, name)
         if isinstance(obj, JSMap):
             if name == "size":
                 return obj.size
@@ -1263,7 +1379,7 @@ class Interp:
             if callable(fn):
                 return fn(*args)
             raise TypeError(f"{obj.cls.name}.{name} not callable")
-        if isinstance(obj, (JSMap, JSSet)):
+        if isinstance(obj, (JSMap, JSSet, JSDataView, JSArrayBuffer)):
             m = getattr(obj, name, None)
             if m is None:
                 raise AttributeError(f"{type(obj).__name__}.{name}")
@@ -1387,7 +1503,7 @@ def load_viewer_logic():
         / "thesia_tpu" / "viewer" / "js"
     )
     interp = Interp()
-    for name in ("freqscale.js", "caches.js", "axes.js", "viewport.js",
-                 "applogic.js"):
+    for name in ("api.js", "freqscale.js", "caches.js", "axes.js",
+                 "viewport.js", "applogic.js"):
         interp.load((js_dir / name).read_text())
     return interp

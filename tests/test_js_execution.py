@@ -472,3 +472,64 @@ def test_js_cache_key_formats(interp):
     md = {"spectrogramRevision": 7.0, "waveformRevision": 4.0}
     assert _method(interp, vp, "_specKey", md, 1.0, 0.0, 3.0, 0.0) == "3_1:7:1:0:3:0"
     assert _method(interp, vp, "_waveKey", md, 5.0, 2.0) == "3_1:4:5:2"
+
+
+# ---------------------------------------------------------------------------
+# Binary wire format end-to-end: Python tile ENCODERS -> the REAL api.js
+# DECODERS (DataView/TypedArray via the interpreter) -> field-for-field and
+# byte-for-byte vs the Python decoders (reference layouts:
+# render_tiles.rs:232-393, decoded at backend-wrapper.ts:34-68).
+
+from tests.jsinterp import JSArrayBuffer
+
+
+def test_js_waveform_tile_decoder_bit_exact(interp):
+    from thesia_tpu.render import decode_waveform_tile
+    from thesia_tpu.render.tiles import encode_waveform_tile
+
+    g = interp.global_env.vars
+    rng = _np.random.default_rng(6)
+    for n, level, ti, rev in [(5000, 2, 1, 7), (120000, 6, 1, 123), (900, 0, 0, 1)]:
+        wav = rng.uniform(-1, 1, n).astype(_np.float32)
+        data = encode_waveform_tile(wav, rev, level, ti)
+        py = decode_waveform_tile(data)
+        js = g["decodeWaveformTile"](JSArrayBuffer(data))
+        assert js["revision"] == float(rev)
+        assert js["binCount"] == float(py["binCount"])
+        assert js["samplesPerBin"] == float(py["samplesPerBin"])
+        assert js["tileIndex"] == float(ti)
+        _np.testing.assert_array_equal(
+            _np.array(js["bins"], _np.float32),
+            _np.asarray(py["bins"], _np.float32).reshape(-1),
+        )
+
+
+def test_js_spectrogram_tile_decoder_bit_exact(interp):
+    from thesia_tpu.render import decode_spectrogram_tile, default_colormap_rgba8
+    from thesia_tpu.render.tiles import encode_spectrogram_tile
+
+    g = interp.global_env.vars
+    rng = _np.random.default_rng(7)
+    img = rng.integers(0, 65536, (300, 900)).astype(_np.uint16)
+    cmap = default_colormap_rgba8()
+    for lx, ly, tx, ty in [(0, 0, 0, 0), (0, 0, 1, 0), (1, 1, 0, 0)]:
+        data = encode_spectrogram_tile(img, cmap, 42, lx, ly, tx, ty)
+        py = decode_spectrogram_tile(data)
+        js = g["decodeSpectrogramTile"](JSArrayBuffer(data))
+        assert js["revision"] == 42.0
+        for key in ("width", "height", "levelX", "levelY", "tileX", "tileY",
+                    "originX", "originY"):
+            assert js[key] == float(py[key]), (key, lx, ly, tx, ty)
+        _np.testing.assert_array_equal(
+            _np.array(js["rgba"], _np.uint8),
+            _np.asarray(py["rgba"], _np.uint8).reshape(-1),
+        )
+
+
+def test_js_json_number_decoder(interp):
+    g = interp.global_env.vars
+    assert g["jsonNumber"]({"type": "Finite", "value": -26.1}) == -26.1
+    assert g["jsonNumber"]({"type": "Infinity"}) == math.inf
+    assert g["jsonNumber"]({"type": "NegInfinity"}) == -math.inf
+    assert math.isnan(g["jsonNumber"]({"type": "NaN"}))
+    assert g["jsonNumber"](3.0) == 3.0  # plain numbers pass through
