@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<tpl>`)
   | (?P<id>[A-Za-z_$][\w$]*)
-  | (?P<punct>\.\.\.|=>|\*\*=?|===|!==|<<=?|>>>?=?|<=|>=|&&|\|\||\?\?|\+\+|--|[+\-*/%]=|[{}()\[\];,<>+\-*/%!?:.=&|~^])
+  | (?P<punct>\.\.\.|=>|\*\*=?|===|!==|<<=?|>>>?=?|<=|>=|&&|\|\||\?\?|\?\.|\+\+|--|[+\-*/%]=|[{}()\[\];,<>+\-*/%!?:.=&|~^])
     """,
     re.X | re.S,
 )
@@ -75,6 +75,9 @@ class Tok:
         return f"{self.kind}:{self.val!r}"
 
 
+_REGEX_PREV = {"=", "(", ",", "[", ":", "&&", "||", "!", "?", ";", "return", "{"}
+
+
 def tokenize(src: str) -> list[Tok]:
     toks = []
     i = 0
@@ -82,6 +85,36 @@ def tokenize(src: str) -> list[Tok]:
         m = _TOKEN_RE.match(src, i)
         if not m:
             raise SyntaxError(f"tokenize error at {i}: {src[i:i+30]!r}")
+        if (
+            m.lastgroup == "punct" and m.group() == "/"
+            and (not toks or toks[-1].val in _REGEX_PREV)
+        ):
+            # regex literal position (JS grammar is context-sensitive here)
+            j = i + 1
+            in_class = False
+            while j < len(src):
+                c = src[j]
+                if c == "\\":
+                    j += 2
+                    continue
+                if c == "[":
+                    in_class = True
+                elif c == "]":
+                    in_class = False
+                elif c == "/" and not in_class:
+                    break
+                elif c == "\n":
+                    raise SyntaxError(f"unterminated regex at {i}")
+                j += 1
+            pattern = src[i + 1 : j]
+            j += 1
+            flags = ""
+            while j < len(src) and src[j].isalpha():
+                flags += src[j]
+                j += 1
+            toks.append(Tok("regex", (pattern, flags), i))
+            i = j
+            continue
         if m.lastgroup == "tpl":
             # template literal: split into parts + ${expr} token streams
             parts, exprs = [], []
@@ -194,7 +227,13 @@ class Parser:
                     self.next()
                 return ("throw", e)
             if t.val == "import":
-                # skip to end of line statement: import ... ;
+                # `import * as NS from "..."` binds NS to the shared global
+                # scope (modules are concatenated); named imports just skip
+                if self.peek(1).val == "*" and self.peek(2).val == "as":
+                    ns = self.peek(3).val
+                    while self.next().val != ";":
+                        pass
+                    return ("nsimport", ns)
                 while self.next().val != ";":
                     pass
                 return ("empty",)
@@ -506,7 +545,20 @@ class Parser:
         e = self.parse_primary()
         while True:
             t = self.peek()
-            if t.val == "." and t.kind == "punct":
+            if t.val == "?." and t.kind == "punct":
+                self.next()
+                if self.at("("):
+                    self.next()
+                    args = []
+                    while not self.at(")"):
+                        args.append(self.parse_assign())
+                        if self.at(","):
+                            self.next()
+                    self.eat(")")
+                    e = ("optcall", e, args)
+                else:
+                    e = ("optmember", e, self.next().val)
+            elif t.val == "." and t.kind == "punct":
                 self.next()
                 e = ("member", e, self.next().val)
             elif t.val == "[" and t.kind == "punct":
@@ -561,11 +613,21 @@ class Parser:
             parts, exprs = t.val
             parsed = [Parser(tokenize(e)).parse_expr() for e in exprs]
             return ("template", parts, parsed)
+        if t.kind == "regex":
+            self.next()
+            return ("regex", t.val[0], t.val[1])
         if t.kind == "id":
             if t.val == "async" and (self.peek(1).val == "(" or self.peek(2).val == "=>"
                                      or self.peek(1).val == "function"):
                 self.next()  # drop the async modifier (synchronous model)
                 return self.parse_primary()
+            if t.val == "import" and self.peek(1).val == "(":
+                # dynamic import(): all modules share the global scope
+                self.next()
+                self.eat("(")
+                self.parse_expr()
+                self.eat(")")
+                return ("dynimport",)
             if t.val == "true":
                 self.next()
                 return ("bool", True)
@@ -624,6 +686,11 @@ class Parser:
                 if self.at(":"):
                     self.next()
                     pairs.append((key, self.parse_assign()))
+                elif self.at("("):
+                    # method shorthand: { move(ev) { ... } }
+                    params = self.parse_params()
+                    body = self.parse_block()
+                    pairs.append((key, ("func", key, params, body)))
                 else:
                     pairs.append((key, ("name", key)))  # shorthand
                 if self.at(","):
@@ -730,8 +797,11 @@ class JSInstance(dict):
 
 
 class JSMap:
-    def __init__(self, interp=None):
+    def __init__(self, entries=None):
         self.d = {}
+        if isinstance(entries, list):
+            for pair in entries:
+                self.set(pair[0], pair[1])
 
     def _k(self, key):
         return key if isinstance(key, (str, float, bool)) else id(key)
@@ -767,8 +837,11 @@ class JSMap:
 
 
 class JSSet:
-    def __init__(self):
+    def __init__(self, items=None):
         self.m = JSMap()
+        if isinstance(items, (list, JSSet)):
+            for v in items:
+                self.add(v)
 
     def add(self, v):
         self.m.set(v, True)
@@ -970,7 +1043,24 @@ class Interp:
         g.declare("Number", ("__number__",))
         g.declare("String", ("__string_ctor__",))
         g.declare("isFinite", lambda v: math.isfinite(js_num(v)))
-        g.declare("parseFloat", lambda v: js_num(v))
+
+        def _parse_float(v):
+            s = js_to_string(v).strip()
+            m = re.match(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
+            return float(m.group()) if m else math.nan
+
+        g.declare("parseFloat", _parse_float)
+        g.declare("parseInt", lambda v, base=10.0: (
+            float(int(js_to_string(v).strip() or "x", int(base))
+                  ) if (js_to_string(v).strip().lstrip("+-").isdigit()) else math.nan
+        ))
+        g.declare("Symbol", lambda desc=UNDEF: ("__symbol__", object()))
+        g.declare("Error", ("__ctor__", lambda msg=UNDEF: {
+            "name": "Error", "message": msg, "stack": "",
+        }))
+        g.declare("TypeError", ("__ctor__", lambda msg=UNDEF: {
+            "name": "TypeError", "message": msg, "stack": "",
+        }))
         g.declare("Map", ("__ctor__", JSMap))
         g.declare("Set", ("__ctor__", JSSet))
         g.declare("WeakMap", ("__ctor__", JSMap))
@@ -1009,6 +1099,8 @@ class Interp:
             env.declare(node[1], JSFunction(node[1], node[2], node[3], env, self))
         elif kind == "classdecl":
             env.declare(node[1], JSClass(node[1], node[2], env, self))
+        elif kind == "nsimport":
+            env.declare(node[1], ("__ns__", self.global_env))
         elif kind == "throw":
             raise JSThrow(self.eval(node[1], env))
         elif kind == "switch":
@@ -1108,7 +1200,12 @@ class Interp:
                 self.bind(sub, v, env)
         elif kind == "obj_pat":
             for key, sub in target[1]:
-                v = value.get(key, UNDEF) if isinstance(value, dict) else UNDEF
+                if isinstance(value, dict):
+                    v = value.get(key, UNDEF)
+                elif isinstance(value, tuple) and value and value[0] == "__ns__":
+                    v = value[1].get(key)
+                else:
+                    v = UNDEF
                 self.bind(sub, v, env)
         else:
             raise RuntimeError(f"bad binding {target}")
@@ -1135,6 +1232,16 @@ class Interp:
                 out.append(js_to_string(self.eval(e, env)))
                 out.append(p)
             return "".join(out)
+        if kind == "dynimport":
+            return ("__ns__", self.global_env)
+        if kind == "regex":
+            pattern, flags = node[1], node[2]
+            py_flags = re.I if "i" in flags else 0
+            rx = re.compile(pattern, py_flags)
+            return {
+                "test": lambda s: rx.search(js_to_string(s)) is not None,
+                "source": pattern,
+            }
         if kind == "array":
             out = []
             for e in node[1]:
@@ -1215,6 +1322,19 @@ class Interp:
             return v
         if kind == "member":
             return self._member(self.eval(node[1], env), node[2])
+        if kind == "optmember":
+            base = self.eval(node[1], env)
+            if base is None or base is UNDEF:
+                return UNDEF
+            return self._member(base, node[2])
+        if kind == "optcall":
+            fn = self.eval(node[1], env)
+            if fn is None or fn is UNDEF:
+                return UNDEF
+            args = [self.eval(a, env) for a in node[2]]
+            if isinstance(fn, tuple) and fn and fn[0] == "__method__":
+                return self._call_method(fn[1], fn[2], args)
+            return fn(*args)
         if kind == "index":
             obj = self.eval(node[1], env)
             idx = self.eval(node[2], env)
@@ -1233,6 +1353,11 @@ class Interp:
             if callee[0] == "member":
                 obj = self.eval(callee[1], env)
                 return self._call_method(obj, callee[2], args)
+            if callee[0] == "optmember":
+                obj = self.eval(callee[1], env)
+                if obj is None or obj is UNDEF:
+                    return UNDEF
+                return self._call_method(obj, callee[2], args)
             if callee[0] == "index":
                 obj = self.eval(callee[1], env)
                 meth = self.eval(callee[2], env)
@@ -1240,9 +1365,11 @@ class Interp:
             fn = self.eval(callee, env)
             if fn == ("__string_ctor__",):
                 return js_to_string(args[0]) if args else ""
+            if fn == ("__number__",):
+                return js_num(args[0]) if args else 0.0
             if callable(fn):
                 return fn(*args)
-            raise TypeError(f"not callable: {fn!r}")
+            raise TypeError(f"not callable: {fn!r} (callee {callee!r})")
         raise RuntimeError(f"unknown expr {kind}")
 
     @staticmethod
@@ -1318,6 +1445,8 @@ class Interp:
             raise RuntimeError(f"bad assignment target {target}")
 
     def _member(self, obj, name):
+        if isinstance(obj, tuple) and obj and obj[0] == "__ns__":
+            return obj[1].get(name)
         if isinstance(obj, JSInstance):
             if name in obj:
                 return obj[name]
@@ -1374,6 +1503,23 @@ class Interp:
     def _call_method(self, obj, name, args):
         if isinstance(name, tuple) and name[0] == "__method__":
             _tag, obj, name = name
+        # synchronous promise model: every value is a resolved promise
+        if name == "then" and not (isinstance(obj, dict) and "then" in obj):
+            out = args[0](obj) if args and callable(args[0]) else obj
+            return obj if out is UNDEF and False else out
+        if name == "catch" and not (isinstance(obj, dict) and "catch" in obj):
+            return obj  # errors propagate as exceptions in this model
+        if name == "finally" and not (isinstance(obj, dict) and "finally" in obj):
+            if args and callable(args[0]):
+                args[0]()
+            return obj
+        if isinstance(obj, tuple) and obj and obj[0] == "__ns__":
+            fn = obj[1].get(name)
+            if fn == ("__string_ctor__",):
+                return js_to_string(args[0]) if args else ""
+            if callable(fn):
+                return fn(*args)
+            raise TypeError(f"namespace member {name} not callable")
         if isinstance(obj, JSInstance):
             fn = self._member(obj, name)
             if callable(fn):
@@ -1459,6 +1605,49 @@ class Interp:
                 for i, x in enumerate(obj):
                     acc = args[0](acc, x, float(i))
                 return acc
+            if name == "set":  # TypedArray.prototype.set(src, offset)
+                src = args[0] if args else []
+                off = int(args[1]) if len(args) > 1 else 0
+                for i, v in enumerate(src):
+                    obj[off + i] = v
+                return UNDEF
+            if name == "subarray":
+                return _js_slice(obj, args)
+            if name == "fill":
+                val = args[0] if args else UNDEF
+                for i in range(len(obj)):
+                    obj[i] = val
+                return obj
+            if name == "pop":
+                return obj.pop() if obj else UNDEF
+            if name == "shift":
+                return obj.pop(0) if obj else UNDEF
+            if name == "unshift":
+                for a in reversed(args):
+                    obj.insert(0, a)
+                return float(len(obj))
+            if name == "find":
+                for i, x in enumerate(obj):
+                    if js_truthy(args[0](x, float(i))):
+                        return x
+                return UNDEF
+            if name == "findIndex":
+                for i, x in enumerate(obj):
+                    if js_truthy(args[0](x, float(i))):
+                        return float(i)
+                return -1.0
+            if name == "flat":
+                out = []
+                for x in obj:
+                    if isinstance(x, list):
+                        out.extend(x)
+                    else:
+                        out.append(x)
+                return out
+            if name == "forEach":
+                for i, x in enumerate(obj):
+                    args[0](x, float(i))
+                return UNDEF
             if name == "sort":
                 raise AttributeError("array.sort unsupported")
             raise AttributeError(f"array.{name}")
