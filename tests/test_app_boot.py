@@ -329,3 +329,115 @@ def test_deferred_switch_watchdog_adopts_new_revision(booted, monkeypatch):
     assert vp["metadata"]["spectrogramRevision"] > rev0
     assert vp["metadata"]["isComputing"] is False
     assert session.tm.setting.win_ms == 80.0
+
+
+def _ensure_two_tracks(booted):
+    interp, browser, session, media = booted
+    rows_el = browser.doc["querySelector"]("#rows")
+    import pathlib
+
+    second = pathlib.Path(media).parent / "second.wav"
+    for path in (media, str(second)):
+        if not any(
+            r["querySelector"](".track-name")["textContent"].startswith(
+                pathlib.Path(path).name.split(".")[0][:5])
+            for r in rows_el["children"]
+        ):
+            if path not in browser.media_paths:
+                browser.media_paths.append(path)
+            sel = browser.doc["querySelector"]("#media-list")
+            sel["value"] = path
+            browser.dispatch_event(sel, "change")
+    session.tm.images.drain()
+    return rows_el
+
+
+def test_dnd_reorder_permutes_display_order(booted):
+    """Track DnD through the real dragstart/dragover/drop handlers
+    (reference: MainViewer track DnD): all of a track's channel rows move
+    together and state.trackIds re-derives from the DOM order."""
+    interp, browser, _session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    order0 = [r["dataset"]["trackId"] for r in rows_el["children"]]
+    first_tid = order0[0]
+    last_row = rows_el["children"][-1]
+    handle = rows_el["children"][0]["querySelector"](".track-info")
+    dt = {"effectAllowed": "", "setData": lambda *a: None, "types": [], "files": []}
+    browser.dispatch_event(handle, "dragstart", {"dataTransfer": dt})
+    # drop BELOW the last row (clientY under its midpoint)
+    rect = last_row["getBoundingClientRect"]()
+    browser.dispatch_event(last_row, "dragover", {
+        "clientY": rect["top"] + 150.0, "dataTransfer": dt,
+    })
+    browser.dispatch_event(last_row, "drop", {
+        "clientY": rect["top"] + 150.0, "dataTransfer": dt,
+    })
+    browser.dispatch_event(handle, "dragend", {})
+    order1 = [r["dataset"]["trackId"] for r in rows_el["children"]]
+    assert order1 != order0
+    assert order1[-1] == first_tid  # dragged track's rows moved to the end
+    # channel rows stayed adjacent and trackIds re-derived from DOM order
+    tids = [int(t) for t in g(interp)["state"]["trackIds"]]
+    seen = []
+    for t in order1:
+        if int(float(t)) not in seen:
+            seen.append(int(float(t)))
+    assert tids == seen
+    assert state["trackIds"][-1] == float(int(float(first_tid)))
+
+
+def test_freq_axis_floating_input_commits_via_axis_api(booted):
+    """Double-click the freq axis top third -> floating input -> Enter:
+    the committed label parses through the real freq_label_to_hz command
+    (axis.rs freqLabelToHz semantics: '1k5' = 1500 Hz)."""
+    interp, browser, _session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    state["hzRange"] = None
+    axis = rows_el["children"][0]["querySelector"](".freq-axis")
+    browser.dispatch_event(axis, "dblclick", {
+        "offsetY": 10.0, "clientX": 30.0, "clientY": 10.0,
+    })
+    body = browser.doc["body"]
+    inp = body["children"][-1]
+    assert inp["tagName"] == "INPUT"
+    inp["value"] = "1k5"
+    browser.dispatch_event(inp, "keydown", {"key": "Enter"})
+    assert state["hzRange"] is not None
+    assert state["hzRange"][1] == pytest.approx(1500.0)
+    state["hzRange"] = None
+
+
+def test_playhead_scrub_drag_seeks_and_suppresses_click(booted):
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    # scrub on the 2-second stereo track (the 1 s track would clamp the
+    # 1.4 s seek target to its end)
+    row = [
+        r for r in rows_el["children"]
+        if "boot_track" in r["querySelector"](".track-name")["textContent"]
+    ][0]
+    tid = int(float(row["dataset"]["trackId"]))
+    vpc = row["querySelector"](".viewport")
+    # select + arm the player on this track at a known position
+    browser.dispatch_event(vpc, "click", {"offsetX": 10.0, "offsetY": 40.0, "target": vpc})
+    g(interp)["setLens"]({"startSec": 0.0, "pxPerSec": 100.0})
+    # setLens NORMALIZES (can't zoom out past fit): read back the real zoom
+    pps = state["pxPerSec"]
+    start = state["startSec"]
+    state["playerAnchor"] = {"positionSec": 1.0, "at": browser.now_ms, "isPlaying": False}
+    x = (1.0 - start) * pps  # the playhead's pixel position
+    browser.dispatch_event(vpc, "mousedown", {
+        "offsetX": x, "clientX": x, "clientY": 40.0, "target": vpc,
+    })
+    target_x = x + 0.4 * pps  # drag the playhead +0.4 s
+    browser.dispatch_event(browser.doc, "mousemove", {"clientX": target_x})
+    browser.dispatch_event(browser.doc, "mouseup", {"clientX": target_x})
+    # the scrub seeked the REAL player to ~1.4 s
+    assert session.player.state()["positionSec"] == pytest.approx(1.4, abs=0.05)
+    # the click the browser fires after mouseup is suppressed (no re-seek)
+    browser.dispatch_event(vpc, "click", {"offsetX": 700.0, "offsetY": 40.0, "target": vpc})
+    assert session.player.state()["positionSec"] == pytest.approx(1.4, abs=0.05)
+    assert state["selectedTrack"] == float(tid)
