@@ -441,3 +441,64 @@ def test_playhead_scrub_drag_seeks_and_suppresses_click(booted):
     browser.dispatch_event(vpc, "click", {"offsetX": 700.0, "offsetY": 40.0, "target": vpc})
     assert session.player.state()["positionSec"] == pytest.approx(1.4, abs=0.05)
     assert state["selectedTrack"] == float(tid)
+
+
+def test_normalize_and_guard_controls_update_row_stats(booted):
+    """Control-panel normalize + guard flow end-to-end: the real engine
+    applies gain + limiter, and rebuildAllRowInfo re-renders the
+    TrackSummary guard string (reference Control.tsx -> useTracks setters
+    -> TrackSummary.tsx)."""
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    stats0 = [
+        r["querySelector"](".track-stats")["textContent"]
+        for r in rows_el["children"]
+    ]
+    norm_type = browser.doc["querySelector"]("#norm-type")
+    norm_type["value"] = "LUFS"
+    target = browser.doc["querySelector"]("#norm-target")
+    target["value"] = "-3"
+    browser.dispatch_event(norm_type, "change")
+    browser.dispatch_event(target, "change")
+    guard = browser.doc["querySelector"]("#guard-mode")
+    guard["value"] = "Limiter"
+    browser.dispatch_event(guard, "change")
+    session.tm.images.drain()
+    # the engine really normalized + limited
+    assert session.tracklist.common_normalize.to_json()["type"] == "LUFS"
+    assert session.tracklist.common_guard_clipping.value == "Limiter"
+    stats1 = [
+        r["querySelector"](".track-stats")["textContent"]
+        for r in rows_el["children"]
+    ]
+    assert stats1 != stats0
+    assert any("reduced by" in s for s in stats1)  # limiter guard string
+    # back off: normalize Off restores clean stats
+    norm_type["value"] = "Off"
+    browser.dispatch_event(norm_type, "change")
+    session.tm.images.drain()
+    assert session.tracklist.common_normalize.to_json()["type"] == "Off"
+
+
+def test_db_range_and_blend_sliders(booted):
+    interp, browser, session, _media = booted
+    _ensure_two_tracks(booted)
+    el = browser.doc["querySelector"]("#db-range")
+    el["value"] = "70"
+    browser.dispatch_event(el, "input")
+    assert browser.doc["querySelector"]("#db-range-val")["textContent"] == "70"
+    browser.dispatch_event(el, "change")
+    session.tm.images.drain()
+    assert session.tm.db_range == 70.0
+    blend = browser.doc["querySelector"]("#blend")
+    blend["value"] = "0.8"
+    browser.dispatch_event(blend, "input")
+    assert g(interp)["state"]["blend"] == 0.8
+    # the debounced persist timer fires on the manual clock
+    browser.advance(600)
+    stored = session._load_store("settings.json")
+    assert stored.get("blend") == 0.8
+    # restore
+    el["value"] = "100"
+    browser.dispatch_event(el, "change")
+    session.tm.images.drain()
