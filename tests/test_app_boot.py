@@ -502,3 +502,72 @@ def test_db_range_and_blend_sliders(booted):
     el["value"] = "100"
     browser.dispatch_event(el, "change")
     session.tm.images.drain()
+
+
+def _key(browser, code, key=None, **mods):
+    ev = {"code": code, "key": key or code, "target": {"tagName": "DIV"},
+          "shiftKey": False, "metaKey": False, "ctrlKey": False}
+    ev.update(mods)
+    browser.dispatch_event(browser.doc, "keydown", ev)
+
+
+def test_hotkeys_zoom_seek_and_home(booted):
+    interp, browser, session, _media = booted
+    _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    pps0 = state["pxPerSec"]
+    _key(browser, "Equal", key="+")
+    zoomed = state["pxPerSec"]
+    assert zoomed >= pps0  # x1.5 through the normalize pipeline
+    _key(browser, "Minus", key="-")
+    assert state["pxPerSec"] <= zoomed
+    # arrow-right seeks the REAL player by PLAY_JUMP_SEC (shift: 5 s)
+    vpc = browser.doc["querySelector"]("#rows")["children"][0]["querySelector"](".viewport")
+    browser.dispatch_event(vpc, "click", {"offsetX": 0.0, "offsetY": 40.0, "target": vpc})
+    p0 = session.player.state()["positionSec"]
+    _key(browser, "ArrowRight", key="ArrowRight")
+    assert session.player.state()["positionSec"] == pytest.approx(
+        min(p0 + 1.0, session.tracklist[int(state["selectedTrack"])].sec), abs=0.05
+    )
+    _key(browser, "Home", key="Home")
+    assert session.player.state()["positionSec"] == pytest.approx(0.0, abs=0.01)
+    assert state["startSec"] == 0.0
+
+
+def test_failed_add_shows_error_box(booted):
+    interp, browser, _session, _media = booted
+    browser.media_paths.append("/nonexistent/missing.wav")
+    sel = browser.doc["querySelector"]("#media-list")
+    sel["value"] = "/nonexistent/missing.wav"
+    browser.dispatch_event(sel, "change")
+    box = browser.doc["querySelector"]("#error-box")
+    msgs = [c["textContent"] for c in box["children"]]
+    assert any("Could not open" in m for m in msgs)
+    # no ghost row appeared
+    rows = browser.doc["querySelector"]("#rows")["children"]
+    assert all(r["dataset"].get("idCh") for r in rows)
+
+
+def test_context_menu_select_all_and_remove(booted):
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    row = rows_el["children"][0]
+    browser.dispatch_event(row, "contextmenu", {
+        "clientX": 100.0, "clientY": 100.0, "target": row,
+    })
+    menu = [c for c in browser.doc["body"]["children"]
+            if c.get("className") == "context-menu"]
+    assert menu, "context menu did not open"
+    items = {c["textContent"]: c for c in menu[0]["children"]
+             if c.get("className") == "context-item"}
+    assert "Select all" in items
+    browser.dispatch_event(items["Select all"], "mousedown", {"target": items["Select all"]})
+    assert len(state["selected"]) == len({
+        r["dataset"]["trackId"] for r in rows_el["children"]
+    })
+    # delete-key removes the whole selection through the real engine
+    _key(browser, "Delete", key="Delete")
+    assert rows_el["children"] == []
+    assert session.tracklist.all_ids() == []
+    assert state["selected"] == []

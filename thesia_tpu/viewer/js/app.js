@@ -984,7 +984,7 @@ function setupRowContextMenu(row, trackId) {
   row.addEventListener("contextmenu", (e) => {
     if (e.target.closest(".freq-axis") || e.target.closest(".amp-axis")) return;
     e.preventDefault();
-    if (!state.selected.has(trackId)) selectClick(trackId, e);
+    if (!state.selected.includes(trackId)) selectClick(trackId, e);
     const sel = [...state.selected];
     openContextMenu(e.clientX, e.clientY, [
       [sel.length > 1 ? `Remove ${sel.length} tracks` : "Remove track",
@@ -1113,7 +1113,7 @@ async function setupControls() {
       zoomFreqRangeAt(e.key === "]" ? 1 / 1.3 : 1.3, 0.5);
       redraw();
     } else if (e.code === "Delete" || e.code === "Backspace") {
-      if (state.selected.size) {
+      if (state.selected.length) {
         await removeTracks([...state.selected]);
       }
     }
