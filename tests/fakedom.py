@@ -397,9 +397,15 @@ class FakeBrowser:
         if url == "/pending_open_paths":
             return resp(True, 200, {"result": []})
         if url == "/debug/metrics":
-            from thesia_tpu.obs import metrics_snapshot
+            from thesia_tpu import obs
 
-            return resp(True, 200, {"result": self._jsonable(metrics_snapshot())})
+            out = obs.summary()
+            warmer = self.session.tm.shape_warmer
+            out["shape_warmer"] = {
+                "compiled": warmer.compiled_count,
+                "idle": warmer._pending is None,
+            }
+            return resp(True, 200, {"result": self._jsonable(out)})
         return resp(False, 404, {"error": f"no route {url}"})
 
     def _dispatch(self, name, body, resp):

@@ -571,3 +571,84 @@ def test_context_menu_select_all_and_remove(booted):
     assert rows_el["children"] == []
     assert session.tracklist.all_ids() == []
     assert state["selected"] == []
+
+
+def test_reload_button_paths(booted):
+    """Reload-from-disk: unchanged file -> per-track error surface
+    (reference reload keeps erroredTrackIds); touched file -> clean reload."""
+    interp, browser, session, media = booted
+    rows_el = _ensure_two_tracks(booted)
+    row = rows_el["children"][0]
+    btn = row["querySelector"](".track-reload")
+    box = browser.doc["querySelector"]("#error-box")
+    for c in list(box["children"]):
+        c["remove"]()
+    # unchanged file: reload is a clean no-op (track.rs:75-89 detect)
+    browser.dispatch_event(btn, "click", {"target": btn})
+    msgs = [c["textContent"] for c in box["children"]]
+    assert not any("Could not reload" in m for m in msgs)
+    # unreadable file: the per-track error path surfaces in the error box
+    import pathlib
+
+    tid = int(float(row["dataset"]["trackId"]))
+    path = pathlib.Path(session.get_path(tid))
+    original = path.read_bytes()
+    try:
+        path.write_bytes(b"garbage")
+        browser.dispatch_event(btn, "click", {"target": btn})
+        msgs = [c["textContent"] for c in box["children"]]
+        assert any("Could not reload" in m for m in msgs)
+    finally:
+        path.write_bytes(original)
+    session.tm.images.drain()
+
+
+def test_fit_follow_volume_and_metrics_panel(booted):
+    interp, browser, session, _media = booted
+    _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    fit = browser.doc["querySelector"]("#btn-fit")
+    browser.dispatch_event(fit, "click", {"target": fit})
+    assert state["fitMode"] is True
+    assert state["startSec"] == 0.0
+    # a zoom leaves fit mode
+    browser.dispatch_event(browser.doc["querySelector"]("#rows"), "wheel", {
+        "deltaX": 0.0, "deltaY": -120.0, "ctrlKey": True, "shiftKey": True,
+        "clientX": 500.0, "clientY": 50.0,
+    })
+    assert state["fitMode"] is False
+    follow = browser.doc["querySelector"]("#btn-follow")
+    was = state["followPlayhead"]
+    browser.dispatch_event(follow, "click", {"target": follow})
+    assert state["followPlayhead"] is not was
+    browser.dispatch_event(follow, "click", {"target": follow})
+    vol = browser.doc["querySelector"]("#volume")
+    vol["value"] = "-12"
+    browser.dispatch_event(vol, "input")
+    assert session.player.playback.volume == pytest.approx(10 ** (-12 / 20))
+    # metrics panel toggles and renders /debug/metrics through the bridge
+    toggle = browser.doc["querySelector"]("#metrics-toggle")
+    panel = browser.doc["querySelector"]("#metrics-panel")
+    browser.dispatch_event(toggle, "click", {"target": toggle})
+    assert panel["hidden"] is False
+    assert panel["textContent"]  # rendered stage metrics (or placeholder)
+    browser.dispatch_event(toggle, "click", {"target": toggle})
+    assert panel["hidden"] is True
+
+
+def test_viewport_tooltip_renders_time_and_freq(booted):
+    """The hover tooltip's throttled fetch chain runs the REAL axis-api
+    formatters (format_time_axis_tooltip, freq_pos_to_hz,
+    format_frequency_axis_tooltip)."""
+    interp, browser, _session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    row = rows_el["children"][0]
+    vpc = row["querySelector"](".viewport")
+    browser.dispatch_event(vpc, "mousemove", {
+        "offsetX": 100.0, "offsetY": 40.0, "clientX": 100.0, "clientY": 40.0,
+        "target": vpc,
+    })
+    browser.advance(150)  # fire the 100 ms tooltip throttle
+    tips = [c for c in browser.doc["body"]["children"]
+            if ":" in (c["textContent"] or "") and "Hz" in (c["textContent"] or "")]
+    assert tips, "tooltip content did not render"
