@@ -1030,6 +1030,17 @@ _MATH = {
     "pow": lambda a, b: float(a ** b),
     "PI": math.pi,
     "E": math.e,
+    "cos": math.cos,
+    "sin": math.sin,
+    "tan": math.tan,
+    "atan2": math.atan2,
+    "atan": math.atan,
+    "acos": lambda x: math.acos(x) if -1 <= x <= 1 else math.nan,
+    "asin": lambda x: math.asin(x) if -1 <= x <= 1 else math.nan,
+    "hypot": math.hypot,
+    "trunc": lambda x: float(math.trunc(x)),
+    "cbrt": lambda x: math.copysign(abs(x) ** (1 / 3), x),
+    "random": lambda: 0.5,
 }
 
 
@@ -1043,6 +1054,7 @@ class Interp:
         g.declare("Number", ("__number__",))
         g.declare("String", ("__string_ctor__",))
         g.declare("isFinite", lambda v: math.isfinite(js_num(v)))
+        g.declare("isNaN", lambda v: math.isnan(js_num(v)))
 
         def _parse_float(v):
             s = js_to_string(v).strip()

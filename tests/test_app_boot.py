@@ -652,3 +652,87 @@ def test_viewport_tooltip_renders_time_and_freq(booted):
     tips = [c for c in browser.doc["body"]["children"]
             if ":" in (c["textContent"] or "") and "Hz" in (c["textContent"] or "")]
     assert tips, "tooltip content did not render"
+
+
+def test_overview_lens_edge_resize_zooms(booted):
+    """Lens edge drag through the real Overview handlers -> the
+    resizeLensLeft/Right normalize pipeline (Overview.tsx:158-183 +
+    MainViewer.tsx:399-412)."""
+    interp, browser, _session, _media = booted
+    _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    g(interp)["setLens"]({"startSec": 0.2, "pxPerSec": 1000.0})
+    state["needsRedraw"] = True
+    browser.step_frames(1)  # draw() records lens geometry for hit testing
+    ov_el = browser.doc["querySelector"]("#overview")
+    ov = g(interp)["overview"]
+    lens = ov["_lens"]
+    px_per_sec = 1000.0 / max(state["maxSec"], 1e-8)  # overview strip scale
+    left_x = round(lens["startSec"] * px_per_sec)
+    pps0 = state["pxPerSec"]
+    browser.dispatch_event(ov_el, "mousedown", {
+        "clientX": float(left_x), "clientY": 20.0,
+    })
+    browser.dispatch_event(browser.doc, "mousemove", {"clientX": float(left_x) + 60.0})
+    browser.dispatch_event(browser.doc, "mouseup", {})
+    assert state["pxPerSec"] != pps0  # left-edge drag rezoomed the view
+
+
+def test_amp_axis_floating_input_and_alt_interactions(booted):
+    interp, browser, _session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    row = rows_el["children"][0]
+    tid = float(int(float(row["dataset"]["trackId"])))
+    axis = row["querySelector"](".amp-axis")
+    # double-click -> floating input -> commit 0.5 => symmetric [-0.5, 0.5]
+    browser.dispatch_event(axis, "dblclick", {
+        "offsetY": 40.0, "clientX": 20.0, "clientY": 40.0,
+    })
+    inp = browser.doc["body"]["children"][-1]
+    assert inp["tagName"] == "INPUT"
+    inp["value"] = "0.5"
+    browser.dispatch_event(inp, "keydown", {"key": "Enter"})
+    rng = interp._call_method(state["ampRanges"], "get", [tid])
+    assert rng == [-0.5, 0.5]
+    # alt+wheel zooms the interval around zero (AmpAxis.tsx:98-108)
+    browser.dispatch_event(axis, "wheel", {
+        "altKey": True, "deltaX": 0.0, "deltaY": -500.0,
+    })
+    rng2 = interp._call_method(state["ampRanges"], "get", [tid])
+    assert rng2 == [-1.0, 1.0]  # interval doubled
+    # alt+click resets
+    browser.dispatch_event(axis, "click", {"altKey": True})
+    assert interp._call_method(state["ampRanges"], "has", [tid]) is False
+    # freq axis alt+wheel rescales the upper limit (FreqAxis.tsx:178-195)
+    state["hzRange"] = None
+    faxis = row["querySelector"](".freq-axis")
+    browser.dispatch_event(faxis, "wheel", {
+        "altKey": True, "deltaX": 0.0, "deltaY": 250.0,
+    })
+    assert state["hzRange"] is not None and state["hzRange"][1] < state["maxTrackHz"]
+    browser.dispatch_event(faxis, "click", {"altKey": True})
+    assert state["hzRange"] is None
+
+
+def test_follow_playhead_scrolls_during_playback(booted):
+    """MainViewer.tsx:853-862 through the live frame loop: while playing
+    with follow on, a playhead outside the view snaps startSec to it."""
+    interp, browser, session, _media = booted
+    _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    g(interp)["setLens"]({"startSec": 0.0, "pxPerSec": 5000.0})  # tiny view
+    # order matters: setLens while playing clears needFollowCursor (the
+    # user-pan override), so arm the follow state AFTER zooming
+    state["followPlayhead"] = True
+    state["needFollowCursor"] = True
+    state["playing"] = True
+    view_sec = 1000.0 / state["pxPerSec"]
+    state["playerAnchor"] = {
+        "positionSec": 1.5, "at": browser.now_ms, "isPlaying": True,
+    }
+    browser.step_frames(1)
+    # playhead (1.5 s) was outside [0, view_sec] -> view snapped to it
+    assert state["startSec"] == pytest.approx(1.5, abs=view_sec)
+    state["playing"] = False
+    state["playerAnchor"] = {"positionSec": 0.0, "at": browser.now_ms, "isPlaying": False}
