@@ -22,7 +22,19 @@ def test_concurrent_clients_never_500(tmp_path, samples_dir):
     asyncio.run(_fuzz(tmp_path, samples_dir))
 
 
-async def _fuzz(tmp_path, samples_dir):
+def test_concurrent_clients_never_500_deferred(tmp_path, samples_dir, monkeypatch):
+    """Same 6-client race with the PRODUCTION deferred-settings default:
+    knob turns return at dispatch and supersede each other while tiles,
+    metadata, dynamics and player commands race — still zero 500s, and
+    after settling every track serves consistently under the last-applied
+    setting."""
+    if not (samples_dir / "sample_16k.wav").exists():
+        pytest.skip("sample corpus incomplete")
+    monkeypatch.setenv("THESIA_DEFER_SETTINGS", "1")
+    asyncio.run(_fuzz(tmp_path, samples_dir, deferred=True))
+
+
+async def _fuzz(tmp_path, samples_dir, deferred=False):
     rng = np.random.default_rng(99)
     paths = [str(samples_dir / "sample_16k.wav")]
     for i, (sr, c) in enumerate([(8000, 2), (22050, 1)]):
@@ -84,6 +96,14 @@ async def _fuzz(tmp_path, samples_dir):
         await asyncio.gather(*[worker(1000 + i) for i in range(6)])
         assert not bad, bad[:3]
         # settle: every track still serves consistently
+        if deferred:
+            assert service.session.settings_settled(timeout=120)
+            # the engine's applied setting equals the reported target
+            # (latest-wins across the racing knob turns)
+            assert (
+                service.session.tm.setting.to_json()
+                == service.session.get_spec_setting()
+            )
         service.session.tm.images.drain(timeout=60)
         for tid in (0, 1, 2):
             r = await client.post("/api/get_audio_render_metadata", json={"idChStr": f"{tid}_0"})
