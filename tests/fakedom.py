@@ -16,6 +16,7 @@ collected on a manual clock the test steps deterministically.
 from __future__ import annotations
 
 import json as _json
+import pathlib
 from html.parser import HTMLParser
 
 from tests.jsinterp import UNDEF, JSArrayBuffer, js_to_string
@@ -396,6 +397,21 @@ class FakeBrowser:
             return resp(True, 200, {"result": list(self.media_paths)})
         if url == "/pending_open_paths":
             return resp(True, 200, {"result": []})
+        if url == "/upload":
+            # multipart bridge: the fake FormData carried a fake File dict
+            # {"name", "bytes"}; store like the real handler and return the
+            # server path
+            import tempfile
+
+            fd = opts.get("body") if isinstance(opts, dict) else None
+            f = fd.get("_file") if isinstance(fd, dict) else None
+            if not isinstance(f, dict) or "name" not in f:
+                return resp(False, 400, {"error": "expected multipart field 'file'"})
+            updir = pathlib.Path(tempfile.gettempdir()) / "thesia_tpu_uploads"
+            updir.mkdir(exist_ok=True)
+            dest = updir / pathlib.Path(f["name"]).name
+            dest.write_bytes(f.get("bytes", b""))
+            return resp(True, 200, {"result": str(dest)})
         if url == "/debug/metrics":
             from thesia_tpu import obs
 
@@ -478,7 +494,12 @@ class FakeBrowser:
         g.declare("fetch", self.fetch)
         g.declare("alert", lambda *a: None)
         g.declare("WebSocket", ("__ctor__", lambda url=None: {"send": lambda *a: None, "close": lambda: None}))
-        g.declare("FormData", ("__ctor__", lambda: {"append": lambda *a: None}))
+        def _formdata():
+            fd = {}
+            fd["append"] = lambda _name, value=UNDEF: fd.__setitem__("_file", value)
+            return fd
+
+        g.declare("FormData", ("__ctor__", _formdata))
         g.declare("BigInt", lambda v: float(v))
         g.declare("JSON", {
             "stringify": lambda v, *a: _json.dumps(_plain(v)),

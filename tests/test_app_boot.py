@@ -736,3 +736,32 @@ def test_follow_playhead_scrolls_during_playback(booted):
     assert state["startSec"] == pytest.approx(1.5, abs=view_sec)
     state["playing"] = False
     state["playerAnchor"] = {"positionSec": 0.0, "at": browser.now_ms, "isPlaying": False}
+
+
+def test_window_file_drop_uploads_and_adds(booted):
+    """The window drop flow end-to-end: fake File -> FormData -> the upload
+    bridge stores it server-side -> addPaths opens it through the real
+    engine (reference: App.tsx addDroppedFile + /upload round trip)."""
+    import numpy as np
+
+    from thesia_tpu.io.wav import encode_wav_s16
+
+    interp, browser, session, _media = booted
+    data = encode_wav_s16(
+        0.2 * np.ones((1, 4000), np.float32), 8000
+    )
+    fake_file = {"name": "dropped.wav", "bytes": data}
+    n_before = len(session.tracklist.all_ids())
+    browser.dispatch_event(browser.doc, "drop", {
+        "dataTransfer": {"files": [fake_file], "types": ["Files"]},
+    })
+    session.tm.images.drain()
+    ids = session.tracklist.all_ids()
+    assert len(ids) == n_before + 1
+    new_id = ids[-1]
+    assert "dropped" in session.get_file_name(new_id)
+    rows = browser.doc["querySelector"]("#rows")["children"]
+    assert any(
+        "dropped" in r["querySelector"](".track-name")["textContent"]
+        for r in rows
+    )
