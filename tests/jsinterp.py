@@ -1,26 +1,37 @@
-"""Minimal ES-subset interpreter — executes the viewer's PURE-math modules
-(freqscale.js, applogic.js) inside the test suite, where no JS runtime
-exists (no node/browser in this image).
+"""Minimal ES-subset interpreter — executes the viewer's ACTUAL JavaScript
+inside the test suite, where no JS runtime exists (no node/browser in this
+image).
 
-This closes the last gap in the viewer-twin story: twin_app.py mirrors
-every applogic export and is golden-tested against the reference formulas,
-and tests/test_js_execution.py runs the ACTUAL JavaScript through this
-interpreter differentially against the twins, so a sign flip in the .js
-that the hand-written mirror didn't copy fails the suite.
+Three layers of coverage are built on it:
+  * tests/test_js_execution.py runs every applogic.js export differentially
+    against the Python twins (twin_app.py, itself golden-tested against the
+    reference formulas), plus the round-2 twin surfaces (tick tables, LOD
+    math, LruByteCache op tapes) and the api.js binary tile decoders
+    against the Python encoders byte-for-byte;
+  * tests/test_app_boot.py BOOTS app.js/overview.js headlessly against a
+    real EngineSession via tests/fakedom.py (DOM + synchronous fetch
+    bridge) and drives the reference's interaction flows;
+  * a sign flip or dropped clamp anywhere in the viewer JS now fails the
+    suite instead of shipping silently.
 
-Supported subset (exactly what the pure viewer modules use):
+Supported subset (everything the viewer modules use):
   statements  const/let (array + object destructuring), if/else, classic
-              for (;;), while, break/continue, return, blocks, expression
-              statements, function declarations, export const/function
-  expressions numbers, strings, template literals w/ ${}, identifiers,
-              member + computed access, calls, unary -+!, ** * / % + -,
-              comparisons, === !==, && || ??, ternary, assignment (=, +=,
-              -=, *=, /=), ++/--, arrow functions, object literals
-              (incl. shorthand), array literals
-  runtime     Math.*, Number.isFinite, isFinite, Infinity, NaN, String(),
-              Number.prototype.toFixed, String.prototype methods the code
-              uses, Array methods (indexOf, includes, slice, concat,
-              filter, every, map, reverse, push, join), .length
+              for (;;), for-of (with patterns), while, switch/case,
+              break/continue, return, blocks, try/catch/finally, throw,
+              function + class declarations, export, import (namespace +
+              dynamic imports resolve against the shared global scope)
+  expressions numbers, strings, template literals w/ ${}, regex literals
+              (contextual tokenization), member/computed/optional-chaining
+              access, calls, new, unary -+!~ typeof await, binary ops,
+              === !==, && || ??, ternary, assignment (=, +=, -=, *=, /=),
+              ++/--, arrow functions (expression + block bodies, defaults),
+              object literals (shorthand + method shorthand), array
+              literals with spread
+  runtime     Math.*, Number()/String()/isFinite/isNaN/parseFloat/BigInt,
+              toFixed/toPrecision, String/Array prototype methods,
+              Map/Set/WeakMap, DataView/ArrayBuffer/TypedArrays, Symbol,
+              Error, synchronous promise model (.then/.catch/.finally on
+              any value; async/await are identity)
 JS semantics honored: undefined vs null, strict equality (NaN !== NaN),
 truthiness, % as remainder-with-dividend-sign, Math.round half-toward-+inf,
 toFixed decimal ties toward +inf, number->string without trailing ".0".
