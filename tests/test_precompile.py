@@ -179,10 +179,40 @@ def test_probe_shape_wav_and_flac(tmp_path):
     bad.write_bytes(b"\x00" * 64)
     assert probe_shape(bad) is None
     assert probe_shape(tmp_path / "missing.wav") is None
-    # compressed containers are skipped (no cheap sample count)
-    mp3 = pathlib.Path("/root/reference/samples/sample_44k1.mp3")
-    if mp3.exists():
-        assert probe_shape(mp3) is None
+
+
+def test_probe_shape_compressed_containers():
+    """Header-only probes for every accepted compressed format: channel
+    count and sample rate EXACT (the warm shape's row count and framing
+    depend on them), duration within the same wav_size_bucket class as the
+    decoded truth (what the warmed executable is keyed on)."""
+    import pathlib
+
+    from thesia_tpu.dsp.spectrogram import wav_size_bucket
+    from thesia_tpu.io.decode import open_audio_file
+    from thesia_tpu.io.probe import probe_shape
+
+    cases = [
+        "/root/reference/samples/sample_44k1.mp3",
+        "/root/reference/samples/sample_44k1-aac.m4a",
+        "/root/reference/samples/sample_44k1-alac.m4a",
+        "tests/fixtures/fixture_vorbis.ogg",
+        "tests/fixtures/fixture_opus.ogg",
+    ]
+    for path in cases:
+        if not pathlib.Path(path).exists():
+            continue
+        got = probe_shape(path)
+        assert got is not None, path
+        n_ch, n, sr = got
+        wavs, info = open_audio_file(path)
+        assert n_ch == wavs.shape[0], path  # exact (incl. AAC esds ASC)
+        assert sr == info.sr, path
+        assert abs(n - wavs.shape[1]) / wavs.shape[1] < 0.01, path
+        assert wav_size_bucket(n) == wav_size_bucket(wavs.shape[1]), path
+        # ogg probes are sample-exact (granule position)
+        if path.endswith(".ogg"):
+            assert n == wavs.shape[1], path
 
 
 def test_warm_for_pending_add_submits_current_setting_first(monkeypatch, tmp_path):
