@@ -22,12 +22,22 @@ from tests.jsinterp import Interp, UNDEF
 VIEWER = pathlib.Path(__file__).resolve().parent.parent / "thesia_tpu" / "viewer"
 
 
-@pytest.fixture(scope="module")
-def booted(tmp_path_factory):
+@pytest.fixture(scope="module", params=["sync", "deferred"])
+def booted(request, tmp_path_factory):
+    """The whole interaction sweep runs TWICE: synchronous settings (the
+    test default) and the production deferred default."""
+    import os
+
     from thesia_tpu.engine.session import EngineSession
     from thesia_tpu.io.wav import encode_wav_f32
 
-    td = tmp_path_factory.mktemp("app_boot")
+    prev = os.environ.get("THESIA_DEFER_SETTINGS")
+    os.environ["THESIA_DEFER_SETTINGS"] = "1" if request.param == "deferred" else "0"
+    request.addfinalizer(
+        lambda: os.environ.update({"THESIA_DEFER_SETTINGS": prev})
+        if prev is not None else os.environ.pop("THESIA_DEFER_SETTINGS", None)
+    )
+    td = tmp_path_factory.mktemp(f"app_boot_{request.param}")
     rng = np.random.default_rng(5)
     wav = (rng.uniform(-0.7, 0.7, (2, 8000 * 2))).astype(np.float32)
     media = td / "boot_track.wav"
@@ -50,6 +60,13 @@ def g(interp):
     return interp.global_env.vars
 
 
+def settle(session):
+    """Both-mode synchronization: wait out any deferred settings switch,
+    then drain the image streamer (no-ops in sync mode)."""
+    assert session.settings_settled(timeout=180)
+    session.tm.images.drain()
+
+
 def test_boot_initialized_engine_and_controls(booted):
     interp, browser, session, _media = booted
     state = g(interp)["state"]
@@ -65,7 +82,7 @@ def test_add_track_via_media_select(booted):
     sel = browser.doc["querySelector"]("#media-list")
     sel["value"] = media
     browser.dispatch_event(sel, "change")  # sel.onchange -> addPaths (real add)
-    session.tm.images.drain()
+    settle(session)
 
     state = g(interp)["state"]
     rows = browser.doc["querySelector"]("#rows")["children"]
@@ -172,13 +189,19 @@ def test_win_ms_knob_recomputes_through_engine(booted):
     el["value"] = "20"
     rev0 = session.tile_cache.spectrogram_revision
     browser.dispatch_event(el, "change")  # applySpec -> set_spec_setting
-    session.tm.images.drain()
+    settle(session)
     assert session.tm.setting.win_ms == 20.0
     assert session.tile_cache.spectrogram_revision > rev0
-    # the viewer refetched metadata for the new shape
+    # the viewer adopts the new shape (deferred mode: via the computing
+    # watchdog driven by the manual clock)
     state = g(interp)["state"]
-    vp = interp._call_method(state["viewports"], "get", ["0_0"])
-    md = vp["metadata"]
+    md = None
+    for _ in range(12):
+        vp = interp._call_method(state["viewports"], "get", ["0_0"])
+        md = vp["metadata"]
+        if md["spectrogramWidth"] == session.tm.images.geometry(0)[1]:
+            break
+        browser.advance(500)
     assert md["spectrogramWidth"] == session.tm.images.geometry(0)[1]
 
 
@@ -261,7 +284,7 @@ def test_multi_track_selection_pivot_flow(booted):
     sel = browser.doc["querySelector"]("#media-list")
     sel["value"] = str(second)
     browser.dispatch_event(sel, "change")
-    session.tm.images.drain()
+    settle(session)
     rows = browser.doc["querySelector"]("#rows")["children"]
     tids = sorted({float(r["dataset"]["trackId"]) for r in rows})
     assert len(tids) == 2
@@ -311,7 +334,7 @@ def test_deferred_switch_watchdog_adopts_new_revision(booted, monkeypatch):
         sel = browser.doc["querySelector"]("#media-list")
         sel["value"] = media
         browser.dispatch_event(sel, "change")
-        session.tm.images.drain()
+        settle(session)
     id_ch = rows_el["children"][0]["dataset"]["idCh"]
     vp = interp._call_method(state["viewports"], "get", [id_ch])
     rev0 = vp["metadata"]["spectrogramRevision"]
@@ -319,7 +342,7 @@ def test_deferred_switch_watchdog_adopts_new_revision(booted, monkeypatch):
     el["value"] = "80"
     browser.dispatch_event(el, "change")  # deferred: returns at dispatch
     assert session.settings_settled(timeout=120)
-    session.tm.images.drain()
+    settle(session)
     # drive the watchdog timers until the row adopts the new revision
     for _ in range(12):
         browser.advance(500)
@@ -348,7 +371,7 @@ def _ensure_two_tracks(booted):
             sel = browser.doc["querySelector"]("#media-list")
             sel["value"] = path
             browser.dispatch_event(sel, "change")
-    session.tm.images.drain()
+    settle(session)
     return rows_el
 
 
@@ -463,7 +486,7 @@ def test_normalize_and_guard_controls_update_row_stats(booted):
     guard = browser.doc["querySelector"]("#guard-mode")
     guard["value"] = "Limiter"
     browser.dispatch_event(guard, "change")
-    session.tm.images.drain()
+    settle(session)
     # the engine really normalized + limited
     assert session.tracklist.common_normalize.to_json()["type"] == "LUFS"
     assert session.tracklist.common_guard_clipping.value == "Limiter"
@@ -476,7 +499,7 @@ def test_normalize_and_guard_controls_update_row_stats(booted):
     # back off: normalize Off restores clean stats
     norm_type["value"] = "Off"
     browser.dispatch_event(norm_type, "change")
-    session.tm.images.drain()
+    settle(session)
     assert session.tracklist.common_normalize.to_json()["type"] == "Off"
 
 
@@ -488,7 +511,7 @@ def test_db_range_and_blend_sliders(booted):
     browser.dispatch_event(el, "input")
     assert browser.doc["querySelector"]("#db-range-val")["textContent"] == "70"
     browser.dispatch_event(el, "change")
-    session.tm.images.drain()
+    settle(session)
     assert session.tm.db_range == 70.0
     blend = browser.doc["querySelector"]("#blend")
     blend["value"] = "0.8"
@@ -501,7 +524,7 @@ def test_db_range_and_blend_sliders(booted):
     # restore
     el["value"] = "100"
     browser.dispatch_event(el, "change")
-    session.tm.images.drain()
+    settle(session)
 
 
 def _key(browser, code, key=None, **mods):
@@ -600,7 +623,7 @@ def test_reload_button_paths(booted):
         assert any("Could not reload" in m for m in msgs)
     finally:
         path.write_bytes(original)
-    session.tm.images.drain()
+    settle(session)
 
 
 def test_fit_follow_volume_and_metrics_panel(booted):
@@ -755,7 +778,7 @@ def test_window_file_drop_uploads_and_adds(booted):
     browser.dispatch_event(browser.doc, "drop", {
         "dataTransfer": {"files": [fake_file], "types": ["Files"]},
     })
-    session.tm.images.drain()
+    settle(session)
     ids = session.tracklist.all_ids()
     assert len(ids) == n_before + 1
     new_id = ids[-1]
