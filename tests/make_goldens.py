@@ -48,13 +48,18 @@ def sha(b: bytes) -> str:
     return hashlib.sha256(b).hexdigest()
 
 
+FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"
+
+
 def corpus_files() -> list[pathlib.Path]:
-    """Every decodeable file in the reference samples dir, sorted for
-    deterministic track ids (invalid_audio.wav is the decode-failure
-    fixture — covered by test_engine, not a golden)."""
+    """Every decodeable file in the reference samples dir (sorted for
+    deterministic track ids; invalid_audio.wav is the decode-failure
+    fixture — covered by test_engine, not a golden), plus the checked-in
+    ogg/vorbis + ogg/opus fixtures so the vorbis/opus numerics paths are
+    pinned end-to-end too."""
     return sorted(
         p for p in SAMPLES.iterdir() if p.name != "invalid_audio.wav"
-    )
+    ) + sorted(FIXTURES.glob("*.ogg"))
 
 
 def corpus_goldens() -> dict:
