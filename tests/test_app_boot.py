@@ -788,3 +788,81 @@ def test_window_file_drop_uploads_and_adds(booted):
         "dropped" in r["querySelector"](".track-name")["textContent"]
         for r in rows
     )
+
+
+def test_streaming_track_serves_tiles_through_the_app(tmp_path, monkeypatch):
+    """The round-3/4 streaming UX headlessly: while a track's image is
+    still streaming (gated), the app's draw loop fetches tiles that are
+    served from device regions (viewport-priority path), metadata reports
+    isComputing, and after the stream lands the SAME keys serve from host
+    with the app none the wiser."""
+    import threading
+
+    import numpy as np
+
+    from tests.fakedom import FakeBrowser
+    from tests.jsinterp import Interp
+    from thesia_tpu.engine import images as I
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_s16
+
+    monkeypatch.setattr(I, "STREAM_CHUNK_BYTES", 1024 * 64)
+    gate = threading.Event()
+    entered = threading.Event()
+    orig_yield = I.SpecImageStore._yield_to_interactive
+
+    def gated_yield(self):
+        entered.set()
+        assert gate.wait(30)
+        orig_yield(self)
+
+    monkeypatch.setattr(I.SpecImageStore, "_yield_to_interactive", gated_yield)
+
+    media = tmp_path / "long_stream.wav"
+    wav = (0.3 * np.sin(
+        2 * np.pi * 440.0 * np.arange(8000 * 30) / 8000
+    )).astype(np.float32)[None, :]
+    media.write_bytes(encode_wav_s16(wav, 8000))
+    session = EngineSession(settings_dir=tmp_path / "cfg")
+    browser = FakeBrowser(
+        session, (VIEWER / "index.html").read_text(), media_paths=[media]
+    )
+    interp = Interp()
+    browser.install(interp)
+    try:
+        for name in ("api.js", "freqscale.js", "caches.js", "axes.js",
+                     "viewport.js", "overview.js", "applogic.js", "app.js"):
+            interp.load((VIEWER / "js" / name).read_text())
+        sel = browser.doc["querySelector"]("#media-list")
+        sel["value"] = str(media)
+        browser.dispatch_event(sel, "change")
+        assert entered.wait(30)  # streamer mid-flight, gated
+        state = g(interp)["state"]
+        vp = interp._call_method(state["viewports"], "get", ["0_0"])
+        assert vp["metadata"]["isComputing"] is True
+        # the app draws NOW: tiles come from device regions
+        state["needsRedraw"] = True
+        browser.step_frames(2)
+        spec_cache = g(interp)["specTileCache"]
+        keys_mid = list(interp._call_method(spec_cache["map"], "keys", []))
+        assert keys_mid, "no tiles served mid-stream"
+        comp_ctx = browser.doc["querySelector"]("#compositor")["_ctx"]
+        assert any(name == "drawImage" for name, _ in comp_ctx["_ops"])
+        # release the stream; the watchdog flips isComputing off
+        gate.set()
+        assert session.settings_settled(timeout=60)
+        session.tm.images.drain()
+        for _ in range(12):
+            browser.advance(500)
+            vp = interp._call_method(state["viewports"], "get", ["0_0"])
+            if vp["metadata"]["isComputing"] is False:
+                break
+        assert vp["metadata"]["isComputing"] is False
+        # settled frames keep drawing under the SAME revision keys
+        state["needsRedraw"] = True
+        browser.step_frames(1)
+        keys_after = list(interp._call_method(spec_cache["map"], "keys", []))
+        assert set(keys_mid) <= set(keys_after)
+    finally:
+        gate.set()
+        session.tm.images.shutdown()
