@@ -866,3 +866,33 @@ def test_streaming_track_serves_tiles_through_the_app(tmp_path, monkeypatch):
     finally:
         gate.set()
         session.tm.images.shutdown()
+
+
+def test_file_input_add_and_freq_scale_toggle(booted):
+    """The Add-file button path (input.files -> upload bridge -> real add)
+    and the freq-scale select toggling Linear through applySpec."""
+    import numpy as np
+
+    from thesia_tpu.io.wav import encode_wav_s16
+
+    interp, browser, session, _media = booted
+    data = encode_wav_s16(0.1 * np.ones((1, 4000), np.float32), 8000)
+    inp = browser.doc["querySelector"]("#file-input")
+    inp["files"] = [{"name": "picked.wav", "bytes": data}]
+    n_before = len(session.tracklist.all_ids())
+    browser.dispatch_event(inp, "change", {"target": inp})
+    settle(session)
+    assert len(session.tracklist.all_ids()) == n_before + 1
+    assert inp["value"] == ""  # reset so re-picking the same file re-fires
+
+    fs = browser.doc["querySelector"]("#freq-scale")
+    fs["value"] = "Linear"
+    browser.dispatch_event(fs, "change")
+    settle(session)
+    state = g(interp)["state"]
+    assert state["freqScale"] == "Linear"
+    assert session.tm.setting.freq_scale.value == "Linear"
+    fs["value"] = "Mel"
+    browser.dispatch_event(fs, "change")
+    settle(session)
+    assert session.tm.setting.freq_scale.value == "Mel"
