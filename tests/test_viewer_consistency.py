@@ -360,3 +360,23 @@ def test_row_height_is_css_variable():
     css = (VIEWER / "style.css").read_text()
     assert "var(--row-h, 160px)" in css
     assert "--row-h" in _js_sources()["app.js"]
+
+
+def test_app_inline_math_budget():
+    """Ratchet: app.js/overview.js may keep their existing trivial inline
+    Math plumbing (hit-test abs, DOM clamp min/max, one display round), but
+    NEW numeric logic belongs in applogic.js where it gets a twin and real
+    execution.  Bumping these budgets requires moving the math or a
+    conscious justification here."""
+    srcs = _js_sources()
+    budgets = {"app.js": 14, "overview.js": 7}
+    for name, budget in budgets.items():
+        count = len(re.findall(r"Math\.\w+", srcs[name]))
+        assert count <= budget, (
+            f"{name} gained inline Math ({count} > {budget}): move the "
+            "formula into applogic.js (twinned + executed) instead"
+        )
+    # the zoom/selection/axis formula families must never reappear inline
+    for name in ("app.js", "overview.js"):
+        for banned in ("Math.log2", "Math.exp", "Math.cos", "Math.sin"):
+            assert banned not in srcs[name], (name, banned)
