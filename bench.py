@@ -372,7 +372,19 @@ def bench_knob_change_after_add():
         # timeout itself as a measurement (review finding)
         settled_s = (time.perf_counter() - t0) if settled else -1.0
         session.tm.images.drain()
-        return call_s, settled_s
+        # round-4 deferred dynamics switch: a Limiter-engaging normalize
+        # re-derives gains + re-uploads under the write lock — the call
+        # must still return at dispatch, the recompute lands in background
+        _progress("deferred limiter-engaging normalize change")
+        session.set_common_guard_clipping("Limiter", defer=True)
+        session.settings_settled(timeout=600)
+        t0 = time.perf_counter()
+        session.set_common_normalize({"type": "LUFS", "target": -0.5}, defer=True)
+        norm_call_s = time.perf_counter() - t0
+        settled = session.settings_settled(timeout=600)
+        norm_settled_s = (time.perf_counter() - t0) if settled else -1.0
+        session.tm.images.drain()
+        return call_s, settled_s, norm_call_s, norm_settled_s
     finally:
         if prev is None:
             os.environ.pop("THESIA_PRECOMPILE", None)
@@ -390,7 +402,9 @@ def main():
     sustained_rt = bench_sustained()
     settings_s = bench_settings_change()
     cold_shape_s = bench_cold_shape_with_warmer()
-    knob_after_add_s, knob_settled_s = bench_knob_change_after_add()
+    knob_after_add_s, knob_settled_s, norm_call_s, norm_settled_s = (
+        bench_knob_change_after_add()
+    )
     long_fields = bench_long_track_interactive()
     result = {
         "metric": "stft_mel_raster_realtime_factor_48k_stereo",
@@ -406,6 +420,8 @@ def main():
         "cold_shape_precompiled_settings_change_s": round(cold_shape_s, 3),
         "knob_change_after_add_s": round(knob_after_add_s, 3),
         "knob_change_after_add_settled_s": round(knob_settled_s, 3),
+        "normalize_limiter_change_s": round(norm_call_s, 3),
+        "normalize_limiter_change_settled_s": round(norm_settled_s, 3),
         **long_fields,
     }
     print(json.dumps(result))

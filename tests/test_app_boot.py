@@ -896,3 +896,75 @@ def test_file_input_add_and_freq_scale_toggle(booted):
     browser.dispatch_event(fs, "change")
     settle(session)
     assert session.tm.setting.freq_scale.value == "Mel"
+
+
+def test_deferred_normalize_settle_poll_repaints_stale_rows(booted, monkeypatch):
+    """Deferred-mode race the settle poll exists for: the knob handler's
+    refreshAll/rebuildAllRowInfo can complete BEFORE the background switch
+    lands (the switch worker hasn't reached the write lock yet), leaving the
+    row LUFS/guard text stale.  Delay the apply to force that ordering, then
+    drive the app's settle poll and assert it repaints the landed state."""
+    import os
+    import time
+
+    if os.environ.get("THESIA_DEFER_SETTINGS") != "1":
+        pytest.skip("deferred-mode flow")
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+
+    def set_ui(sel_id, value):
+        el = browser.doc["querySelector"](sel_id)
+        el["value"] = value
+        browser.dispatch_event(el, "change")
+
+    # known baseline: limiter armed, normalize off (module fixture is shared)
+    set_ui("#guard-mode", "Limiter")
+    set_ui("#norm-type", "Off")
+    assert session.settings_settled(timeout=120)
+    for _ in range(8):
+        browser.advance(500)  # flush earlier settle polls
+    stats0 = [
+        r["querySelector"](".track-stats")["textContent"]
+        for r in rows_el["children"]
+    ]
+    assert not any("reduced by" in s for s in stats0)
+
+    orig = session._apply_common_switch
+
+    def delayed(kind, gen, value, deferred):
+        time.sleep(0.3)  # the dispatch chain finishes well inside this
+        return orig(kind, gen, value, deferred)
+
+    monkeypatch.setattr(session, "_apply_common_switch", delayed)
+    # +6 LUFS target: gain > 1 engages the limiter, so the landed state is
+    # visibly different from the stale text ("reduced by ..." appears)
+    browser.doc["querySelector"]("#norm-target")["value"] = "6"
+    set_ui("#norm-type", "LUFS")
+    # handler chain already ran — against the PRE-switch engine state
+    stale = [
+        r["querySelector"](".track-stats")["textContent"]
+        for r in rows_el["children"]
+    ]
+    assert stale == stats0
+    assert session.settings_settled(timeout=120)
+    # the landed switch restarts the image stream; drain it so the poll's
+    # next metadata fetch sees isComputing false (the poll keeps backing
+    # off while the stream runs — correct, but the manual clock outpaces
+    # the real background stream here)
+    session.tm.images.drain()
+    # the app's settle poll re-fetches row info once isComputing flips off
+    for _ in range(12):
+        browser.advance(500)
+        stats1 = [
+            r["querySelector"](".track-stats")["textContent"]
+            for r in rows_el["children"]
+        ]
+        if stats1 != stats0 and any("reduced by" in s for s in stats1):
+            break
+    assert stats1 != stats0
+    assert any("reduced by" in s for s in stats1)
+    # restore for later module tests
+    monkeypatch.setattr(session, "_apply_common_switch", orig)
+    set_ui("#norm-type", "Off")
+    set_ui("#guard-mode", "ReduceGlobalLevel")
+    assert session.settings_settled(timeout=120)

@@ -428,3 +428,137 @@ def test_deferred_env_default(tmp_path, monkeypatch):
     gate.set()
     assert s.settings_settled(timeout=60)
     assert s.get_spec_setting()["winMillisec"] == 20
+
+
+# ---------------------------------------------------------------------------
+# Deferred normalize / guard switches (round 4): same return-at-dispatch
+# contract as set_spec_setting — a Limiter-engaging session otherwise blocks
+# the caller on gain-seq compute + wav re-upload under the write lock.
+
+
+def _deferred_common_session(tmp_path, monkeypatch):
+    import threading
+
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_f32
+    from thesia_tpu.render import default_colormap_rgba8
+
+    s = EngineSession(settings_dir=tmp_path / "cfg")
+    s.init(default_colormap_rgba8())
+    w = np.random.default_rng(0).uniform(-0.5, 0.5, (1, 16000)).astype(np.float32)
+    p = tmp_path / "d.wav"
+    p.write_bytes(encode_wav_f32(w, 8000))
+    assert s.add_tracks([0], [str(p)]) == [0]
+    s.apply_track_list_changes()
+    s.tm.images.drain()
+    gate = threading.Event()
+    entered = threading.Event()
+    orig = s.tm.update_all_specs_imgs
+
+    def gated(tracklist):
+        entered.set()
+        assert gate.wait(20)
+        return orig(tracklist)
+
+    monkeypatch.setattr(s.tm, "update_all_specs_imgs", gated)
+    return s, gate, entered
+
+
+def test_deferred_normalize_returns_at_dispatch(tmp_path, monkeypatch):
+    import time
+
+    s, gate, entered = _deferred_common_session(tmp_path, monkeypatch)
+    md_before = s.get_audio_render_metadata("0_0")
+    t0 = time.perf_counter()
+    s.set_common_normalize({"type": "LUFS", "target": -20.0}, defer=True)
+    call_s = time.perf_counter() - t0
+    assert call_s < 1.0  # returned before the (gated) recompute
+    assert entered.wait(10)
+    # read-back sees the TARGET while the switch is still landing
+    assert s.get_common_normalize() == {"type": "LUFS", "target": -20.0}
+    assert s.spec_switch_pending()
+    assert s.get_audio_render_metadata("0_0")["isComputing"] is True
+    gate.set()
+    assert s.settings_settled(timeout=60)
+    s.tm.images.drain()
+    assert s.tracklist.common_normalize.to_json() == {"type": "LUFS", "target": -20.0}
+    md_after = s.get_audio_render_metadata("0_0")
+    assert md_after["isComputing"] is False
+    # the landed switch invalidated tiles (revision bump, viewer repaints)
+    assert md_after["spectrogramRevision"] > md_before["spectrogramRevision"]
+
+
+def test_deferred_normalize_latest_wins(tmp_path, monkeypatch):
+    s, gate, entered = _deferred_common_session(tmp_path, monkeypatch)
+    applied = []
+    orig_set = type(s.tracklist).set_common_normalize
+
+    def counting(tl, target):
+        applied.append(target.to_json())
+        return orig_set(tl, target)
+
+    monkeypatch.setattr(type(s.tracklist), "set_common_normalize", counting)
+    for target in (-10.0, -16.0, -23.0):
+        s.set_common_normalize({"type": "LUFS", "target": target}, defer=True)
+    assert entered.wait(10)
+    gate.set()
+    assert s.settings_settled(timeout=60)
+    # superseded generations never dispatched; only the last applied
+    assert applied == [{"type": "LUFS", "target": -23.0}]
+    assert s.get_common_normalize() == {"type": "LUFS", "target": -23.0}
+
+
+def test_deferred_guard_switch_and_cross_kind_fifo(tmp_path, monkeypatch):
+    """Queue normalize THEN guard deferred; the serial pool applies both in
+    order and the final state equals the synchronous sequence."""
+    s, gate, entered = _deferred_common_session(tmp_path, monkeypatch)
+    s.set_common_normalize({"type": "PeakdB", "target": -1.0}, defer=True)
+    s.set_common_guard_clipping("Limiter", defer=True)
+    assert s.get_common_guard_clipping() == "Limiter"
+    assert entered.wait(10)
+    gate.set()
+    assert s.settings_settled(timeout=60)
+    assert s.tracklist.common_guard_clipping.value == "Limiter"
+    assert s.tracklist.common_normalize.to_json() == {"type": "PeakdB", "target": -1.0}
+
+    # synchronous twin for the final state
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_f32
+    from thesia_tpu.render import default_colormap_rgba8
+
+    s2 = EngineSession(settings_dir=tmp_path / "cfg2")
+    s2.init(default_colormap_rgba8())
+    w = np.random.default_rng(0).uniform(-0.5, 0.5, (1, 16000)).astype(np.float32)
+    p2 = tmp_path / "d2.wav"
+    p2.write_bytes(encode_wav_f32(w, 8000))
+    assert s2.add_tracks([0], [str(p2)]) == [0]
+    s2.apply_track_list_changes()
+    s2.set_common_normalize({"type": "PeakdB", "target": -1.0}, defer=False)
+    s2.set_common_guard_clipping("Limiter", defer=False)
+    np.testing.assert_array_equal(s.tracklist[0].audio.wavs, s2.tracklist[0].audio.wavs)
+
+
+def test_deferred_guard_invalid_mode_raises_synchronously(tmp_path, monkeypatch):
+    s, gate, entered = _deferred_common_session(tmp_path, monkeypatch)
+    with pytest.raises(ValueError):
+        s.set_common_guard_clipping("Bogus", defer=True)
+    assert not s.spec_switch_pending()
+    gate.set()
+
+
+def test_deferred_common_switch_failure_rolls_back(tmp_path, monkeypatch):
+    s, gate, entered = _deferred_common_session(tmp_path, monkeypatch)
+    events = []
+    s.add_listener(lambda name, p: events.append((name, p)))
+
+    def boom(tl, mode):
+        raise RuntimeError("simulated switch failure")
+
+    # fail BEFORE the tracklist mutates: the reported value must roll back
+    # to the actual (unchanged) state, not the never-applied target
+    monkeypatch.setattr(type(s.tracklist), "set_common_guard_clipping", boom)
+    s.set_common_guard_clipping("Limiter", defer=True)
+    assert s.settings_settled(timeout=60)  # must not hang on failure
+    # reported target rolled back to the tracklist's ACTUAL state
+    assert s.get_common_guard_clipping() == "ReduceGlobalLevel"
+    assert ("settings-switch-failed", {"commonGuardClipping": "Limiter"}) in events

@@ -121,6 +121,10 @@ class EngineSession:
         # (lib.rs:36-42): service reads take .read(), the write worker takes
         # .write() around every mutation
         self.rw = RwLock()
+        # serializes the settings/paths JSON read-modify-writes (store
+        # persistence is independent of engine state — it must never queue
+        # behind an in-flight apply on the write worker)
+        self._store_lock = threading.Lock()
         self._listeners: list = []
         # big-WAV h2d prefetch threads (eager: lazy init raced concurrent
         # add_tracks calls and could leak a second pool)
@@ -129,16 +133,26 @@ class EngineSession:
         )
         # deferred settings switches (return-at-dispatch, like apply/images):
         # a cold-shape set_spec_setting otherwise blocks the caller on a
-        # multi-second XLA compile over the tunnel.  One serial worker,
-        # latest generation wins; metadata reports isComputing until the
-        # switch lands (the viewer's computing poll picks up the revision).
+        # multi-second XLA compile over the tunnel, and a normalize/guard
+        # change on a Limiter-engaging session blocks on gain-seq compute +
+        # a full wav re-upload.  ONE serial worker (cross-kind FIFO keeps
+        # the final state identical to the synchronous order); PER-KIND
+        # latest-generation-wins (a rapid normalize churn must not starve a
+        # queued spec switch, and vice versa); metadata reports isComputing
+        # until every queued switch lands (the viewer's computing poll
+        # picks up the new revision).
         self._spec_switch_lock = threading.Lock()
         self._spec_switch_cond = threading.Condition(self._spec_switch_lock)
-        self._spec_gen = 0
-        self._spec_applied_gen = 0
+        self._switch_gen = {"spec": 0, "guard": 0, "normalize": 0}
+        self._switch_applied = {"spec": 0, "guard": 0, "normalize": 0}
         self._spec_switch_pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="spec-switch"
+            max_workers=1, thread_name_prefix="settings-switch"
         )
+        # reported (target) values for the deferred knobs: read-back must see
+        # the TARGET immediately after dispatch, while the tracklist still
+        # holds the applied state until the switch lands
+        self._guard_target = self.tracklist.common_guard_clipping
+        self._normalize_target = self.tracklist.common_normalize
         self.player = Player(self._player_get_track, self._emit_player_state)
 
     # -- events ------------------------------------------------------------
@@ -257,18 +271,23 @@ class EngineSession:
                 "commonGuardClipping": self.tracklist.common_guard_clipping.value,
                 "commonNormalize": self.tracklist.common_normalize.to_json(),
             }
-            # persist INSIDE the worker: the store read-modify-write must
-            # serialize with concurrent set_user_settings calls
-            self._save_store("settings.json", user_settings)
+            # the store read-modify-write serializes with concurrent
+            # set_user_settings calls via the store lock
+            with self._store_lock:
+                self._save_store("settings.json", user_settings)
             return user_settings
 
         # init supersedes any in-flight deferred settings switch: a stale
         # pre-init target must not re-apply over the freshly-restored state
         with self._spec_switch_cond:
-            self._spec_gen += 1
-            self._spec_applied_gen = self._spec_gen
+            for kind in self._switch_gen:
+                self._switch_gen[kind] += 1
+                self._switch_applied[kind] = self._switch_gen[kind]
             self._spec_switch_cond.notify_all()
         user_settings = self._write(work)
+        with self._spec_switch_lock:
+            self._guard_target = self.tracklist.common_guard_clipping
+            self._normalize_target = self.tracklist.common_normalize
         self.tile_cache.invalidate_all()
         self.tile_cache.set_colormap(colormap_rgba.reshape(-1, 4))
         self.spec_setting = SpecSetting.from_json(user_settings["specSetting"])
@@ -283,10 +302,12 @@ class EngineSession:
 
     def set_user_settings(self, user_settings: dict) -> None:
         """Persist a partial settings update. reference: lib.rs:100-149.
-        Serialized through the write worker: the JSON read-modify-write
-        would otherwise race with concurrent settings POSTs."""
-
-        def work():
+        Serialized under the dedicated store lock, NOT the write worker: the
+        JSON read-modify-write must not race concurrent settings POSTs, but
+        a pure file write queueing behind an in-flight multi-second apply
+        (deferred normalize/guard, long add) would stall every persist —
+        the viewer's blend debounce and the knob handlers' await chains."""
+        with self._store_lock:
             stored = self._load_store("settings.json")
             allowed = {
                 "specSetting", "blend", "dBRange", "commonGuardClipping",
@@ -297,18 +318,14 @@ class EngineSession:
                     stored[k] = v
             self._save_store("settings.json", stored)
 
-        self._write(work)
-
     def get_open_files_dialog_path(self) -> str:
         return self._load_store("paths.json").get(OPEN_FILES_DIALOG_PATH_KEY, "")
 
     def set_open_files_dialog_path(self, path: str) -> None:
-        def work():
+        with self._store_lock:
             store = self._load_store("paths.json")
             store[OPEN_FILES_DIALOG_PATH_KEY] = path
             self._save_store("paths.json", store)
-
-        self._write(work)
 
     # ======================================================================
     # track CRUD
@@ -518,8 +535,8 @@ class EngineSession:
             # must not end with one's setting applied and the other's
             # reported (review finding)
             self.spec_setting = spec_setting
-            self._spec_gen += 1
-            gen = self._spec_gen
+            self._switch_gen["spec"] += 1
+            gen = self._switch_gen["spec"]
         if defer:
             self._spec_switch_pool.submit(
                 self._apply_spec_setting, gen, spec_setting, True
@@ -527,25 +544,40 @@ class EngineSession:
         else:
             self._apply_spec_setting(gen, spec_setting, False)
 
-    def _spec_superseded(self, gen: int) -> bool:
+    def _superseded(self, kind: str, gen: int) -> bool:
         with self._spec_switch_lock:
-            return gen != self._spec_gen
+            return gen != self._switch_gen[kind]
 
     def spec_switch_pending(self) -> bool:
+        """True while ANY deferred settings switch (spec/guard/normalize)
+        is still queued — the knobs share the isComputing contract."""
         with self._spec_switch_lock:
-            return self._spec_applied_gen < self._spec_gen
+            return any(
+                self._switch_applied[k] < self._switch_gen[k]
+                for k in self._switch_gen
+            )
 
     def settings_settled(self, timeout: float | None = None) -> bool:
-        """Block until every queued settings switch has been applied (or
-        superseded).  Test/bench synchronization point."""
+        """Block until every queued settings switch (spec/guard/normalize)
+        has been applied (or superseded).  Test/bench synchronization point."""
         with self._spec_switch_cond:
             return self._spec_switch_cond.wait_for(
-                lambda: self._spec_applied_gen >= self._spec_gen, timeout=timeout
+                lambda: all(
+                    self._switch_applied[k] >= self._switch_gen[k]
+                    for k in self._switch_gen
+                ),
+                timeout=timeout,
             )
+
+    def _mark_applied(self, kind: str, gen: int) -> None:
+        with self._spec_switch_cond:
+            if gen > self._switch_applied[kind]:
+                self._switch_applied[kind] = gen
+            self._spec_switch_cond.notify_all()
 
     def _apply_spec_setting(self, gen: int, setting: SpecSetting, deferred: bool) -> None:
         try:
-            if self._spec_superseded(gen):
+            if self._superseded("spec", gen):
                 return
             if deferred:
                 # phase 1 (deferred only — a synchronous caller compiles
@@ -561,11 +593,11 @@ class EngineSession:
                         "settings precompile failed; dispatch will compile inline",
                         exc_info=True,
                     )
-            if self._spec_superseded(gen):
+            if self._superseded("spec", gen):
                 return
 
             def work():
-                if self._spec_superseded(gen):
+                if self._superseded("spec", gen):
                     return False
                 self.tm.set_setting(self.tracklist, setting)
                 return True
@@ -581,7 +613,7 @@ class EngineSession:
                     "deferred settings switch failed", exc_info=True
                 )
                 with self._spec_switch_lock:
-                    if gen == self._spec_gen:
+                    if gen == self._switch_gen["spec"]:
                         self.spec_setting = self.tm.setting
                 self._emit(
                     "settings-switch-failed",
@@ -593,10 +625,7 @@ class EngineSession:
             if applied:
                 self.tile_cache.invalidate_spectrogram()
         finally:
-            with self._spec_switch_cond:
-                if gen > self._spec_applied_gen:
-                    self._spec_applied_gen = gen
-                self._spec_switch_cond.notify_all()
+            self._mark_applied("spec", gen)
 
     def _precompile_setting(self, setting: SpecSetting, gen: int) -> None:
         from ..dsp import precompile
@@ -618,7 +647,7 @@ class EngineSession:
         # pause the background warmer: this compile IS the interactive work
         with self.tm.shape_warmer.interactive():
             for make in jobs:
-                if self._spec_superseded(gen):
+                if self._superseded("spec", gen):
                     return
                 try:
                     _key, lower = make()
@@ -627,33 +656,100 @@ class EngineSession:
                     continue
 
     def get_common_guard_clipping(self) -> str:
-        return self.tracklist.common_guard_clipping.value
+        # the TARGET: read-back right after a deferred dispatch must see the
+        # requested mode, not the not-yet-switched tracklist state
+        return self._guard_target.value
 
-    def set_common_guard_clipping(self, mode: str | GuardClippingMode) -> None:
+    def set_common_guard_clipping(
+        self, mode: str | GuardClippingMode, *, defer: bool | None = None
+    ) -> None:
+        """Switch the guard-clipping mode (reference: lib.rs guard command).
+
+        Same deferred contract as set_spec_setting: validates synchronously,
+        records the target, and returns at dispatch; the serial switch
+        worker re-derives every track from its ORIGINAL samples under the
+        write lock (so a Limiter-engaging hour track's gain-seq compute +
+        wav re-upload no longer blocks the caller), then invalidates tiles
+        and resets the player.  Latest guard generation wins; cross-kind
+        FIFO with spec/normalize switches keeps the final state equal to
+        the synchronous order.  defer=False / THESIA_DEFER_SETTINGS=0
+        restores reference-style blocking semantics."""
         mode = GuardClippingMode(mode)
-
-        def work():
-            self.tracklist.set_common_guard_clipping(mode)
-            self.tm.update_all_specs_imgs(self.tracklist)
-
-        self._write(work)
-        self.tile_cache.invalidate_all()
-        self.player.set_track(None, None)
+        self._dispatch_common_switch("guard", mode, defer)
 
     def get_common_normalize(self) -> dict:
-        return self.tracklist.common_normalize.to_json()
+        return self._normalize_target.to_json()
 
-    def set_common_normalize(self, target: dict | NormalizeTarget) -> None:
+    def set_common_normalize(
+        self, target: dict | NormalizeTarget, *, defer: bool | None = None
+    ) -> None:
+        """Switch the common normalize target.  Deferred contract — see
+        set_common_guard_clipping."""
         if isinstance(target, dict):
             target = NormalizeTarget.from_json(target)
+        self._dispatch_common_switch("normalize", target, defer)
 
-        def work():
-            self.tracklist.set_common_normalize(target)
-            self.tm.update_all_specs_imgs(self.tracklist)
+    def _dispatch_common_switch(self, kind: str, value, defer: bool | None) -> None:
+        if defer is None:
+            defer = os.environ.get("THESIA_DEFER_SETTINGS", "1") != "0"
+        with self._spec_switch_lock:
+            if kind == "guard":
+                self._guard_target = value
+            else:
+                self._normalize_target = value
+            self._switch_gen[kind] += 1
+            gen = self._switch_gen[kind]
+        if defer:
+            self._spec_switch_pool.submit(
+                self._apply_common_switch, kind, gen, value, True
+            )
+        else:
+            self._apply_common_switch(kind, gen, value, False)
 
-        self._write(work)
-        self.tile_cache.invalidate_all()
-        self.player.set_track(None, None)
+    def _apply_common_switch(self, kind: str, gen: int, value, deferred: bool) -> None:
+        try:
+            if self._superseded(kind, gen):
+                return
+
+            def work():
+                if self._superseded(kind, gen):
+                    return False
+                if kind == "guard":
+                    self.tracklist.set_common_guard_clipping(value)
+                else:
+                    self.tracklist.set_common_normalize(value)
+                self.tm.update_all_specs_imgs(self.tracklist)
+                return True
+
+            try:
+                applied = self._write(work)
+            except Exception:
+                # deferred failures must not vanish into the discarded
+                # Future: log, surface an event, and roll the reported
+                # target back to the tracklist's ACTUAL state so read-back
+                # and persistence can't diverge silently
+                logging.getLogger(__name__).warning(
+                    "deferred %s switch failed", kind, exc_info=True
+                )
+                with self._spec_switch_lock:
+                    if gen == self._switch_gen[kind]:
+                        if kind == "guard":
+                            self._guard_target = self.tracklist.common_guard_clipping
+                        else:
+                            self._normalize_target = self.tracklist.common_normalize
+                payload_key = (
+                    "commonGuardClipping" if kind == "guard" else "commonNormalize"
+                )
+                payload_val = value.value if kind == "guard" else value.to_json()
+                self._emit("settings-switch-failed", {payload_key: payload_val})
+                if not deferred:
+                    raise
+                return
+            if applied:
+                self.tile_cache.invalidate_all()
+                self.player.set_track(None, None)
+        finally:
+            self._mark_applied(kind, gen)
 
     # ======================================================================
     # render

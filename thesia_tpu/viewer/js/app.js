@@ -1168,6 +1168,29 @@ async function setupControls() {
     redraw();
   };
 
+  // deferred normalize/guard switches return at dispatch (the engine
+  // re-derives tracks in the background); tile revisions are re-adopted by
+  // each viewport's computing watchdog, but the row LUFS/guard text reads
+  // the APPLIED state — re-fetch it once isComputing flips off
+  let infoSettleGen = 0;
+  const refreshRowInfoWhenSettled = () => {
+    const first = [...state.viewports.keys()][0];
+    if (!first) return;
+    const gen = ++infoSettleGen;
+    const poll = async (delay) => {
+      if (gen !== infoSettleGen) return;
+      const md = await api.getMetadata(first).catch(() => null);
+      if (gen !== infoSettleGen || !md) return;
+      if (md.isComputing) {
+        setTimeout(() => poll(delay < 1600 ? delay * 1.25 : 2000), delay);
+        return;
+      }
+      await rebuildAllRowInfo();
+      redraw();
+    };
+    setTimeout(() => poll(300), 200);
+  };
+
   const applyNormalize = async () => {
     const type = $("#norm-type").value;
     $("#norm-target").disabled = type === "Off";
@@ -1178,6 +1201,7 @@ async function setupControls() {
     await refreshAll();
     await rebuildAllRowInfo();
     redraw();
+    refreshRowInfoWhenSettled();
   };
   $("#norm-type").onchange = applyNormalize;
   $("#norm-target").onchange = applyNormalize;
@@ -1187,6 +1211,7 @@ async function setupControls() {
     await refreshAll();
     await rebuildAllRowInfo();
     redraw();
+    refreshRowInfoWhenSettled();
   };
 }
 
