@@ -902,10 +902,9 @@ def test_deferred_normalize_settle_poll_repaints_stale_rows(booted, monkeypatch)
     """Deferred-mode race the settle poll exists for: the knob handler's
     refreshAll/rebuildAllRowInfo can complete BEFORE the background switch
     lands (the switch worker hasn't reached the write lock yet), leaving the
-    row LUFS/guard text stale.  Delay the apply to force that ordering, then
+    row LUFS/guard text stale.  Gate the apply to force that ordering, then
     drive the app's settle poll and assert it repaints the landed state."""
     import os
-    import time
 
     if os.environ.get("THESIA_DEFER_SETTINGS") != "1":
         pytest.skip("deferred-mode flow")
@@ -929,13 +928,18 @@ def test_deferred_normalize_settle_poll_repaints_stale_rows(booted, monkeypatch)
     ]
     assert not any("reduced by" in s for s in stats0)
 
-    orig = session._apply_common_switch
+    import threading
 
-    def delayed(kind, gen, value, deferred):
-        time.sleep(0.3)  # the dispatch chain finishes well inside this
+    orig = session._apply_common_switch
+    release = threading.Event()
+
+    def gated(kind, gen, value, deferred):
+        # deterministic ordering: the apply waits until the test has read
+        # the stale DOM (no sleep race under CI load)
+        assert release.wait(30)
         return orig(kind, gen, value, deferred)
 
-    monkeypatch.setattr(session, "_apply_common_switch", delayed)
+    monkeypatch.setattr(session, "_apply_common_switch", gated)
     # +6 LUFS target: gain > 1 engages the limiter, so the landed state is
     # visibly different from the stale text ("reduced by ..." appears)
     browser.doc["querySelector"]("#norm-target")["value"] = "6"
@@ -946,6 +950,7 @@ def test_deferred_normalize_settle_poll_repaints_stale_rows(booted, monkeypatch)
         for r in rows_el["children"]
     ]
     assert stale == stats0
+    release.set()
     assert session.settings_settled(timeout=120)
     # the landed switch restarts the image stream; drain it so the poll's
     # next metadata fetch sees isComputing false (the poll keeps backing
