@@ -223,9 +223,26 @@ def make_element(doc, tag, attrs=None):
     return el
 
 
+_CTX_STYLE_KEYS = {
+    "fillStyle", "strokeStyle", "globalAlpha", "font", "textAlign",
+    "textBaseline", "lineWidth",
+}
+
+
+class _RecordingCtx(dict):
+    """Records style-property assignments as ("set:<name>", value) ops so
+    tests can assert e.g. that the limiter band used its gain color."""
+
+    def __setitem__(self, key, value):
+        if key in _CTX_STYLE_KEYS:
+            self["_ops"].append((f"set:{key}", value))
+        super().__setitem__(key, value)
+
+
 def make_canvas_ctx():
     """2D context that records draw calls (ops list) and accepts state."""
-    ctx = {"_ops": []}
+    ctx = _RecordingCtx()
+    dict.__setitem__(ctx, "_ops", [])
 
     def op(name):
         def fn(*args):

@@ -973,3 +973,49 @@ def test_deferred_normalize_settle_poll_repaints_stale_rows(booted, monkeypatch)
     set_ui("#norm-type", "Off")
     set_ui("#guard-mode", "ReduceGlobalLevel")
     assert session.settings_settled(timeout=120)
+
+
+def test_overview_limiter_band_renders(booted):
+    """Limiter-engaging normalize -> the overview strip fetches the REAL
+    limiter gain sequence (get_limiter_gain, reference lib.rs:400-406) and
+    paints the orange gain band (Overview.tsx limiter envelope)."""
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+
+    def set_ui(sel_id, value):
+        el = browser.doc["querySelector"](sel_id)
+        el["value"] = value
+        browser.dispatch_event(el, "change")
+
+    set_ui("#guard-mode", "Limiter")
+    browser.doc["querySelector"]("#norm-target")["value"] = "6"
+    set_ui("#norm-type", "LUFS")
+    settle(session)
+    # select a row so the overview tracks it (refreshAll -> overview.setTrack)
+    info = rows_el["children"][0]["querySelector"](".track-info")
+    browser.dispatch_event(info, "mousedown", {
+        "target": info, "metaKey": False, "ctrlKey": False, "shiftKey": False,
+    })
+    for _ in range(6):
+        browser.advance(500)  # flush settle polls / metadata watchers
+    ov = g(interp)["overview"]
+    state = g(interp)["state"]
+    tid = int(state["selectedTrack"])
+    # force a fresh fetch+draw through the bridge
+    interp._call_method(ov, "setTrack", [float(tid), True])
+    interp._call_method(ov, "draw", [state["startSec"], state["pxPerSec"]])
+    gain = ov["gain"]
+    assert gain is not None and gain is not UNDEF
+    # the engine really limited: a sub-unity gain region exists
+    assert len(gain) > 1 and min(gain) < 1.0
+    assert min(gain) == pytest.approx(
+        min(session.get_limiter_gain(tid)), abs=1e-6
+    )
+    # the band was painted with the gain color
+    ctx = browser.doc["querySelector"]("#overview")["_ctx"]
+    fills = [v for name, v in ctx["_ops"] if name == "set:fillStyle"]
+    assert "rgba(245,145,73,0.55)" in fills
+    # back off for later module tests
+    set_ui("#norm-type", "Off")
+    set_ui("#guard-mode", "ReduceGlobalLevel")
+    settle(session)
