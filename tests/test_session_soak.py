@@ -149,9 +149,21 @@ def test_deferred_settings_churn_soak(tmp_path, monkeypatch):
         live = {0}
         next_id = 1
         last_setting = None
+        last_norm = None
+        last_guard = None
         for step in range(40):
-            op = rng.integers(5)
-            if op == 0:
+            op = rng.integers(7)
+            if op == 5:
+                last_norm = rng.choice([
+                    {"type": "Off"},
+                    {"type": "LUFS", "target": float(rng.uniform(-30, 5))},
+                    {"type": "PeakdB", "target": float(rng.uniform(-12, 0))},
+                ])
+                s.set_common_normalize(last_norm)  # deferred (env default)
+            elif op == 6:
+                last_guard = str(rng.choice(["Clip", "ReduceGlobalLevel", "Limiter"]))
+                s.set_common_guard_clipping(last_guard)  # deferred
+            elif op == 0:
                 last_setting = {
                     "winMillisec": float(rng.choice([10, 20, 40, 80])),
                     "tOverlap": int(rng.choice([1, 2, 4, 8])),
@@ -185,6 +197,13 @@ def test_deferred_settings_churn_soak(tmp_path, monkeypatch):
             assert got["winMillisec"] == last_setting["winMillisec"]
             assert got["tOverlap"] == last_setting["tOverlap"]
             assert s.tm.setting.win_ms == last_setting["winMillisec"]
+        # latest normalize/guard targets landed in the tracklist
+        if last_norm is not None:
+            assert s.tracklist.common_normalize.to_json() == last_norm
+            assert s.get_common_normalize() == last_norm
+        if last_guard is not None:
+            assert s.tracklist.common_guard_clipping.value == last_guard
+            assert s.get_common_guard_clipping() == last_guard
         for tid in live:
             md = s.get_audio_render_metadata(f"{tid}_0")
             assert md["isComputing"] is False, tid
