@@ -1123,7 +1123,14 @@ class Interp:
         elif kind == "classdecl":
             env.declare(node[1], JSClass(node[1], node[2], env, self))
         elif kind == "nsimport":
-            env.declare(node[1], ("__ns__", self.global_env))
+            # snapshot the concatenated-module globals at import time: a
+            # later same-named declaration in the IMPORTING file must not
+            # shadow the namespace member (browser module scopes are
+            # separate — a live view made app.js's zoomFreqRangeAt wrapper
+            # call itself through L.*).  Load files in dependency order.
+            snap = Env()
+            snap.vars = dict(self.global_env.vars)
+            env.declare(node[1], ("__ns__", snap))
         elif kind == "throw":
             raise JSThrow(self.eval(node[1], env))
         elif kind == "switch":

@@ -50,7 +50,7 @@ def booted(request, tmp_path_factory):
     interp = Interp()
     browser.install(interp)
     for name in ("api.js", "freqscale.js", "caches.js", "axes.js",
-                 "viewport.js", "overview.js", "applogic.js", "app.js"):
+                 "viewport.js", "applogic.js", "overview.js", "app.js"):
         interp.load((VIEWER / "js" / name).read_text())
     yield interp, browser, session, str(media)
     session.tm.images.shutdown()
@@ -831,7 +831,7 @@ def test_streaming_track_serves_tiles_through_the_app(tmp_path, monkeypatch):
     browser.install(interp)
     try:
         for name in ("api.js", "freqscale.js", "caches.js", "axes.js",
-                     "viewport.js", "overview.js", "applogic.js", "app.js"):
+                     "viewport.js", "applogic.js", "overview.js", "app.js"):
             interp.load((VIEWER / "js" / name).read_text())
         sel = browser.doc["querySelector"]("#media-list")
         sel["value"] = str(media)
@@ -1019,3 +1019,55 @@ def test_overview_limiter_band_renders(booted):
     set_ui("#norm-type", "Off")
     set_ui("#guard-mode", "ReduceGlobalLevel")
     settle(session)
+
+
+def test_hotkeys_select_all_freq_zoom_and_escape(booted):
+    """The remaining hotkey branches: ctrl+A select-all, ]/[ freq zoom
+    around the range center (menu.rs freq-zoom events), shift+arrow big
+    jump, and Escape cancelling a floating axis input."""
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    # ctrl+A selects every track
+    _key(browser, "KeyA", key="a", ctrlKey=True)
+    assert len(state["selected"]) == len({
+        r["dataset"]["trackId"] for r in rows_el["children"]
+    })
+    # ] zooms the freq range in around the center; [ zooms back out
+    assert state["hzRange"] in (None, UNDEF)
+    _key(browser, "BracketRight", key="]")
+    zoomed = state["hzRange"]
+    assert zoomed is not None and zoomed is not UNDEF
+    span_zoomed = zoomed[1] - zoomed[0]
+    _key(browser, "BracketLeft", key="[")
+    after = state["hzRange"]
+    span_after = (
+        after[1] - after[0]
+        if after not in (None, UNDEF)
+        else session.tm.max_sr / 2.0
+    )
+    assert span_after > span_zoomed
+    # shift+ArrowRight = big jump (PLAY_BIG_JUMP_SEC=5) through the player
+    vpc = rows_el["children"][0]["querySelector"](".viewport")
+    browser.dispatch_event(vpc, "click", {"offsetX": 0.0, "offsetY": 40.0, "target": vpc})
+    _key(browser, "Home", key="Home")
+    _key(browser, "ArrowRight", key="ArrowRight", shiftKey=True)
+    sec = session.tracklist[int(state["selectedTrack"])].sec
+    assert session.player.state()["positionSec"] == pytest.approx(
+        min(5.0, sec), abs=0.05
+    )
+    # Escape closes a floating axis input without committing
+    row = rows_el["children"][0]
+    axis = row["querySelector"](".freq-axis")
+    hz0 = state["hzRange"]
+    browser.dispatch_event(axis, "dblclick", {
+        "target": axis, "offsetY": 10.0, "clientX": 40.0, "clientY": 40.0,
+    })
+    inp = [c for c in browser.doc["body"]["children"]
+           if c.get("className") == "floating-input"]
+    assert inp, "floating input did not open"
+    inp[0]["value"] = "1234"
+    browser.dispatch_event(inp[0], "keydown", {"key": "Escape"})
+    assert not [c for c in browser.doc["body"]["children"]
+                if c.get("className") == "floating-input"]
+    assert state["hzRange"] == hz0  # not committed
