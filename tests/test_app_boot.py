@@ -675,6 +675,9 @@ def test_viewport_tooltip_renders_time_and_freq(booted):
     tips = [c for c in browser.doc["body"]["children"]
             if ":" in (c["textContent"] or "") and "Hz" in (c["textContent"] or "")]
     assert tips, "tooltip content did not render"
+    # leaving the viewport hides it
+    browser.dispatch_event(vpc, "mouseleave", {"target": vpc})
+    assert tips[0]["style"].get("display") == "none"
 
 
 def test_overview_lens_edge_resize_zooms(booted):
@@ -1071,3 +1074,24 @@ def test_hotkeys_select_all_freq_zoom_and_escape(booted):
     assert not [c for c in browser.doc["body"]["children"]
                 if c.get("className") == "floating-input"]
     assert state["hzRange"] == hz0  # not committed
+
+
+def test_play_with_no_selection_autoselects_first_track(booted):
+    """Space with nothing selected auto-selects the first display-order
+    track and arms the player on it (reference: toggle-play menu event +
+    useSelectedTracks default).  Click-paths can never empty a non-empty
+    selection (selectTrack keeps the last one, useSelectedTracks.ts:13-63),
+    so produce the empty-selection state selectAfterRemoveTracks would
+    return and drive the defensive branch from there."""
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    g(interp)["applySelection"]({"selected": [], "pivotId": -1.0})
+    assert list(state["selected"]) == []
+    assert state["selectedTrack"] is None
+    _key(browser, "Space", key=" ")
+    assert session.player.state()["isPlaying"] is True
+    assert state["selectedTrack"] == state["trackIds"][0]
+    assert session.player.state()["trackId"] == int(state["trackIds"][0])
+    _key(browser, "Space", key=" ")
+    assert session.player.state()["isPlaying"] is False
