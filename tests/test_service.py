@@ -236,6 +236,13 @@ async def _malformed_requests(tmp_path, samples_dir):
             ("get_waveform_tile", {"idChStr": "0_0", "level": 2, "tileIndex": 2**40}),
             ("get_spectrogram_tile", {"idChStr": "0_0", "levelX": 10**9, "levelY": 0, "tileX": 0, "tileY": 0}),
             ("get_spectrogram_tile", {"idChStr": "0_0", "levelX": 0, "levelY": 0, "tileX": 10**7, "tileY": 0}),
+            # deferred switches answer OK at dispatch, so guaranteed-to-fail
+            # normalize/guard input must 400 at parse time
+            ("set_common_normalize", {"target": {"type": "Wat", "target": -3}}),
+            ("set_common_normalize", {"target": {"type": "LUFS"}}),
+            ("set_common_normalize", {"target": {"type": "PeakdB", "target": 2.0}}),
+            ("set_common_normalize", {"target": {"type": "LUFS", "target": "nan"}}),
+            ("set_common_guard_clipping", {"mode": "Bogus"}),
         ]
         for name, body in probes:
             r = await client.post(f"/api/{name}", json=body)

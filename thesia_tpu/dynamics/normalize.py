@@ -26,9 +26,20 @@ class NormalizeTarget:
 
     @classmethod
     def from_json(cls, d: dict) -> "NormalizeTarget":
-        if d.get("type", "Off") == "Off":
+        """Validates fully at parse time: with deferred switches the engine
+        answers OK at dispatch, so input that is guaranteed to fail must be
+        rejected HERE (mirrors serde rejecting an unknown enum variant)."""
+        kind = d.get("type", "Off")
+        if kind == "Off":
             return cls()
-        return cls(type=d["type"], target=float(d["target"]))
+        if kind not in ("LUFS", "RMSdB", "PeakdB"):
+            raise ValueError(f"unknown normalize type {kind!r}")
+        target = float(d["target"])
+        if not np.isfinite(target):
+            raise ValueError("normalize target must be finite")
+        if kind == "PeakdB" and target > 0.0:
+            raise ValueError("PeakdB target must be <= 0 dB")
+        return cls(type=kind, target=target)
 
 
 def calc_normalize_gain(target: NormalizeTarget, stats: AudioStats) -> float:
@@ -39,6 +50,7 @@ def calc_normalize_gain(target: NormalizeTarget, stats: AudioStats) -> float:
     if target.type == "RMSdB":
         return float(f32(10.0) ** (f32(f32(target.target) - f32(stats.rms_db)) / f32(20.0)))
     if target.type == "PeakdB":
-        assert target.target <= 0.0
+        if target.target > 0.0:  # enforced at parse; keep the invariant hard
+            raise ValueError("PeakdB target must be <= 0 dB")
         return float(f32(10.0) ** (f32(f32(target.target) - f32(stats.max_peak_db)) / f32(20.0)))
     return 1.0
