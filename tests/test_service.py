@@ -243,6 +243,12 @@ async def _malformed_requests(tmp_path, samples_dir):
             ("set_common_normalize", {"target": {"type": "PeakdB", "target": 2.0}}),
             ("set_common_normalize", {"target": {"type": "LUFS", "target": "nan"}}),
             ("set_common_guard_clipping", {"mode": "Bogus"}),
+            # absurd spec shapes would OOM the folded-DFT GEMM; the service
+            # caps them at entry (reference UI clamps client-side)
+            ("set_spec_setting", {"specSetting": {"winMillisec": 1e9, "tOverlap": 4, "fOverlap": 1, "freqScale": "Mel"}}),
+            ("set_spec_setting", {"specSetting": {"winMillisec": 40, "tOverlap": 10**9, "fOverlap": 1, "freqScale": "Mel"}}),
+            ("set_spec_setting", {"specSetting": {"winMillisec": 40, "tOverlap": 4, "fOverlap": 1000, "freqScale": "Mel"}}),
+            ("set_spec_setting", {"specSetting": {"winMillisec": "nan", "tOverlap": 4, "fOverlap": 1, "freqScale": "Mel"}}),
         ]
         for name, body in probes:
             r = await client.post(f"/api/{name}", json=body)

@@ -524,10 +524,18 @@ class EngineSession:
         restores the fully synchronous reference-style semantics."""
         if isinstance(spec_setting, dict):
             spec_setting = SpecSetting.from_json(spec_setting)
-        if not spec_setting.win_ms > 0.0:
+        if not spec_setting.win_ms > 0.0:  # also rejects NaN
             raise ValueError("winMillisec must be positive")
-        if spec_setting.t_overlap < 1 or spec_setting.f_overlap < 1:
-            raise ValueError("tOverlap and fOverlap must be >= 1")
+        # network-API safety caps (the reference UI clamps client-side:
+        # MIN_WIN_MILLISEC=1, T_OVERLAP_VALUES max 32, fOverlap fixed 1 —
+        # constants/tracks.ts:205-207): an absurd window or overlap would
+        # otherwise OOM the folded-DFT GEMM instead of returning a clean 400
+        if spec_setting.win_ms > 2000.0:
+            raise ValueError("winMillisec too large (max 2000)")
+        if not 1 <= spec_setting.t_overlap <= 64:
+            raise ValueError("tOverlap out of range (1..64)")
+        if not 1 <= spec_setting.f_overlap <= 8:
+            raise ValueError("fOverlap out of range (1..8)")
         if defer is None:
             defer = os.environ.get("THESIA_DEFER_SETTINGS", "1") != "0"
         with self._spec_switch_lock:
