@@ -909,8 +909,7 @@ def test_deferred_normalize_settle_poll_repaints_stale_rows(booted, monkeypatch)
     drive the app's settle poll and assert it repaints the landed state."""
     import os
 
-    if os.environ.get("THESIA_DEFER_SETTINGS") != "1":
-        pytest.skip("deferred-mode flow")
+    deferred = os.environ.get("THESIA_DEFER_SETTINGS") == "1"
     interp, browser, session, _media = booted
     rows_el = _ensure_two_tracks(booted)
 
@@ -930,6 +929,24 @@ def test_deferred_normalize_settle_poll_repaints_stale_rows(booted, monkeypatch)
         for r in rows_el["children"]
     ]
     assert not any("reduced by" in s for s in stats0)
+
+    if not deferred:
+        # Sync mode: the change handler blocks until the switch lands, so the
+        # rebuilt row text is already fresh when the handler chain returns —
+        # the race the settle poll exists for CANNOT occur.  Assert that
+        # complementary property instead of gating the apply (which would
+        # deadlock a synchronous dispatch).
+        browser.doc["querySelector"]("#norm-target")["value"] = "6"
+        set_ui("#norm-type", "LUFS")
+        stats1 = [
+            r["querySelector"](".track-stats")["textContent"]
+            for r in rows_el["children"]
+        ]
+        assert any("reduced by" in s for s in stats1)
+        set_ui("#norm-type", "Off")
+        set_ui("#guard-mode", "ReduceGlobalLevel")
+        assert session.settings_settled(timeout=120)
+        return
 
     import threading
 
