@@ -432,7 +432,11 @@ def test_freq_axis_floating_input_commits_via_axis_api(booted):
     state["hzRange"] = None
 
 
-def test_playhead_scrub_drag_seeks_and_suppresses_click(booted):
+def test_locator_drags_select_paused_scrub_playing(booted):
+    """reference MainViewer.tsx:491-513,635-667: a paused drag grabs the
+    dashed SELECT locator (the real player does not move); a playing drag
+    grabs the playhead and scrub-seeks the real player.  The click the
+    browser fires after mouseup is suppressed in both cases."""
     interp, browser, session, _media = booted
     rows_el = _ensure_two_tracks(booted)
     state = g(interp)["state"]
@@ -444,26 +448,51 @@ def test_playhead_scrub_drag_seeks_and_suppresses_click(booted):
     ][0]
     tid = int(float(row["dataset"]["trackId"]))
     vpc = row["querySelector"](".viewport")
-    # select + arm the player on this track at a known position
+    # select + place the select cursor on this track at a known position
     browser.dispatch_event(vpc, "click", {"offsetX": 10.0, "offsetY": 40.0, "target": vpc})
     g(interp)["setLens"]({"startSec": 0.0, "pxPerSec": 100.0})
     # setLens NORMALIZES (can't zoom out past fit): read back the real zoom
     pps = state["pxPerSec"]
     start = state["startSec"]
-    state["playerAnchor"] = {"positionSec": 1.0, "at": browser.now_ms, "isPlaying": False}
-    x = (1.0 - start) * pps  # the playhead's pixel position
+    state["selectCursorSec"] = 1.0
+    p0 = session.player.state()["positionSec"]
+    x = (1.0 - start) * pps  # the select locator's pixel position
     browser.dispatch_event(vpc, "mousedown", {
         "offsetX": x, "clientX": x, "clientY": 40.0, "target": vpc,
     })
-    target_x = x + 0.4 * pps  # drag the playhead +0.4 s
+    target_x = x + 0.4 * pps  # drag the cursor +0.4 s
     browser.dispatch_event(browser.doc, "mousemove", {"clientX": target_x})
     browser.dispatch_event(browser.doc, "mouseup", {"clientX": target_x})
-    # the scrub seeked the REAL player to ~1.4 s
-    assert session.player.state()["positionSec"] == pytest.approx(1.4, abs=0.05)
-    # the click the browser fires after mouseup is suppressed (no re-seek)
+    assert state["selectCursorSec"] == pytest.approx(1.4, abs=0.01)
+    # paused drags never seek the real player
+    assert session.player.state()["positionSec"] == pytest.approx(p0, abs=1e-6)
+    # the click the browser fires after mouseup is suppressed (the cursor
+    # stays where the drag left it)
     browser.dispatch_event(vpc, "click", {"offsetX": 700.0, "offsetY": 40.0, "target": vpc})
-    assert session.player.state()["positionSec"] == pytest.approx(1.4, abs=0.05)
+    assert state["selectCursorSec"] == pytest.approx(1.4, abs=0.01)
     assert state["selectedTrack"] == float(tid)
+
+    # playing: grab the playhead and scrub — the REAL player seeks
+    _key(browser, "Space", key=" ")  # plays from the select cursor (1.4 s)
+    assert session.player.state()["isPlaying"] is True
+    pos = float(session.player.state()["positionSec"])
+    state["playerAnchor"] = {
+        "positionSec": pos, "at": browser.now_ms, "isPlaying": True,
+    }
+    x = (pos - start) * pps
+    browser.dispatch_event(vpc, "mousedown", {
+        "offsetX": x, "clientX": x, "clientY": 40.0, "target": vpc,
+    })
+    # drag the playhead BACK to 0.5 s (scrubbing toward the end would race
+    # the real-time playback into end-of-track before the assertions run)
+    target_x = (0.5 - start) * pps
+    browser.dispatch_event(browser.doc, "mousemove", {"clientX": target_x})
+    browser.dispatch_event(browser.doc, "mouseup", {"clientX": target_x})
+    assert session.player.state()["positionSec"] == pytest.approx(0.5, abs=0.1)
+    browser.dispatch_event(vpc, "click", {"offsetX": 700.0, "offsetY": 40.0, "target": vpc})
+    assert session.player.state()["positionSec"] == pytest.approx(0.5, abs=0.2)
+    _key(browser, "Space", key=" ")  # back to paused for later module tests
+    assert session.player.state()["isPlaying"] is False
 
 
 def test_normalize_and_guard_controls_update_row_stats(booted):
@@ -480,7 +509,9 @@ def test_normalize_and_guard_controls_update_row_stats(booted):
     norm_type = browser.doc["querySelector"]("#norm-type")
     norm_type["value"] = "LUFS"
     target = browser.doc["querySelector"]("#norm-target")
-    target["value"] = "-3"
+    # +6 LUFS guarantees gain > 1 for any fixture mix, so the limiter
+    # engages regardless of which earlier module tests added tracks
+    target["value"] = "6"
     browser.dispatch_event(norm_type, "change")
     browser.dispatch_event(target, "change")
     guard = browser.doc["querySelector"]("#guard-mode")
@@ -534,9 +565,9 @@ def _key(browser, code, key=None, **mods):
     browser.dispatch_event(browser.doc, "keydown", ev)
 
 
-def test_hotkeys_zoom_seek_and_home(booted):
+def test_hotkeys_zoom_jump_and_rewind(booted):
     interp, browser, session, _media = booted
-    _ensure_two_tracks(booted)
+    rows_el = _ensure_two_tracks(booted)
     state = g(interp)["state"]
     pps0 = state["pxPerSec"]
     _key(browser, "Equal", key="+")
@@ -544,17 +575,40 @@ def test_hotkeys_zoom_seek_and_home(booted):
     assert zoomed >= pps0  # x1.5 through the normalize pipeline
     _key(browser, "Minus", key="-")
     assert state["pxPerSec"] <= zoomed
-    # arrow-right seeks the REAL player by PLAY_JUMP_SEC (shift: 5 s)
-    vpc = browser.doc["querySelector"]("#rows")["children"][0]["querySelector"](".viewport")
+    # paused, comma/period move the SELECT cursor — the real player must not
+    # move (usePlayer.ts:141-147 select-vs-playback cursor); use the
+    # 2-second track so +1 s isn't clamped
+    row = [
+        r for r in rows_el["children"]
+        if "boot_track" in r["querySelector"](".track-name")["textContent"]
+    ][0]
+    vpc = row["querySelector"](".viewport")
     browser.dispatch_event(vpc, "click", {"offsetX": 0.0, "offsetY": 40.0, "target": vpc})
     p0 = session.player.state()["positionSec"]
-    _key(browser, "ArrowRight", key="ArrowRight")
-    assert session.player.state()["positionSec"] == pytest.approx(
-        min(p0 + 1.0, session.tracklist[int(state["selectedTrack"])].sec), abs=0.05
+    sel0 = state["selectCursorSec"]
+    _key(browser, "Period", key=".")
+    assert state["selectCursorSec"] == pytest.approx(
+        min(sel0 + 1.0, state["maxSec"])
     )
-    _key(browser, "Home", key="Home")
-    assert session.player.state()["positionSec"] == pytest.approx(0.0, abs=0.01)
-    assert state["startSec"] == 0.0
+    assert session.player.state()["positionSec"] == pytest.approx(p0, abs=1e-6)
+    _key(browser, "Comma", key=",")
+    assert state["selectCursorSec"] == pytest.approx(sel0)
+    # Enter rewinds the select cursor to the front (usePlayer.ts:181-185)
+    _key(browser, "Enter", key="Enter")
+    assert state["selectCursorSec"] == 0.0
+    # playing: space starts from the select cursor, period seeks the REAL
+    # player by +1 s (usePlayer.ts:112-118,141-147)
+    _key(browser, "Space", key=" ")
+    assert session.player.state()["isPlaying"] is True
+    _key(browser, "Period", key=".")
+    _key(browser, "Space", key=" ")
+    pos = session.player.state()["positionSec"]
+    sec = session.tracklist[int(state["selectedTrack"])].sec
+    assert 0.95 <= pos <= min(1.5, sec) + 1e-6
+    # rewind-to-front while stopped leaves the player where it is but the
+    # cursor at 0, so the next play restarts from the front
+    _key(browser, "Enter", key="Enter")
+    assert state["selectCursorSec"] == 0.0
 
 
 def test_failed_add_shows_error_box(booted):
@@ -685,15 +739,30 @@ def test_overview_lens_edge_resize_zooms(booted):
     resizeLensLeft/Right normalize pipeline (Overview.tsx:158-183 +
     MainViewer.tsx:399-412)."""
     interp, browser, _session, _media = booted
-    _ensure_two_tracks(booted)
+    rows_el = _ensure_two_tracks(booted)
     state = g(interp)["state"]
+    # pin the overview onto the 2 s boot_track: the strip's hit-test scale is
+    # the SELECTED track's length (Overview.tsx pxPerSec = width/trackSec),
+    # so the lens math below must not depend on module selection history
+    info = [
+        r for r in rows_el["children"]
+        if "boot_track" in r["querySelector"](".track-name")["textContent"]
+    ][0]["querySelector"](".track-info")
+    browser.dispatch_event(info, "mousedown", {
+        "target": info, "metaKey": False, "ctrlKey": False, "shiftKey": False,
+    })
     g(interp)["setLens"]({"startSec": 0.2, "pxPerSec": 1000.0})
+    # pin the select cursor inside the new view with no pending delta —
+    # otherwise the frame step below runs the paused select-cursor
+    # auto-scroll (MainViewer.tsx:864-871) and moves the lens under the test
+    state["selectCursorSec"] = 0.25
+    state["prevSelectSec"] = 0.25
     state["needsRedraw"] = True
     browser.step_frames(1)  # draw() records lens geometry for hit testing
     ov_el = browser.doc["querySelector"]("#overview")
     ov = g(interp)["overview"]
     lens = ov["_lens"]
-    px_per_sec = 1000.0 / max(state["maxSec"], 1e-8)  # overview strip scale
+    px_per_sec = 1000.0 / max(ov["metadata"]["trackSec"], 1e-8)  # strip scale
     left_x = round(lens["startSec"] * px_per_sec)
     pps0 = state["pxPerSec"]
     browser.dispatch_event(ov_el, "mousedown", {
@@ -1067,15 +1136,24 @@ def test_hotkeys_select_all_freq_zoom_and_escape(booted):
         else session.tm.max_sr / 2.0
     )
     assert span_after > span_zoomed
-    # shift+ArrowRight = big jump (PLAY_BIG_JUMP_SEC=5) through the player
+    # shift+Period = big jump (PLAY_BIG_JUMP_SEC=5): paused it moves the
+    # select cursor, clamped to the corpus length (usePlayer.ts:148-157)
     vpc = rows_el["children"][0]["querySelector"](".viewport")
     browser.dispatch_event(vpc, "click", {"offsetX": 0.0, "offsetY": 40.0, "target": vpc})
     _key(browser, "Home", key="Home")
+    _key(browser, "Period", key=".", shiftKey=True)
+    assert state["selectCursorSec"] == pytest.approx(min(5.0, state["maxSec"]))
+    # arrows pan the LENS by 40/200 css px without touching the player
+    # (MainViewer.tsx:680-690 + constants/tracks.ts:14-15)
+    g(interp)["setLens"]({"startSec": 0.0, "pxPerSec": 100000.0})
+    pps = state["pxPerSec"]
+    start0 = state["startSec"]
+    p0 = session.player.state()["positionSec"]
     _key(browser, "ArrowRight", key="ArrowRight", shiftKey=True)
-    sec = session.tracklist[int(state["selectedTrack"])].sec
-    assert session.player.state()["positionSec"] == pytest.approx(
-        min(5.0, sec), abs=0.05
-    )
+    assert state["startSec"] == pytest.approx(start0 + 200.0 / pps)
+    _key(browser, "ArrowLeft", key="ArrowLeft")
+    assert state["startSec"] == pytest.approx(start0 + 160.0 / pps)
+    assert session.player.state()["positionSec"] == pytest.approx(p0, abs=1e-6)
     # Escape closes a floating axis input without committing
     row = rows_el["children"][0]
     axis = row["querySelector"](".freq-axis")
@@ -1112,3 +1190,83 @@ def test_play_with_no_selection_autoselects_first_track(booted):
     assert session.player.state()["trackId"] == int(state["trackIds"][0])
     _key(browser, "Space", key=" ")
     assert session.player.state()["isPlaying"] is False
+
+
+def test_selection_switch_retargets_player_with_seek_ttl(booted):
+    """The player follows the last-selected track (App.tsx:71-73 ->
+    usePlayer.ts:92-110): paused switches start at the select cursor; an
+    explicit seek within the 1 s TTL survives a playing switch; an expired
+    pending seek is ignored."""
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    by_tid = {}
+    for r in rows_el["children"]:
+        by_tid.setdefault(r["dataset"]["trackId"], r)
+    (tid_a, row_a), = [
+        (t, r) for t, r in by_tid.items()
+        if "boot_track" in r["querySelector"](".track-name")["textContent"]
+    ]
+    # earlier module tests may have added more files — prefer the known-1 s
+    # second.wav (positions used below stay inside it), else any other track
+    others = [(t, r) for t, r in by_tid.items() if t != tid_a]
+    tid_b, row_b = next(
+        ((t, r) for t, r in others
+         if "second" in r["querySelector"](".track-name")["textContent"]),
+        others[0],
+    )
+    # start from a known state: B selected and loaded, everything paused
+    g(interp)["applySelection"](
+        {"selected": [float(tid_b)], "pivotId": float(tid_b)}
+    )
+    assert session.player.state()["trackId"] == int(float(tid_b))
+    assert session.player.state()["isPlaying"] is False
+    g(interp)["setLens"]({"startSec": 0.0, "pxPerSec": 100.0})
+    pps = state["pxPerSec"]
+    start = state["startSec"]
+    # paused click on A's viewport: cursor moves, selection switches, and
+    # the player starts on A AT the select cursor (no pending seek involved)
+    vpc_a = row_a["querySelector"](".viewport")
+    x = (0.8 - start) * pps
+    browser.dispatch_event(
+        vpc_a, "click", {"offsetX": x, "offsetY": 40.0, "target": vpc_a}
+    )
+    assert state["selectedTrack"] == float(tid_a)
+    st = session.player.state()
+    assert st["trackId"] == int(float(tid_a))
+    assert st["positionSec"] == pytest.approx(0.8, abs=0.02)
+    assert st["isPlaying"] is False
+    # paused info-pane switch back to B: starts at the (unchanged) cursor
+    info_b = row_b["querySelector"](".track-info")
+    browser.dispatch_event(info_b, "mousedown", {
+        "target": info_b, "metaKey": False, "ctrlKey": False,
+        "shiftKey": False,
+    })
+    st = session.player.state()
+    assert st["trackId"] == int(float(tid_b))
+    assert st["positionSec"] == pytest.approx(0.8, abs=0.02)
+    # playing click on A's viewport at 0.3 s: the seek lands as a pending
+    # seek, and the selection-driven switch keeps it (within the 1 s TTL)
+    _key(browser, "Space", key=" ")  # plays B from the cursor
+    assert session.player.state()["isPlaying"] is True
+    x = (0.3 - start) * pps
+    browser.dispatch_event(
+        vpc_a, "click", {"offsetX": x, "offsetY": 40.0, "target": vpc_a}
+    )
+    st = session.player.state()
+    assert st["trackId"] == int(float(tid_a))
+    assert 0.3 - 1e-6 <= st["positionSec"] <= 0.6  # kept playing from 0.3
+    assert st["isPlaying"] is True
+    _key(browser, "Space", key=" ")
+    assert session.player.state()["isPlaying"] is False
+    # an EXPIRED pending seek is ignored: the switch falls back to the
+    # select cursor (usePlayer.ts:98-100 TTL check)
+    state["selectCursorSec"] = 0.6
+    state["pendingSeek"] = {"sec": 1.5, "atMs": browser.now_ms - 2000.0}
+    browser.dispatch_event(info_b, "mousedown", {
+        "target": info_b, "metaKey": False, "ctrlKey": False,
+        "shiftKey": False,
+    })
+    st = session.player.state()
+    assert st["trackId"] == int(float(tid_b))
+    assert st["positionSec"] == pytest.approx(0.6, abs=0.02)

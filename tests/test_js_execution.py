@@ -109,6 +109,9 @@ def _cur(s, p):
     return {"startSec": s, "pxPerSec": p}
 
 
+_ANCHOR_PAUSED = {"positionSec": 6.0, "at": 1000.0, "isPlaying": False}
+_ANCHOR_PLAYING = {"positionSec": 6.0, "at": 1000.0, "isPlaying": True}
+
 CASES = {
     "normalizeStartSec": _lens_cases(),
     "normalizePxPerSec": [
@@ -174,6 +177,36 @@ CASES = {
     "playerPosition": [
         ({"positionSec": 3.0, "at": 1000.0, "isPlaying": True}, 3500.0),
         ({"positionSec": 3.0, "at": 1000.0, "isPlaying": False}, 99999.0),
+    ],
+    "clampSelectSec": [(5.0, 10.0), (-1.0, 10.0), (12.0, 10.0), (0.0, 0.0)],
+    # usePlayer.ts:92-110: pending-seek TTL (fresh, boundary-exact, expired,
+    # absent) x paused/playing anchors, plus clamping
+    "playingTrackStartSec": [
+        ({"sec": 4.0, "atMs": 1000.0}, 1500.0, _ANCHOR_PAUSED, 2.0, 10.0),
+        ({"sec": 4.0, "atMs": 1000.0}, 2000.0, _ANCHOR_PAUSED, 2.0, 10.0),
+        ({"sec": 4.0, "atMs": 1000.0}, 2000.1, _ANCHOR_PAUSED, 2.0, 10.0),
+        ({"sec": 4.0, "atMs": 1000.0}, 1500.0, _ANCHOR_PLAYING, 2.0, 10.0),
+        ({"sec": 40.0, "atMs": 1000.0}, 1500.0, _ANCHOR_PAUSED, 2.0, 10.0),
+        (None, 1500.0, _ANCHOR_PAUSED, 2.0, 10.0),
+        (None, 1500.0, _ANCHOR_PLAYING, 2.0, 10.0),
+        (None, 500.0, _ANCHOR_PLAYING, 2.0, 10.0),
+        (None, 99999.0, _ANCHOR_PLAYING, 2.0, 10.0),
+        (None, 1500.0, _ANCHOR_PAUSED, -3.0, 10.0),
+    ],
+    "jumpTargetSec": [
+        (True, 3.0, 7.0, 1.0, 10.0),
+        (True, 9.5, 7.0, 1.0, 10.0),
+        (True, 0.5, 7.0, -1.0, 10.0),
+        (False, 3.0, 7.0, 5.0, 10.0),
+        (False, 3.0, 9.5, 5.0, 10.0),
+        (False, 3.0, 0.5, -1.0, 10.0),
+    ],
+    "arrowPanStartSec": [
+        (5.0, 100.0, True, False),
+        (5.0, 100.0, True, True),
+        (5.0, 100.0, False, False),
+        (5.0, 100.0, False, True),
+        (0.0, 384000.0, True, False),
     ],
     "selectTrack": [
         ([3, 5], 5, 7, [3, 5, 7], {}),

@@ -236,6 +236,56 @@ def test_player_position_extrapolation():
     assert T.player_position(anchor, 99999.0) == 3.0
 
 
+def test_playing_track_start_sec_pending_seek_ttl():
+    """reference: usePlayer.ts:26,92-110 — a seek within the 1 s TTL wins the
+    track switch; otherwise live playing position; otherwise select cursor."""
+    paused = {"positionSec": 6.0, "at": 1000.0, "isPlaying": False}
+    playing = {"positionSec": 6.0, "at": 1000.0, "isPlaying": True}
+    pend = {"sec": 4.0, "atMs": 1000.0}
+    assert T.TRACK_SWITCH_SEEK_TTL_MS == 1000
+    # fresh pending seek wins regardless of play state
+    assert T.playing_track_start_sec(pend, 1500.0, paused, 2.0, 10.0) == 4.0
+    assert T.playing_track_start_sec(pend, 1500.0, playing, 2.0, 10.0) == 4.0
+    # TTL boundary is inclusive (<=), one ms past it expires
+    assert T.playing_track_start_sec(pend, 2000.0, paused, 2.0, 10.0) == 4.0
+    assert T.playing_track_start_sec(pend, 2001.0, paused, 2.0, 10.0) == 2.0
+    # expired while playing -> anchor position + elapsed
+    assert T.playing_track_start_sec(pend, 3000.0, playing, 2.0, 10.0) == \
+        pytest.approx(8.0)
+    # no pending: paused -> select cursor; playing -> extrapolated position
+    assert T.playing_track_start_sec(None, 1500.0, paused, 2.0, 10.0) == 2.0
+    assert T.playing_track_start_sec(None, 1500.0, playing, 2.0, 10.0) == \
+        pytest.approx(6.5)
+    # elapsed clamps at 0 for a stale clock (usePlayer.ts:102 Math.max)
+    assert T.playing_track_start_sec(None, 500.0, playing, 2.0, 10.0) == 6.0
+    # clamped into [0, maxSec]
+    assert T.playing_track_start_sec({"sec": 40.0, "atMs": 0.0}, 100.0,
+                                     paused, 2.0, 10.0) == 10.0
+    assert T.playing_track_start_sec(None, 0.0, paused, -3.0, 10.0) == 0.0
+
+
+def test_jump_target_sec_select_vs_seek():
+    """reference: usePlayer.ts:141-147 — playing jumps seek the player,
+    paused jumps move the select cursor; both clamp to [0, maxSec]."""
+    assert T.jump_target_sec(True, 3.0, 7.0, 1.0, 10.0) == \
+        {"seekSec": 4.0, "selectSec": None}
+    assert T.jump_target_sec(True, 9.5, 7.0, 1.0, 10.0) == \
+        {"seekSec": 10.0, "selectSec": None}
+    assert T.jump_target_sec(False, 3.0, 7.0, 5.0, 10.0) == \
+        {"seekSec": None, "selectSec": 10.0}
+    assert T.jump_target_sec(False, 3.0, 0.5, -1.0, 10.0) == \
+        {"seekSec": None, "selectSec": 0.0}
+
+
+def test_arrow_pan_start_sec():
+    """reference: MainViewer.tsx:680-690 + constants/tracks.ts:14-15 —
+    SHIFT_PX=40, BIG_SHIFT_PX=200 css px converted at the current zoom."""
+    assert T.arrow_pan_start_sec(5.0, 100.0, True, False) == pytest.approx(5.4)
+    assert T.arrow_pan_start_sec(5.0, 100.0, True, True) == pytest.approx(7.0)
+    assert T.arrow_pan_start_sec(5.0, 100.0, False, False) == pytest.approx(4.6)
+    assert T.arrow_pan_start_sec(5.0, 100.0, False, True) == pytest.approx(3.0)
+
+
 # ---------------------------------------------------------------------------
 # selection pivot semantics — useSelectedTracks.ts:13-113
 

@@ -29,6 +29,8 @@ const state = {
   rowHeight: 160, // height-zoomable (reference MainViewer.tsx:414-489)
   playing: false,
   playerAnchor: { positionSec: 0, at: performance.now(), isPlaying: false },
+  currentPlayingTrack: -1, // usePlayer.ts:27 — track loaded into the player
+  pendingSeek: null, // {sec, atMs} — usePlayer.ts:34-35 seek TTL for track switch
   selected: [], // ORDERED ids (reference useSelectedTracks.ts pivot rules)
   selectPivot: -1,
   selectedTrack: null, // primary (playback) selection
@@ -215,39 +217,64 @@ async function buildRow(trackId) {
     setupAmpAxisEditing(row, trackId);
     setupFreqAxisEditing(row);
     const vpc = row.querySelector(".viewport");
+    // which locator a grab at x targets: the solid playhead while playing,
+    // the dashed select cursor while paused (reference MainViewer.tsx:497 —
+    // isOnLocator checks the select locator; the playhead is seek-dragged
+    // through changeLocatorByMouse with isPlayhead=isPlaying)
+    const grabbedLocator = (e) => {
+      if (Number(row.dataset.trackId) !== state.selectedTrack) return null;
+      const sec = state.playing
+        ? L.playerPosition(state.playerAnchor, performance.now())
+        : state.selectCursorSec;
+      if (sec === undefined) return null;
+      const x = (sec - state.startSec) * state.pxPerSec;
+      return Math.abs(e.offsetX - x) <= 4
+        ? (state.playing ? "playhead" : "select") : null;
+    };
     vpc.addEventListener("mousemove", (e) => {
       showTooltip(e, vp, row);
-      // playhead locator affordance (reference: src/modules/Locator.tsx)
+      // locator affordance (reference: MainViewer.tsx:515-521 col-resize)
       if (Number(row.dataset.trackId) === state.selectedTrack) {
-        const pos = L.playerPosition(state.playerAnchor, performance.now());
-        const x = (pos - state.startSec) * state.pxPerSec;
-        vpc.style.cursor = Math.abs(e.offsetX - x) <= 4 ? "ew-resize" : "crosshair";
+        vpc.style.cursor = grabbedLocator(e) ? "ew-resize" : "crosshair";
       }
     });
     vpc.addEventListener("mouseleave", hideTooltip);
     vpc.addEventListener("mousedown", (e) => {
-      // drag the playhead locator to scrub
-      if (Number(row.dataset.trackId) !== state.selectedTrack) return;
-      const pos = L.playerPosition(state.playerAnchor, performance.now());
-      const x = (pos - state.startSec) * state.pxPerSec;
-      if (Math.abs(e.offsetX - x) > 4) return;
+      // drag a locator: playing -> scrub-seek the playhead; paused -> drag
+      // the select cursor (reference MainViewer.tsx:491-513,635-667)
+      const kind = grabbedLocator(e);
+      if (!kind) return;
       e.preventDefault();
-      clearTimeout(pollTimer); // polls would fight the scrub position
       const rect = vpc.getBoundingClientRect();
-      let lastSeek = 0;
-      let lastSec = 0;
       const secAt = (ev) =>
         L.scrubSecAt(ev.clientX, rect.left, state.startSec, state.pxPerSec);
+      if (kind === "select") {
+        axisDrag = {
+          move(ev) {
+            state.selectCursorSec = L.clampSelectSec(secAt(ev), state.maxSec);
+            redraw();
+          },
+          up() {
+            // suppress the click the browser fires after mouseup so it
+            // can't collapse a multi-selection or re-place the cursor
+            state.suppressNextViewportClick = true;
+          },
+        };
+        return;
+      }
+      clearTimeout(pollTimer); // polls would fight the scrub position
+      let lastSeek = 0;
+      let lastSec = 0;
       axisDrag = {
         move(ev) {
           lastSec = secAt(ev);
           state.playerAnchor = {
-            positionSec: lastSec, at: performance.now(), isPlaying: false,
+            positionSec: lastSec, at: performance.now(), isPlaying: state.playing,
           };
           const now = performance.now();
           if (now - lastSeek > 80) {
             lastSeek = now;
-            api.seekPlayer(lastSec); // no poll until the drag ends
+            trackedSeek(lastSec); // no poll until the drag ends
           }
           redraw();
         },
@@ -257,7 +284,7 @@ async function buildRow(trackId) {
           // letting it through would collapse a ctrl/shift multi-selection
           // and re-seek as a side effect of finishing the scrub
           state.suppressNextViewportClick = true;
-          api.seekPlayer(lastSec).then(pollPlayer); // final position flush
+          trackedSeek(lastSec).then(pollPlayer); // final position flush
         },
       };
     });
@@ -266,11 +293,19 @@ async function buildRow(trackId) {
         state.suppressNextViewportClick = false;
         return;
       }
-      const sec = state.startSec + e.offsetX / state.pxPerSec;
-      state.selectCursorSec = sec; // select cursor (usePlayer.ts select-vs-playback)
+      // reference MainViewer.tsx:491-513: mousedown on a viewport selects
+      // the row, then moves the locator — playing: player.seek (recorded as
+      // a pending seek, so the selection-driven track switch keeps this
+      // position); paused: move the select cursor only
+      const sec = L.clampSelectSec(
+        state.startSec + e.offsetX / state.pxPerSec, state.maxSec
+      );
+      if (state.playing) {
+        await trackedSeek(sec);
+      } else {
+        state.selectCursorSec = sec;
+      }
       selectClick(trackId, e);
-      await api.setTrackPlayer(trackId, sec);
-      if (state.playing) await api.resumePlayer();
       redraw();
       pollPlayer();
     });
@@ -345,6 +380,18 @@ function applySelectionClasses() {
   }
 }
 
+// Selection changes retarget the player (reference: App.tsx:71-73 passes the
+// last-selected id into usePlayer; its effect at usePlayer.ts:120-130 switches
+// the loaded track).  Switches are serialized so a fire-and-forget call from a
+// sync event handler can't interleave with togglePlay's awaited one.
+let playerSwitchChain = Promise.resolve();
+
+function syncPlayerToSelection() {
+  const p = playerSwitchChain.then(() => setPlayingTrack(state.selectedTrack));
+  playerSwitchChain = p.catch(() => {});
+  return p;
+}
+
 function applySelection(result) {
   if (!result) return;
   state.selected = result.selected;
@@ -356,6 +403,7 @@ function applySelection(result) {
   } else if (overview && state.selectedTrack === null) {
     overview.setTrack(null);
   }
+  syncPlayerToSelection();
   applySelectionClasses();
 }
 
@@ -1089,17 +1137,27 @@ async function setupControls() {
     } else if ((e.metaKey || e.ctrlKey) && e.code === "KeyA") {
       e.preventDefault();
       selectAll();
+    } else if (e.code === "Comma" || e.code === "Period") {
+      // reference usePlayer.ts:148-157: comma/period jump the player
+      // (paused: the select cursor) by ±1 s, ±5 s with shift
+      e.preventDefault();
+      await jumpBy(e.code === "Period" ? jump : -jump);
     } else if (e.code === "ArrowLeft" || e.code === "ArrowRight") {
+      // reference MainViewer.tsx:680-690: arrows pan the lens by 40 css px
+      // (200 with shift) — they do NOT touch the player
       e.preventDefault();
-      const pos = L.playerPosition(state.playerAnchor, performance.now());
-      await api.seekPlayer(pos + (e.code === "ArrowRight" ? jump : -jump));
-      pollPlayer();
-    } else if (e.code === "Home") {
-      e.preventDefault();
-      await api.seekPlayer(0);
-      setLens({ startSec: 0 }, false);
+      if (!state.trackIds.length) return;
+      leaveFit();
+      setLens({
+        startSec: L.arrowPanStartSec(
+          state.startSec, state.pxPerSec, e.code === "ArrowRight", e.shiftKey
+        ),
+      });
       redraw();
-      pollPlayer();
+    } else if (e.code === "Enter" || e.code === "Home") {
+      // reference usePlayer.ts:181-185 rewind-to-front (Home kept as alias)
+      e.preventDefault();
+      await rewindToFront();
     } else if (e.key === "+" || e.key === "=") {
       leaveFit();
       setLens({ pxPerSec: state.pxPerSec * 1.5 });
@@ -1255,15 +1313,78 @@ async function rebuildAllRowInfo() {
   }
 }
 
+async function trackedSeek(sec) {
+  // reference: usePlayer.ts:85-90 — every explicit seek is remembered so a
+  // selection-driven track switch within 1 s starts from it
+  const clamped = L.clampSelectSec(sec, state.maxSec);
+  state.pendingSeek = { sec: clamped, atMs: performance.now() };
+  await api.seekPlayer(clamped);
+}
+
+async function setPlayingTrack(trackId) {
+  // reference: usePlayer.ts:92-110 (switch) + :120-130 (deselect effect)
+  if (trackId === null || trackId < 0) {
+    if (state.currentPlayingTrack !== -1) {
+      state.currentPlayingTrack = -1;
+      await api.seekPlayer(0);
+      await api.pausePlayer();
+      state.selectCursorSec = 0;
+      pollPlayer();
+    }
+    return;
+  }
+  if (trackId === state.currentPlayingTrack) return;
+  const startSec = L.playingTrackStartSec(
+    state.pendingSeek, performance.now(), state.playerAnchor,
+    state.selectCursorSec ?? 0, state.maxSec
+  );
+  state.pendingSeek = null;
+  await api.setTrackPlayer(trackId, startSec);
+  state.currentPlayingTrack = trackId;
+  pollPlayer();
+}
+
+async function jumpBy(jumpSec) {
+  // reference: usePlayer.ts:141-147 — playing: seek; paused: select cursor
+  const pos = L.playerPosition(state.playerAnchor, performance.now());
+  const res = L.jumpTargetSec(
+    state.playing, pos, state.selectCursorSec ?? 0, jumpSec, state.maxSec
+  );
+  if (res.seekSec !== null) {
+    await trackedSeek(res.seekSec);
+    pollPlayer();
+  } else {
+    state.selectCursorSec = res.selectSec;
+  }
+  redraw();
+}
+
+async function rewindToFront() {
+  // reference: usePlayer.ts:181-185
+  if (state.playing) {
+    await trackedSeek(0);
+    pollPlayer();
+  } else {
+    state.selectCursorSec = 0;
+  }
+  redraw();
+}
+
 async function togglePlay() {
+  // reference: usePlayer.ts:112-118 — play always starts from the select
+  // cursor; with nothing selected, select the first track (our convenience —
+  // the reference's space is a no-op there, but its App auto-selects on add)
   if (state.playing) {
     await api.pausePlayer();
   } else {
     if (state.selectedTrack === null && state.trackIds.length) {
       selectOnly(state.trackIds[0]);
-      await api.setTrackPlayer(state.selectedTrack, state.startSec > 0 ? state.startSec : 0);
     }
-    await api.resumePlayer();
+    if (state.selectedTrack !== null) {
+      await syncPlayerToSelection(); // no-op when already on the track
+      await trackedSeek(state.selectCursorSec ?? 0);
+      await api.resumePlayer();
+    }
   }
   pollPlayer();
 }

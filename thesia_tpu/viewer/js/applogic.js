@@ -231,6 +231,44 @@ export function playerPosition(anchor, nowMs) {
     : anchor.positionSec;
 }
 
+export function clampSelectSec(sec, maxSec) {
+  // reference: usePlayer.ts:37-39 — select cursor / seek clamp
+  return Math.min(Math.max(sec, 0), maxSec);
+}
+
+export const TRACK_SWITCH_SEEK_TTL_MS = 1000;
+
+export function playingTrackStartSec(pendingSeek, nowMs, anchor, selectSec, maxSec) {
+  // reference: usePlayer.ts:92-110 — start position when the player follows
+  // a selection change onto a new track: an explicit seek issued within the
+  // last TRACK_SWITCH_SEEK_TTL_MS wins; otherwise the live playing position;
+  // otherwise the paused select cursor.  Clamped to [0, maxSec].
+  const usePending =
+    pendingSeek !== null && pendingSeek !== undefined &&
+    nowMs - pendingSeek.atMs <= TRACK_SWITCH_SEEK_TTL_MS;
+  let startSec = usePending ? pendingSeek.sec : selectSec;
+  if (!usePending && anchor.isPlaying) {
+    startSec = anchor.positionSec + Math.max(0, nowMs - anchor.at) / 1000;
+  }
+  return clampSelectSec(startSec, maxSec);
+}
+
+export function jumpTargetSec(isPlaying, positionSec, selectSec, jumpSec, maxSec) {
+  // reference: usePlayer.ts:141-147 — comma/period jump: seeks the player
+  // while playing, moves the select cursor while paused.
+  if (isPlaying) {
+    return { seekSec: clampSelectSec(positionSec + jumpSec, maxSec), selectSec: null };
+  }
+  return { seekSec: null, selectSec: clampSelectSec(selectSec + jumpSec, maxSec) };
+}
+
+export function arrowPanStartSec(startSec, pxPerSec, dirRight, big) {
+  // reference: MainViewer.tsx:680-690 + constants/tracks.ts:14-15 —
+  // left/right arrows pan the lens by 40 css px (200 with shift)
+  const shiftSec = (big ? 200 : 40) / pxPerSec;
+  return startSec + (dirRight ? shiftSec : -shiftSec);
+}
+
 // ---------------------------------------------------------------------------
 // selection with pivot semantics — reference useSelectedTracks.ts:5-126.
 // selection state is an ORDERED array (insertion order drives pivot rules).

@@ -293,6 +293,49 @@ def player_position(anchor, now_ms):
     return anchor["positionSec"]
 
 
+def clamp_select_sec(sec, max_sec):
+    """reference: usePlayer.ts:37-39 — select cursor / seek clamp."""
+    return min(max(sec, 0), max_sec)
+
+
+TRACK_SWITCH_SEEK_TTL_MS = 1000
+
+
+def playing_track_start_sec(pending_seek, now_ms, anchor, select_sec, max_sec):
+    """reference: usePlayer.ts:92-110 — start position for a selection-driven
+    track switch: pending seek within the 1 s TTL wins, else the live playing
+    position, else the paused select cursor; clamped to [0, max_sec]."""
+    use_pending = (
+        pending_seek is not None
+        and now_ms - pending_seek["atMs"] <= TRACK_SWITCH_SEEK_TTL_MS
+    )
+    start_sec = pending_seek["sec"] if use_pending else select_sec
+    if not use_pending and anchor["isPlaying"]:
+        start_sec = anchor["positionSec"] + max(0, now_ms - anchor["at"]) / 1000
+    return clamp_select_sec(start_sec, max_sec)
+
+
+def jump_target_sec(is_playing, position_sec, select_sec, jump_sec, max_sec):
+    """reference: usePlayer.ts:141-147 — playing: seek; paused: move the
+    select cursor."""
+    if is_playing:
+        return {
+            "seekSec": clamp_select_sec(position_sec + jump_sec, max_sec),
+            "selectSec": None,
+        }
+    return {
+        "seekSec": None,
+        "selectSec": clamp_select_sec(select_sec + jump_sec, max_sec),
+    }
+
+
+def arrow_pan_start_sec(start_sec, px_per_sec, dir_right, big):
+    """reference: MainViewer.tsx:680-690 + constants/tracks.ts:14-15 —
+    arrows pan the lens by 40 css px (200 with shift)."""
+    shift_sec = (200 if big else 40) / px_per_sec
+    return start_sec + (shift_sec if dir_right else -shift_sec)
+
+
 # ---------------------------------------------------------------------------
 # selection pivot semantics — reference useSelectedTracks.ts:5-126
 
@@ -635,6 +678,7 @@ TWINNED = {
     "LENS_THICKNESS": LENS_THICKNESS,
     "PLAY_JUMP_SEC": PLAY_JUMP_SEC,
     "PLAY_BIG_JUMP_SEC": PLAY_BIG_JUMP_SEC,
+    "TRACK_SWITCH_SEEK_TTL_MS": TRACK_SWITCH_SEEK_TTL_MS,
     "normalizeStartSec": normalize_start_sec,
     "normalizePxPerSec": normalize_px_per_sec,
     "updateLensParams": update_lens_params,
@@ -650,6 +694,10 @@ TWINNED = {
     "followPlayheadStartSec": follow_playhead_start_sec,
     "selectSecAutoScroll": select_sec_auto_scroll,
     "playerPosition": player_position,
+    "clampSelectSec": clamp_select_sec,
+    "playingTrackStartSec": playing_track_start_sec,
+    "jumpTargetSec": jump_target_sec,
+    "arrowPanStartSec": arrow_pan_start_sec,
     "selectTrack": select_track,
     "selectAllTracks": select_all_tracks,
     "selectAfterAddTracks": select_after_add_tracks,
