@@ -65,7 +65,12 @@ def _matches(el, selector):
     if s.startswith("#"):
         return el.get("id") == s[1:]
     if s.startswith("."):
-        return s[1:] in el["_classes"]
+        # dynamically-created nodes set .className as a plain property (no
+        # setter hook exists on dict-backed elements) — honor both stores
+        return (
+            s[1:] in el["_classes"]
+            or s[1:] in str(el.get("className", "")).split()
+        )
     if s.startswith("["):
         # [data-id-ch="..."] — the one attribute form the viewer uses
         inner = s[1:-1]

@@ -651,32 +651,35 @@ def test_context_menu_select_all_and_remove(booted):
 
 
 def test_reload_button_paths(booted):
-    """Reload-from-disk: unchanged file -> per-track error surface
-    (reference reload keeps erroredTrackIds); touched file -> clean reload."""
+    """Reload-from-disk: unchanged file -> clean no-op; unreadable file ->
+    per-row errored overlay (reference useTracks.ts:122-133 erroredTrackIds,
+    MainViewer.tsx:1149-1163 ErrorBox overlay)."""
     interp, browser, session, media = booted
     rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
     row = rows_el["children"][0]
     btn = row["querySelector"](".track-reload")
-    box = browser.doc["querySelector"]("#error-box")
-    for c in list(box["children"]):
-        c["remove"]()
+    tid = int(float(row["dataset"]["trackId"]))
     # unchanged file: reload is a clean no-op (track.rs:75-89 detect)
     browser.dispatch_event(btn, "click", {"target": btn})
-    msgs = [c["textContent"] for c in box["children"]]
-    assert not any("Could not reload" in m for m in msgs)
-    # unreadable file: the per-track error path surfaces in the error box
+    assert not row["querySelector"](".track-error")
+    assert float(tid) not in list(state["erroredTracks"])
+    # unreadable file: the per-row errored overlay appears
     import pathlib
 
-    tid = int(float(row["dataset"]["trackId"]))
     path = pathlib.Path(session.get_path(tid))
     original = path.read_bytes()
     try:
         path.write_bytes(b"garbage")
         browser.dispatch_event(btn, "click", {"target": btn})
-        msgs = [c["textContent"] for c in box["children"]]
-        assert any("Could not reload" in m for m in msgs)
+        assert row["querySelector"](".track-error")
+        assert float(tid) in list(state["erroredTracks"])
     finally:
         path.write_bytes(original)
+    # with the file restored, reload clears the errored state
+    browser.dispatch_event(btn, "click", {"target": btn})
+    assert not row["querySelector"](".track-error")
+    assert float(tid) not in list(state["erroredTracks"])
     settle(session)
 
 
@@ -1270,3 +1273,98 @@ def test_selection_switch_retargets_player_with_seek_ttl(booted):
     st = session.player.state()
     assert st["trackId"] == int(float(tid_b))
     assert st["positionSec"] == pytest.approx(0.6, abs=0.02)
+
+
+def test_reload_failure_marks_row_errored_with_actions(booted):
+    """reference: useTracks.ts:122-148 (erroredTrackIds on reload failure,
+    ignoreError) + MainViewer.tsx:1149-1163 (per-row ErrorBox with
+    Reload/Ignore/Close) + App.tsx:71-73 (the player refuses to follow an
+    errored selection)."""
+    import pathlib
+
+    import numpy as np
+
+    from thesia_tpu.io.wav import encode_wav_s16
+
+    interp, browser, session, media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    td = pathlib.Path(media).parent
+    victim = td / "fragile.wav"
+    payload = encode_wav_s16(np.zeros((1, 4000), np.float32) + 0.05, 8000)
+    victim.write_bytes(payload)
+    browser.media_paths.append(str(victim))
+    sel = browser.doc["querySelector"]("#media-list")
+    sel["value"] = str(victim)
+    browser.dispatch_event(sel, "change")
+    settle(session)
+    row = [
+        r for r in rows_el["children"]
+        if "fragile" in r["querySelector"](".track-name")["textContent"]
+    ][0]
+    tid = float(int(float(row["dataset"]["trackId"])))
+
+    # break the file on disk; the row reload button must mark it errored
+    victim.unlink()
+    btn = row["querySelector"](".track-reload")
+    browser.dispatch_event(btn, "click", {"target": btn})
+    box = row["querySelector"](".track-error")
+    assert box
+    labels = [
+        c["textContent"] for c in box["children"] if c["tagName"] == "BUTTON"
+    ]
+    assert labels == ["Reload", "Ignore", "Close"]
+    assert tid in list(state["erroredTracks"])
+
+    # selecting the errored track parks the player (selectedTrackId -> -1)
+    info = row["querySelector"](".track-info")
+    browser.dispatch_event(info, "mousedown", {
+        "target": info, "metaKey": False, "ctrlKey": False, "shiftKey": False,
+    })
+    st = session.player.state()
+    assert st["isPlaying"] is False
+    assert st["positionSec"] == pytest.approx(0.0, abs=1e-6)
+    # Space refuses to start playback on an errored selection
+    # (usePlayer.ts:112-118 with selectedTrackId == -1)
+    _key(browser, "Space", key=" ")
+    assert session.player.state()["isPlaying"] is False
+
+    # Ignore forgives (useTracks.ts:146-148): the overlay clears and the
+    # still-selected track immediately becomes the playing track again
+    ignore = [
+        c for c in box["children"]
+        if c["tagName"] == "BUTTON" and c["textContent"] == "Ignore"
+    ][0]
+    browser.dispatch_event(ignore, "click", {"target": ignore})
+    assert not row["querySelector"](".track-error")
+    assert list(state["erroredTracks"]) == []
+    assert session.player.state()["trackId"] == int(tid)
+
+    # restore the file: the in-box Reload action clears the errored state
+    victim.unlink() if victim.exists() else None
+    browser.dispatch_event(btn, "click", {"target": btn})  # errored again
+    box = row["querySelector"](".track-error")
+    assert box
+    victim.write_bytes(payload)
+    reload_btn = [
+        c for c in box["children"]
+        if c["tagName"] == "BUTTON" and c["textContent"] == "Reload"
+    ][0]
+    browser.dispatch_event(reload_btn, "click", {"target": reload_btn})
+    assert not row["querySelector"](".track-error")
+
+    # Close removes the track entirely (ErrorBox handleClose)
+    victim.unlink()
+    browser.dispatch_event(btn, "click", {"target": btn})
+    box = row["querySelector"](".track-error")
+    close_btn = [
+        c for c in box["children"]
+        if c["tagName"] == "BUTTON" and c["textContent"] == "Close"
+    ][0]
+    browser.dispatch_event(close_btn, "click", {"target": close_btn})
+    settle(session)
+    assert not [
+        r for r in rows_el["children"]
+        if "fragile" in r["querySelector"](".track-name")["textContent"]
+    ]
+    assert tid not in list(state["erroredTracks"])

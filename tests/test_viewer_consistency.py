@@ -40,6 +40,11 @@ def test_template_classes_exist():
     referenced = set()
     for src in _js_sources().values():
         referenced |= set(re.findall(r'querySelector\("\.([\w-]+)"\)', src))
+        # classes assigned to dynamically-created nodes count as existing
+        for cluster in re.findall(r'className\s*=\s*"([\w -]+)"', src):
+            flat |= set(cluster.split())
+        for cluster in re.findall(r'classList\.add\("([\w-]+)"', src):
+            flat.add(cluster)
     missing = referenced - flat
     assert not missing, f"JS queries missing classes: {sorted(missing)}"
 

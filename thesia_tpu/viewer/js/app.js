@@ -31,6 +31,7 @@ const state = {
   playerAnchor: { positionSec: 0, at: performance.now(), isPlaying: false },
   currentPlayingTrack: -1, // usePlayer.ts:27 — track loaded into the player
   pendingSeek: null, // {sec, atMs} — usePlayer.ts:34-35 seek TTL for track switch
+  erroredTracks: [], // reload-failed ids (reference useTracks.ts:30,122-133)
   selected: [], // ORDERED ids (reference useSelectedTracks.ts pivot rules)
   selectPivot: -1,
   selectedTrack: null, // primary (playback) selection
@@ -102,6 +103,53 @@ function setLens(params, turnOffFollowCursor = true) {
 // ---------------------------------------------------------------------------
 // error box (reference: src/modules/ErrorBox + useTracks erroredTrackIds)
 
+// Per-row errored state for reload failures (reference: useTracks.ts:122-133
+// sets erroredTrackIds; MainViewer.tsx:1149-1163 overlays an ErrorBox with
+// Reload / Ignore / Close on each errored row; App.tsx:71-73 keeps the
+// player off an errored selection).
+function setTrackErrored(trackId) {
+  if (!state.erroredTracks.includes(trackId)) state.erroredTracks.push(trackId);
+  for (const row of rowsEl.children) {
+    if (Number(row.dataset.trackId) !== trackId) continue;
+    if (row.querySelector(".track-error")) continue;
+    const box = document.createElement("div");
+    box.className = "track-error";
+    const msg = document.createElement("span");
+    msg.textContent = "The file cannot be read";
+    box.appendChild(msg);
+    const mk = (label, fn) => {
+      const b = document.createElement("button");
+      b.textContent = label;
+      b.onclick = async (e) => {
+        e.stopPropagation();
+        await fn();
+      };
+      box.appendChild(b);
+    };
+    mk("Reload", async () => {
+      const ok = await api.reloadTracks([trackId]);
+      if (ok.includes(trackId)) clearTrackErrored(trackId);
+      await refreshAll();
+      await rebuildAllRowInfo();
+      redraw();
+    });
+    mk("Ignore", () => clearTrackErrored(trackId));
+    mk("Close", () => removeTracks([trackId]));
+    row.querySelector(".viewport-wrap").appendChild(box);
+  }
+  syncPlayerToSelection();
+}
+
+function clearTrackErrored(trackId) {
+  if (!state.erroredTracks.includes(trackId)) return;
+  state.erroredTracks = state.erroredTracks.filter((x) => x !== trackId);
+  for (const row of rowsEl.children) {
+    if (Number(row.dataset.trackId) !== trackId) continue;
+    row.querySelector(".track-error")?.remove();
+  }
+  syncPlayerToSelection();
+}
+
 function showError(message) {
   const box = $("#error-box");
   const item = document.createElement("div");
@@ -127,7 +175,15 @@ async function addPaths(paths) {
     if (existing >= 0) reload.push(existing);
     else fresh.push(p);
   }
-  if (reload.length) await api.reloadTracks(reload);
+  if (reload.length) {
+    // re-opening an already-open path reloads it; a read failure marks the
+    // row errored (useTracks.ts:122-133 via App.tsx add flows)
+    const ok = await api.reloadTracks(reload);
+    for (const id of reload) {
+      if (!ok.includes(id)) setTrackErrored(id);
+      else clearTrackErrored(id);
+    }
+  }
   if (fresh.length) {
     const ids = fresh.map(() => state.nextId++);
     const prevIds = displayOrder();
@@ -203,10 +259,11 @@ async function buildRow(trackId) {
     };
     row.querySelector(".track-reload").onclick = async (e) => {
       e.stopPropagation();
+      // reloadTracks returns no_err_ids (unchanged files included) —
+      // absence means the file could not be READ (track.rs:241-276)
       const ok = await api.reloadTracks([trackId]);
-      if (!ok.includes(trackId)) {
-        showError(`Could not reload track ${trackId} (file unchanged or unreadable)`);
-      }
+      if (!ok.includes(trackId)) setTrackErrored(trackId);
+      else clearTrackErrored(trackId);
       await refreshAll();
       await rebuildAllRowInfo();
       redraw();
@@ -346,6 +403,10 @@ async function removeTracks(trackIds) {
     }
     if (state.selectedTrack === trackId) state.selectedTrack = null;
   }
+  // removed tracks can no longer be errored (useTracks.ts:155)
+  state.erroredTracks = state.erroredTracks.filter(
+    (x) => !trackIds.includes(x)
+  );
   // survivors keep their selection; otherwise walk outward from the old
   // pivot for the nearest remaining track (useSelectedTracks.ts:82-113)
   applySelection(
@@ -387,7 +448,13 @@ function applySelectionClasses() {
 let playerSwitchChain = Promise.resolve();
 
 function syncPlayerToSelection() {
-  const p = playerSwitchChain.then(() => setPlayingTrack(state.selectedTrack));
+  // an errored last-selected track maps to "no playing track"
+  // (reference App.tsx:71-73 passes -1 into usePlayer)
+  const target =
+    state.selectedTrack !== null &&
+    !state.erroredTracks.includes(state.selectedTrack)
+      ? state.selectedTrack : null;
+  const p = playerSwitchChain.then(() => setPlayingTrack(target));
   playerSwitchChain = p.catch(() => {});
   return p;
 }
@@ -1039,8 +1106,10 @@ function setupRowContextMenu(row, trackId) {
         () => removeTracks(sel)],
       ["Reload from disk", async () => {
         const ok = await api.reloadTracks(sel);
-        const failed = sel.filter((t) => !ok.includes(t));
-        if (failed.length) showError(`Could not reload: ${failed.join(", ")}`);
+        for (const t of sel) {
+          if (!ok.includes(t)) setTrackErrored(t);
+          else clearTrackErrored(t);
+        }
         await refreshAll();
         await rebuildAllRowInfo();
         redraw();
@@ -1380,7 +1449,12 @@ async function togglePlay() {
     if (state.selectedTrack === null && state.trackIds.length) {
       selectOnly(state.trackIds[0]);
     }
-    if (state.selectedTrack !== null) {
+    // an errored selection maps to "no playing track" (App.tsx:71-73), and
+    // the reference's togglePlay is a no-op there (usePlayer.ts:112-118)
+    if (
+      state.selectedTrack !== null &&
+      !state.erroredTracks.includes(state.selectedTrack)
+    ) {
       await syncPlayerToSelection(); // no-op when already on the track
       await trackedSeek(state.selectCursorSec ?? 0);
       await api.resumePlayer();
