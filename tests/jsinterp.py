@@ -532,6 +532,9 @@ class Parser:
         if t.kind == "id" and t.val == "typeof":
             self.next()
             return ("typeof", self.parse_unary())
+        if t.kind == "id" and t.val == "delete":
+            self.next()
+            return ("delete", self.parse_unary())
         if t.kind == "id" and t.val == "await":
             self.next()
             return self.parse_unary()  # synchronous model: await is identity
@@ -1312,6 +1315,21 @@ class Interp:
                 return not js_truthy(v)
             if op == "~":
                 return float(~int(js_num(v)))
+        if kind == "delete":
+            target = node[1]
+            if target[0] == "member":
+                obj = self.eval(target[1], env)
+                if isinstance(obj, dict):
+                    obj.pop(target[2], None)
+                return True
+            if target[0] == "index":
+                obj = self.eval(target[1], env)
+                idx = self.eval(target[2], env)
+                if isinstance(obj, dict):
+                    obj.pop(idx if isinstance(idx, str) else js_to_string(idx),
+                            None)
+                return True
+            return True
         if kind == "typeof":
             try:
                 v = self.eval(node[1], env)

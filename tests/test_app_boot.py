@@ -360,6 +360,11 @@ def _ensure_two_tracks(booted):
     import pathlib
 
     second = pathlib.Path(media).parent / "second.wav"
+    if not second.exists():
+        from thesia_tpu.io.wav import encode_wav_s16
+
+        second.write_bytes(encode_wav_s16(
+            np.zeros((1, 8000), np.float32) + 0.1, 8000))
     for path in (media, str(second)):
         if not any(
             r["querySelector"](".track-name")["textContent"].startswith(
@@ -408,6 +413,121 @@ def test_dnd_reorder_permutes_display_order(booted):
             seen.append(int(float(t)))
     assert tids == seen
     assert state["trackIds"][-1] == float(int(float(first_tid)))
+
+
+def _ensure_third_track(booted):
+    interp, browser, session, media = booted
+    rows_el = _ensure_two_tracks(booted)
+    import pathlib
+
+    third = pathlib.Path(media).parent / "third.wav"
+    if not third.exists():
+        from thesia_tpu.io.wav import encode_wav_s16
+        import numpy as np
+
+        third.write_bytes(encode_wav_s16(
+            np.zeros((1, 8000), np.float32) + 0.2, 8000))
+    if not any(
+        "third" in r["querySelector"](".track-name")["textContent"]
+        for r in rows_el["children"]
+    ):
+        browser.media_paths.append(str(third))
+        sel = browser.doc["querySelector"]("#media-list")
+        sel["value"] = str(third)
+        browser.dispatch_event(sel, "change")
+        settle(session)
+    return rows_el
+
+
+def _track_order(rows_el):
+    seen = []
+    for r in rows_el["children"]:
+        t = int(float(r["dataset"]["trackId"]))
+        if t not in seen:
+            seen.append(t)
+    return seen
+
+
+def _row_of(rows_el, tid):
+    return [
+        r for r in rows_el["children"]
+        if int(float(r["dataset"]["trackId"])) == tid
+    ][0]
+
+
+def test_group_drag_moves_whole_selection(booted):
+    """Dragging a row of a multi-selection moves the WHOLE selection: the
+    other selected rows collapse during the drag and re-emerge right below
+    the dragged track on release, in selection order (reference
+    TrackInfo.tsx:161-185 hideTracks/showHiddenTracks + useTracks.ts:166-192);
+    dragging a non-selected row first resets the selection to it
+    (TrackInfo.tsx:168)."""
+    interp, browser, session, _media = booted
+    rows_el = _ensure_third_track(booted)
+    state = g(interp)["state"]
+    a, b, c = _track_order(rows_el)  # a = stereo boot track (2 rows)
+
+    # select b then ctrl-click a -> ordered selection [b, a]
+    info_b = _row_of(rows_el, b)["querySelector"](".track-info")
+    browser.dispatch_event(info_b, "mousedown", {
+        "target": info_b, "metaKey": False, "ctrlKey": False, "shiftKey": False,
+    })
+    info_a = _row_of(rows_el, a)["querySelector"](".track-info")
+    browser.dispatch_event(info_a, "mousedown", {
+        "target": info_a, "metaKey": False, "ctrlKey": True, "shiftKey": False,
+    })
+    assert [int(x) for x in state["selected"]] == [b, a]
+
+    # drag a's first row: b's row collapses and the badge counts 2
+    row_a = _row_of(rows_el, a)
+    handle = row_a["querySelector"](".track-info")
+    dt = {"effectAllowed": "", "setData": lambda *x: None, "types": [], "files": []}
+    browser.dispatch_event(handle, "dragstart", {"dataTransfer": dt})
+    row_b = _row_of(rows_el, b)
+    assert "drag-hidden" in row_b["_classes"]
+    assert row_a["dataset"]["dragCount"] == "2"
+
+    # drop BELOW c's row, then dragend: a's rows land after c, b follows a
+    row_c = _row_of(rows_el, c)
+    rect = row_c["getBoundingClientRect"]()
+    browser.dispatch_event(row_c, "dragover", {
+        "clientY": rect["top"] + 150.0, "dataTransfer": dt,
+    })
+    browser.dispatch_event(row_c, "drop", {
+        "clientY": rect["top"] + 150.0, "dataTransfer": dt,
+    })
+    browser.dispatch_event(handle, "dragend", {})
+    assert _track_order(rows_el) == [c, a, b]
+    assert [int(x) for x in state["trackIds"]] == [c, a, b]
+    assert "dragCount" not in row_a["dataset"]
+    assert not any("drag-hidden" in r["_classes"] for r in rows_el["children"])
+    # a's channel rows stayed adjacent
+    tids_seq = [int(float(r["dataset"]["trackId"])) for r in rows_el["children"]]
+    first_a = tids_seq.index(a)
+    assert tids_seq[first_a:first_a + tids_seq.count(a)] == [a] * tids_seq.count(a)
+
+    # a CANCELLED group drag still reinserts the hidden rows right below the
+    # dragged track (useDrag end() always runs showHiddenTracks)
+    browser.dispatch_event(
+        _row_of(rows_el, c)["querySelector"](".track-info"), "mousedown", {
+            "target": _row_of(rows_el, c)["querySelector"](".track-info"),
+            "metaKey": False, "ctrlKey": False, "shiftKey": False,
+        })
+    info_a2 = _row_of(rows_el, a)["querySelector"](".track-info")
+    browser.dispatch_event(info_a2, "mousedown", {
+        "target": info_a2, "metaKey": False, "ctrlKey": True, "shiftKey": False,
+    })  # selection [c, a]
+    handle_a = _row_of(rows_el, a)["querySelector"](".track-info")
+    browser.dispatch_event(handle_a, "dragstart", {"dataTransfer": dt})
+    browser.dispatch_event(handle_a, "dragend", {})
+    assert _track_order(rows_el) == [a, c, b]
+
+    # dragging a NON-selected row resets the selection to that track
+    handle_b = _row_of(rows_el, b)["querySelector"](".track-info")
+    browser.dispatch_event(handle_b, "dragstart", {"dataTransfer": dt})
+    assert [int(x) for x in state["selected"]] == [b]
+    browser.dispatch_event(handle_b, "dragend", {})
+    assert _track_order(rows_el) == [a, c, b]  # nothing moved
 
 
 def test_freq_axis_floating_input_commits_via_axis_api(booted):

@@ -406,6 +406,25 @@ def _method(interp, obj, name, *args):
     return interp._call_method(obj, name, [_to_js(a) for a in args])
 
 
+def test_js_delete_operator_semantics():
+    """`delete obj.key` / `delete obj[key]` remove the property; reading it
+    back yields undefined (used by app.js group-drag badge cleanup)."""
+    from tests.jsinterp import Interp
+
+    i = Interp()
+    i.load(
+        "export function probe() {\n"
+        "  const o = { a: 1, b: 2, c: 3 };\n"
+        "  const r1 = delete o.a;\n"
+        "  const k = 'b';\n"
+        "  delete o[k];\n"
+        "  delete o.missing;\n"
+        "  return [r1, o.a === undefined, o.b === undefined, o.c];\n"
+        "}\n"
+    )
+    assert _norm(i.global_env.vars["probe"]()) == [True, True, True, 3.0]
+
+
 def test_js_tick_tables_and_lookup(interp):
     g = interp.global_env.vars
     for js_name, table in [

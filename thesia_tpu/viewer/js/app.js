@@ -499,26 +499,81 @@ function setupRowSelection(row, trackId) {
 }
 
 // ---------------------------------------------------------------------------
-// DnD reorder (reference: MainViewer.tsx track DnD + TrackInfoDragLayer)
+// DnD reorder (reference: MainViewer.tsx track DnD + TrackInfoDragLayer).
+// Dragging a row that belongs to a multi-selection moves the WHOLE selection:
+// the other selected rows collapse for the duration of the drag and re-emerge
+// right below the dragged track on release, in selection order
+// (TrackInfo.tsx:161-185 hideTracks/showHiddenTracks, useTracks.ts:166-192).
 
 let dragRow = null;
+let dragHiddenTids = []; // ordered other-selected ids, collapsed mid-drag
+
+function finishRowDrag() {
+  // runs on EVERY drag end (dropped or cancelled), like the reference's
+  // useDrag end() → showHiddenTracks(item.index) at useTracks.ts:187-192:
+  // hidden rows re-insert right after the dragged track's rows.
+  if (dragRow && dragHiddenTids.length) {
+    const tid = dragRow.dataset.trackId;
+    const kids = [...rowsEl.children];
+    let last = -1;
+    for (let i = 0; i < kids.length; i++) {
+      if (kids[i].dataset.trackId === tid) last = i;
+    }
+    // anchor = first NON-collapsing row after the drag rows, so inserting
+    // the hidden rows before it keeps them in selection order
+    let anchor = null;
+    for (let i = last + 1; i < kids.length; i++) {
+      if (!dragHiddenTids.includes(Number(kids[i].dataset.trackId))) {
+        anchor = kids[i];
+        break;
+      }
+    }
+    for (const ht of dragHiddenTids) {
+      for (const r of kids) {
+        if (Number(r.dataset.trackId) !== ht) continue;
+        rowsEl.insertBefore(r, anchor);
+      }
+    }
+  }
+  for (const r of rowsEl.children) {
+    r.classList.remove("drop-above", "drop-below", "drag-hidden");
+  }
+  dragRow = null;
+  dragHiddenTids = [];
+  state.trackIds = [...new Set([...rowsEl.children].map((r) => Number(r.dataset.trackId)))];
+  redraw();
+}
 
 function setupRowDnD(row, _trackId) {
   const handle = row.querySelector(".track-info");
   handle.draggable = true;
   handle.addEventListener("dragstart", (e) => {
+    const tid = Number(row.dataset.trackId);
+    // dragging a non-selected row resets the selection to it
+    // (TrackInfo.tsx:168: selectTrack(null, id) when not included)
+    if (!state.selected.includes(tid)) selectOnly(tid);
     dragRow = row;
+    dragHiddenTids = state.selected.filter((t) => t !== tid);
+    for (const r of rowsEl.children) {
+      if (dragHiddenTids.includes(Number(r.dataset.trackId))) {
+        r.classList.add("drag-hidden");
+      }
+    }
     row.classList.add("dragging");
+    // drag-layer badge == reference TrackInfoDragLayer numDragging
+    if (dragHiddenTids.length) {
+      row.dataset.dragCount = String(state.selected.length);
+    }
     e.dataTransfer.effectAllowed = "move";
     e.dataTransfer.setData("text/plain", row.dataset.idCh);
   });
   handle.addEventListener("dragend", () => {
     row.classList.remove("dragging");
-    dragRow = null;
-    for (const r of rowsEl.children) r.classList.remove("drop-above", "drop-below");
+    delete row.dataset.dragCount;
+    finishRowDrag();
   });
   row.addEventListener("dragover", (e) => {
-    if (!dragRow || dragRow === row) return;
+    if (!dragRow || row.dataset.trackId === dragRow.dataset.trackId) return;
     e.preventDefault();
     const rect = row.getBoundingClientRect();
     const above = e.clientY < rect.top + rect.height / 2;
@@ -529,18 +584,20 @@ function setupRowDnD(row, _trackId) {
     row.classList.remove("drop-above", "drop-below");
   });
   row.addEventListener("drop", (e) => {
-    if (!dragRow || dragRow === row) return;
+    if (!dragRow || row.dataset.trackId === dragRow.dataset.trackId) return;
     e.preventDefault();
     const rect = row.getBoundingClientRect();
     const above = e.clientY < rect.top + rect.height / 2;
-    // move ALL rows of the dragged track together (multi-channel rows)
+    // move ALL rows of the dragged track together (multi-channel rows);
+    // collapsed group rows follow at dragend via finishRowDrag
     const tid = dragRow.dataset.trackId;
-    const moving = [...rowsEl.children].filter((r) => r.dataset.trackId === tid);
-    const anchor = above ? row : row.nextSibling;
+    const kids = [...rowsEl.children];
+    const moving = kids.filter((r) => r.dataset.trackId === tid);
+    const after = kids[kids.indexOf(row) + 1];
+    const anchor = above ? row : (after === undefined ? null : after);
+    if (anchor !== null && moving.includes(anchor)) return; // already there
     for (const r of moving) rowsEl.insertBefore(r, anchor);
     row.classList.remove("drop-above", "drop-below");
-    state.trackIds = [...new Set([...rowsEl.children].map((r) => Number(r.dataset.trackId)))];
-    redraw();
   });
 }
 
