@@ -202,6 +202,24 @@ def make_element(doc, tag, attrs=None):
     def get_context(_kind, _opts=UNDEF):
         return el.setdefault("_ctx", make_canvas_ctx())
 
+    def focus():
+        # `doc` here is the FakeBrowser; the document node lives at .doc
+        docdict = getattr(doc, "doc", None)
+        if isinstance(docdict, dict):
+            docdict["activeElement"] = el
+        for fn in el["_handlers"].get("focus", []):
+            fn({"target": el})
+
+    def blur():
+        docdict = getattr(doc, "doc", None)
+        if isinstance(docdict, dict) and docdict.get("activeElement") is el:
+            docdict["activeElement"] = None
+        for fn in el["_handlers"].get("blur", []):
+            fn({"target": el})
+        handler = el.get("onblur")
+        if callable(handler):
+            handler({"target": el})
+
     el["addEventListener"] = add_listener
     el["removeEventListener"] = lambda name, fn, _o=UNDEF: None
     el["querySelector"] = query
@@ -212,7 +230,8 @@ def make_element(doc, tag, attrs=None):
     el["getBoundingClientRect"] = get_rect
     el["cloneNode"] = clone_node
     el["getContext"] = get_context
-    el["focus"] = lambda: None
+    el["focus"] = focus
+    el["blur"] = blur
     el["select"] = lambda: None
     el["click"] = lambda: None
     el["contains"] = lambda other: other is el or any(c is other for c in _walk(el))
@@ -548,14 +567,17 @@ class FakeBrowser:
         ev = dict(event or {})
         ev.setdefault("target", el)
         ev.setdefault("preventDefault", lambda: None)
-        ev.setdefault("stopPropagation", lambda: None)
+        stopped = []
+        ev.setdefault("stopPropagation", lambda: stopped.append(True))
         cur = el
-        while cur is not None:  # simple bubbling
+        while cur is not None:  # simple bubbling, honoring stopPropagation
             for fn in list(cur["_handlers"].get(name, [])):
                 fn(ev)
             handler = cur.get(f"on{name}")
             if callable(handler):
                 handler(ev)
+            if stopped:
+                break
             cur = cur.get("_parent")
 
 

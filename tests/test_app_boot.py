@@ -180,7 +180,7 @@ def test_render_frames_fetch_and_draw_real_tiles(booted):
     assert "drawImage" in ops  # real tile bitmaps composited
     # time display rendered by the player extrapolation path
     td = browser.doc["querySelector"]("#time-display")
-    assert len(td["textContent"]) == len("00:00:00.000")
+    assert len(td["value"]) == len("00:00:00.000")
 
 
 def test_win_ms_knob_recomputes_through_engine(booted):
@@ -1393,6 +1393,121 @@ def test_selection_switch_retargets_player_with_seek_ttl(booted):
     st = session.player.state()
     assert st["trackId"] == int(float(tid_b))
     assert st["positionSec"] == pytest.approx(0.6, abs=0.02)
+
+
+def test_time_axis_drag_pan_click_cursor_and_alt_fit(booted):
+    """TimeAxis parity: anchored drag pans the lens so the grabbed second
+    stays under the cursor (TimeAxis.tsx:43-63 + MainViewer.tsx:394-397); a
+    plain click moves the select cursor while paused
+    (changeLocatorByMouseNotAllowOutside, MainViewer.tsx:670-672); alt+click
+    resets to fit (resetTimeAxis, MainViewer.tsx:76,799)."""
+    interp, browser, _session, _media = booted
+    _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    axis = browser.doc["querySelector"]("#time-axis")
+    state["fitMode"] = False
+    state["startSec"] = 1.0
+    state["pxPerSec"] = 400.0
+    # grab at x=200 (sec 1.5), drag to x=600: 1.5 must now sit at x=600
+    browser.dispatch_event(axis, "mousedown", {"clientX": 200.0, "altKey": False})
+    browser.dispatch_event(browser.doc, "mousemove", {"clientX": 600.0})
+    browser.dispatch_event(browser.doc, "mouseup", {"clientX": 600.0})
+    assert state["startSec"] == pytest.approx(1.5 - 600.0 / 400.0, abs=1e-9)
+
+    # plain click (no movement) while paused: the select cursor moves there
+    state["selectCursorSec"] = 0.0
+    browser.dispatch_event(axis, "mousedown", {"clientX": 400.0, "altKey": False})
+    browser.dispatch_event(browser.doc, "mouseup", {"clientX": 400.0})
+    assert state["selectCursorSec"] == pytest.approx(
+        state["startSec"] + 400.0 / 400.0, abs=1e-9)
+
+    # alt+click resets to fit: whole track in view from 0
+    browser.dispatch_event(axis, "mousedown", {"clientX": 100.0, "altKey": True})
+    assert state["fitMode"] is True
+    assert state["startSec"] == 0.0
+
+
+def test_transport_buttons_and_editable_position_readout(booted):
+    """PlayerControl parity: skip-to-beginning / jump buttons move the select
+    cursor while paused (usePlayer.ts:141-147,181-185); the position readout
+    is an editable input whose committed label parses through the real
+    time_label_to_seconds command — Enter commits, Escape cancels, and the
+    rAF updater never overwrites an in-progress edit
+    (PlayerControl.tsx:30-77, FloatingUserInput.tsx)."""
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    # select the first track (paused)
+    info = rows_el["children"][0]["querySelector"](".track-info")
+    browser.dispatch_event(info, "mousedown", {
+        "target": info, "metaKey": False, "ctrlKey": False, "shiftKey": False,
+    })
+    doc = browser.doc
+    fwd = doc["querySelector"]("#btn-jump-fwd")
+    back = doc["querySelector"]("#btn-jump-back")
+    skip = doc["querySelector"]("#btn-skip-start")
+    td = doc["querySelector"]("#time-display")
+
+    state["selectCursorSec"] = 0.0
+    browser.dispatch_event(fwd, "click", {"target": fwd})
+    assert state["selectCursorSec"] == pytest.approx(1.0)  # PLAY_JUMP_SEC
+    browser.dispatch_event(back, "click", {"target": back})
+    assert state["selectCursorSec"] == pytest.approx(0.0)  # clamped at 0
+    browser.dispatch_event(fwd, "click", {"target": fwd})
+    browser.dispatch_event(skip, "click", {"target": skip})
+    assert state["selectCursorSec"] == pytest.approx(0.0)
+
+    # paused readout follows the select cursor, not the player position
+    state["selectCursorSec"] = 1.25
+    browser.step_frames(1)
+    assert td["value"] == "00:00:01.250"
+
+    # edit: type a label, Enter commits -> select cursor moves (paused)
+    td["focus"]()
+    td["value"] = "00:00:01.500"
+    browser.dispatch_event(td, "input", {"target": td})
+    # the rAF updater must NOT clobber the in-progress edit
+    browser.step_frames(1)
+    assert td["value"] == "00:00:01.500"
+    browser.dispatch_event(td, "keydown", {"target": td, "key": "Enter"})
+    assert state["selectCursorSec"] == pytest.approx(1.5)
+
+    # Escape cancels: no cursor move, readout resumes tracking
+    td["focus"]()
+    td["value"] = "00:00:09.000"
+    browser.dispatch_event(td, "input", {"target": td})
+    browser.dispatch_event(td, "keydown", {"target": td, "key": "Escape"})
+    assert state["selectCursorSec"] == pytest.approx(1.5)
+    browser.step_frames(1)
+    assert td["value"] == "00:00:01.500"
+
+    # an unparsable label is ignored (time_label_to_seconds -> null)
+    td["focus"]()
+    td["value"] = "not a time"
+    browser.dispatch_event(td, "input", {"target": td})
+    browser.dispatch_event(td, "keydown", {"target": td, "key": "Enter"})
+    assert state["selectCursorSec"] == pytest.approx(1.5)
+
+    # while playing, a committed label SEEKS the real player
+    browser.dispatch_event(doc["querySelector"]("#btn-play"), "click",
+                           {"target": doc["querySelector"]("#btn-play")})
+    assert session.player.state()["isPlaying"] is True
+    td["focus"]()
+    td["value"] = "00:00:00.800"
+    browser.dispatch_event(td, "input", {"target": td})
+    browser.dispatch_event(td, "keydown", {"target": td, "key": "Enter"})
+    assert session.player.state()["positionSec"] == pytest.approx(0.8, abs=0.05)
+    browser.dispatch_event(doc["querySelector"]("#btn-play"), "click",
+                           {"target": doc["querySelector"]("#btn-play")})
+    assert session.player.state()["isPlaying"] is False
+
+    # volume double-click resets to 0 dB through the engine
+    vol = doc["querySelector"]("#volume")
+    vol["value"] = "-12"
+    browser.dispatch_event(vol, "input", {"target": vol})
+    browser.dispatch_event(vol, "dblclick", {"target": vol})
+    assert vol["value"] == "0"
+    assert session.player.playback.volume == pytest.approx(1.0)  # 0 dB
 
 
 def test_reload_failure_marks_row_errored_with_actions(booted):

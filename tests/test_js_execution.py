@@ -129,6 +129,19 @@ CASES = {
     "moveLensStartSec": [
         (30.0, a, 100.0, 1000.0) for a in (0.0, 0.25, 0.5, 1.0)
     ],
+    "timeAxisDragAnchor": [
+        (x, 1000.0, s, p)
+        for x in (0.0, 120.0, 999.0)
+        for s in (0.0, 33.5)
+        for p in (0.5, 100.0)
+    ],
+    "timeAxisDragStartSec": [
+        ({"cursorRatio": r, "sec": s}, x, 1000.0, p)
+        for r in (0.0, 0.4, 1.0)
+        for s in (0.0, 42.0)
+        for x in (0.0, 250.0, 1000.0)
+        for p in (0.5, 100.0)
+    ],
     "resizeLensLeft": [
         (_cur(10.0, 100.0), s, 100.0, 1000.0) for s in (-2.0, 5.0, 14.0, 19.99, 25.0)
     ],

@@ -96,6 +96,20 @@ def test_move_lens_anchor_property():
     assert start + 0.25 * lens == pytest.approx(30.0)
 
 
+def test_time_axis_drag_keeps_grabbed_second_under_cursor():
+    # TimeAxis.tsx:43-63: grab at x0, move to x1 — the second that was under
+    # the cursor at grab time is now under the new cursor position
+    pps = 50.0
+    anchor = T.time_axis_drag_anchor(200.0, W, 10.0, pps)
+    assert anchor["sec"] == pytest.approx(10.0 + 200.0 / pps)
+    for x1 in (0.0, 200.0, 730.0, W):
+        start = T.time_axis_drag_start_sec(anchor, x1, W, pps)
+        assert start + x1 / pps == pytest.approx(anchor["sec"])
+    # zero movement is the identity pan
+    same = T.time_axis_drag_start_sec(anchor, 200.0, W, pps)
+    assert same == pytest.approx(10.0)
+
+
 # ---------------------------------------------------------------------------
 # wheel gestures — MainViewer.tsx:538-576
 

@@ -105,6 +105,7 @@ export const api = {
   calcAmpAxisMarkers: (maxNumTicks, maxNumLabels, ampRangeMin, ampRangeMax) =>
     call("calc_amp_axis_markers", { maxNumTicks, maxNumLabels, ampRangeMin, ampRangeMax }),
   secondsToLabel: (sec) => call("seconds_to_label", { sec }),
+  timeLabelToSeconds: (label) => call("time_label_to_seconds", { label }),
   listMedia: () => fetch("/media").then((r) => r.json()).then((j) => j.result),
   upload: async (file) => {
     const fd = new FormData();

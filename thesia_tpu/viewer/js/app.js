@@ -840,7 +840,13 @@ function renderFrame() {
   // playhead extrapolation (reference: usePlayer.ts:44-52)
   const a = state.playerAnchor;
   const pos = L.playerPosition(a, performance.now());
-  $("#time-display").textContent = L.fmtTime(pos);
+  // PlayerControl.tsx:30-44: the position readout shows the playhead while
+  // playing and the SELECT cursor while paused, and never overwrites an
+  // in-progress edit (FloatingUserInput isEditing == focused)
+  const td = $("#time-display");
+  if (document.activeElement !== td) {
+    td.value = L.fmtTime(a.isPlaying ? pos : (state.selectCursorSec ?? 0));
+  }
 
   // follow-playhead autoscroll (reference MainViewer.tsx:853-871): while
   // playing, scroll only when the playhead leaves the view (and the user
@@ -1303,6 +1309,96 @@ async function setupControls() {
     }
   });
   $("#volume").oninput = (e) => api.setVolumeDb(Number(e.target.value));
+  // FloatRangeInput doubleClickValue=0 (PlayerControl.tsx:100-113)
+  $("#volume").ondblclick = (e) => {
+    e.target.value = "0";
+    api.setVolumeDb(0);
+  };
+
+  // transport buttons (PlayerControl.tsx:78-99: skip-to-beginning,
+  // jump ±PLAY_JUMP_SEC, play/pause)
+  $("#btn-skip-start").onclick = () => rewindToFront();
+  $("#btn-jump-back").onclick = () => jumpBy(-L.jumpAmountSec(false));
+  $("#btn-jump-fwd").onclick = () => jumpBy(L.jumpAmountSec(false));
+
+  // editable position readout (PlayerControl.tsx:53-77 FloatingUserInput:
+  // commit on blur only if changed; Enter commits, Escape cancels; the
+  // parsed label seeks while playing and moves the select cursor paused)
+  const td = $("#time-display");
+  let tdChanged = false;
+  td.addEventListener("input", () => { tdChanged = true; });
+  td.addEventListener("keydown", (e) => {
+    e.stopPropagation();
+    if (e.key === "Enter") td.blur();
+    else if (e.key === "Escape") {
+      tdChanged = false;
+      td.blur();
+    }
+  });
+  td.addEventListener("blur", async () => {
+    if (!tdChanged) return;
+    tdChanged = false;
+    const sec = await api.timeLabelToSeconds(td.value);
+    if (typeof sec !== "number" || Number.isNaN(sec)) return;
+    if (state.playing) {
+      await trackedSeek(sec);
+      pollPlayer();
+    } else {
+      state.selectCursorSec = L.clampSelectSec(sec, state.maxSec);
+    }
+    redraw();
+  });
+
+  // time-axis interactions (reference TimeAxis.tsx:43-77: anchored drag
+  // pans the lens so the grabbed second follows the cursor; a plain click
+  // moves the locator — playing seeks the playhead, paused the select
+  // cursor (MainViewer.tsx:670-672); alt+click resets to fit mode
+  // (resetTimeAxis, MainViewer.tsx:76,799))
+  const timeAxis = $("#time-axis");
+  timeAxis.style.cursor = "text";
+  timeAxis.addEventListener("mousedown", (e) => {
+    if (!state.trackIds.length) return; // enableInteraction
+    e.preventDefault();
+    const rect = timeAxis.getBoundingClientRect();
+    const x0 = e.clientX - rect.left;
+    if (e.altKey) {
+      state.fitMode = true;
+      $("#btn-fit").classList.add("active");
+      applyFit();
+      redraw();
+      return;
+    }
+    const anchor = L.timeAxisDragAnchor(
+      x0, rect.width, state.startSec, state.pxPerSec
+    );
+    let movedAxis = false;
+    axisDrag = {
+      move(ev) {
+        const x = ev.clientX - rect.left;
+        if (!movedAxis && Math.abs(x - x0) < 3) return; // click vs drag
+        movedAxis = true;
+        leaveFit();
+        setLens({
+          startSec: L.timeAxisDragStartSec(anchor, x, rect.width, state.pxPerSec),
+        });
+        redraw();
+      },
+      up(ev) {
+        if (movedAxis || !ev) return;
+        const x = ev.clientX - rect.left;
+        if (x < 0 || x >= rect.width) return; // !allowOutside
+        const sec = L.clampSelectSec(
+          state.startSec + x / state.pxPerSec, state.maxSec
+        );
+        if (state.playing) {
+          trackedSeek(sec).then(pollPlayer);
+        } else {
+          state.selectCursorSec = sec;
+        }
+        redraw();
+      },
+    };
+  });
 
   // write -> read-back -> persist, like the reference's useTracks setters
   const persistSettings = async () => {

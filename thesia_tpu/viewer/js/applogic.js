@@ -72,6 +72,22 @@ export function moveLensStartSec(sec, anchorRatio, pxPerSec, width) {
   return sec - lensDurationSec * anchorRatio;
 }
 
+export function timeAxisDragAnchor(cursorX, rectWidth, startSec, pxPerSec) {
+  // reference: TimeAxis.tsx:43-49 calcDragAnchor — remember the grabbed
+  // second and its fractional position along the axis
+  const cursorRatio = cursorX / rectWidth;
+  return { cursorRatio, sec: startSec + (cursorRatio * rectWidth) / pxPerSec };
+}
+
+export function timeAxisDragStartSec(anchor, cursorX, rectWidth, pxPerSec) {
+  // reference: TimeAxis.tsx:51-63 handleDragging (anchored pan: the grabbed
+  // second stays under the cursor) composed with MainViewer.tsx:394-397
+  const cursorRatio = cursorX / rectWidth;
+  const sec =
+    anchor.sec - ((cursorRatio - anchor.cursorRatio) * rectWidth) / pxPerSec;
+  return moveLensStartSec(sec, anchor.cursorRatio, pxPerSec, rectWidth);
+}
+
 export function resizeLensLeft(cur, sec, maxTrackSec, width) {
   // reference: MainViewer.tsx:399-407
   const endSec = cur.startSec + width / cur.pxPerSec;

@@ -132,6 +132,24 @@ def move_lens_start_sec(sec, anchor_ratio, px_per_sec, width):
     return sec - (width / px_per_sec) * anchor_ratio
 
 
+def time_axis_drag_anchor(cursor_x, rect_width, start_sec, px_per_sec):
+    """reference: TimeAxis.tsx:43-49 calcDragAnchor."""
+    cursor_ratio = cursor_x / rect_width
+    return {
+        "cursorRatio": cursor_ratio,
+        "sec": start_sec + (cursor_ratio * rect_width) / px_per_sec,
+    }
+
+
+def time_axis_drag_start_sec(anchor, cursor_x, rect_width, px_per_sec):
+    """reference: TimeAxis.tsx:51-63 + MainViewer.tsx:394-397."""
+    cursor_ratio = cursor_x / rect_width
+    sec = anchor["sec"] - (
+        (cursor_ratio - anchor["cursorRatio"]) * rect_width
+    ) / px_per_sec
+    return move_lens_start_sec(sec, anchor["cursorRatio"], px_per_sec, rect_width)
+
+
 def resize_lens_left(cur, sec, max_track_sec, width):
     """reference: MainViewer.tsx:399-407."""
     end_sec = cur["startSec"] + width / cur["pxPerSec"]
@@ -683,6 +701,8 @@ TWINNED = {
     "normalizePxPerSec": normalize_px_per_sec,
     "updateLensParams": update_lens_params,
     "moveLensStartSec": move_lens_start_sec,
+    "timeAxisDragAnchor": time_axis_drag_anchor,
+    "timeAxisDragStartSec": time_axis_drag_start_sec,
     "resizeLensLeft": resize_lens_left,
     "resizeLensRight": resize_lens_right,
     "classifyWheel": classify_wheel,
