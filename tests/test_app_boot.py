@@ -11,6 +11,7 @@ recomputes through set_spec_setting; animation frames drive the compositor
 and fetch/draw REAL spectrogram tiles end-to-end.
 """
 
+import math
 import pathlib
 
 import numpy as np
@@ -1603,3 +1604,104 @@ def test_reload_failure_marks_row_errored_with_actions(booted):
         if "fragile" in r["querySelector"](".track-name")["textContent"]
     ]
     assert tid not in list(state["erroredTracks"])
+
+
+def test_axis_hover_tooltips_reference_exact(booted):
+    """Hovering each axis renders the reference's per-axis tooltip through
+    the REAL formatters: time (TimeAxis.tsx:79-90 — axis format + one digit,
+    " s" suffix for plain-seconds), freq (FreqAxis.tsx:214-221 — kHz/Hz
+    label), amp (AmpAxis.tsx:123-130 — linear, maxFractionDigits 9), and the
+    dB colorbar (ColorMap.tsx:53-63 — maxFractionDigits 6, " dB" suffix).
+    Expected strings are computed independently from the twins + engine
+    formatters."""
+    from thesia_tpu.axis import (
+        format_frequency_axis_tooltip,
+        format_linear_axis_tooltip,
+        format_time_axis_tooltip,
+    )
+    from thesia_tpu.viewer import twin_app as TA
+
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    st = g(interp)["state"]
+    st["needsRedraw"] = True
+    browser.step_frames(1)  # renderFrame -> scheduleAxisUpdate
+    browser.advance(20)  # fire the ~14 ms axis-update debounce
+
+    def tooltip_text():
+        for c in browser.doc["body"]["children"]:
+            style = c.get("style") or {}
+            if "position:fixed" in (style.get("cssText") or "") and \
+                    style.get("display") != "none":
+                return c["textContent"]
+        return None
+
+    def hover(el, off_x, off_y):
+        browser.dispatch_event(el, "mousemove", {
+            "offsetX": off_x, "offsetY": off_y,
+            "clientX": off_x, "clientY": off_y, "target": el,
+        })
+        browser.advance(150)  # fire the 100 ms throttle
+        return tooltip_text()
+
+    # --- time axis -----------------------------------------------------
+    ta = browser.doc["querySelector"]("#time-axis")
+    markers = g(interp)["lastAxisMarkers"](ta)
+    assert markers, "time axis never stashed its markers"
+    fd = markers[-1][1]
+    disp = TA.time_tooltip_display(fd)
+    sec = st["startSec"] + 250.0 / st["pxPerSec"]
+    want = format_time_axis_tooltip(sec, disp["display"])
+    if disp["appendSeconds"]:
+        want = f"{want} s"
+    assert hover(ta, 250.0, 10.0) == want
+
+    # --- freq axis (row 0) ----------------------------------------------
+    row = rows_el["children"][0]
+    fx = row["querySelector"](".freq-axis")
+    max_hz = st["maxTrackHz"]
+    lo, hi = (st["hzRange"] or [0.0, max_hz])
+    a = TA.freq_tooltip_args(st["freqScale"], 40.0, 160.0, lo, hi, max_hz)
+    want = TA.freq_tooltip_label(
+        format_frequency_axis_tooltip(a["hz"], a["resolutionHz"])
+    )
+    assert hover(fx, 7.0, 40.0) == want
+    assert want.endswith(" kHz") or want.endswith(" Hz")
+
+    # --- amp axis (row 0) -----------------------------------------------
+    ax_el = row["querySelector"](".amp-axis")
+    track_id = int(row["dataset"]["trackId"])
+    r = g(interp)["ampRangeOf"](float(track_id))
+    amp_markers = g(interp)["lastAxisMarkers"](ax_el)
+    assert amp_markers, "amp axis never stashed its markers"
+    args = TA.linear_tooltip_args(40.0, 160.0, r[1], r[0], amp_markers)
+    want = format_linear_axis_tooltip(
+        args["value"], args["resolution"], args["tickUnit"], 9
+    )
+    assert hover(ax_el, 7.0, 40.0) == want
+
+    # --- dB colorbar ------------------------------------------------------
+    cb = browser.doc["querySelector"]("#colorbar")
+    assert st["dbRange"], "updateColorbar never recorded the dB range"
+    min_db, max_db = st["dbRange"]
+    cb_markers = g(interp)["lastAxisMarkers"](cb)
+    args = TA.linear_tooltip_args(40.0, 160.0, max_db, min_db, cb_markers)
+    want = format_linear_axis_tooltip(
+        args["value"], args["resolution"], args["tickUnit"], 6
+    ) + " dB"
+    assert hover(cb, 7.0, 40.0) == want
+
+    # NaN tick unit survives the JSON bridge (null -> NaN server-side):
+    # a single-marker axis has no positive tick gap
+    args = TA.linear_tooltip_args(40.0, 160.0, 1.0, -1.0, [[0.0, "1"]])
+    assert math.isnan(args["tickUnit"])
+    via_js = g(interp)["api"]["formatLinearAxisTooltip"](
+        args["value"], args["resolution"], args["tickUnit"], 9
+    )
+    want = format_linear_axis_tooltip(
+        args["value"], args["resolution"], args["tickUnit"], 9
+    )
+    assert via_js == want
+
+    browser.dispatch_event(cb, "mouseleave", {"target": cb})
+    assert tooltip_text() is None  # hidden again

@@ -314,6 +314,33 @@ CASES = {
     "ampWheel": [
         ([-1.0, 1.0], d) for d in (-500.0, -100.0, 0.0, 250.0, 499.0, 1e9)
     ],
+    "adjacentAxisPosition": [
+        (p, 100.0) for p in (0.0, 10.0, 50.0, 51.0, 99.0, 100.0)
+    ] + [(0.0, 0.0)],
+    "linearPosToValue": [
+        (0.0, 200.0, 1.0, -1.0), (50.0, 200.0, 1.0, -1.0),
+        (200.0, 200.0, 1.0, -1.0), (130.0, 260.0, 0.0, -120.0),
+    ],
+    "tickUnitFromValues": [
+        ([0.0, 0.25, 0.5],), ([0.5, 0.5, 0.25],),
+        ([float("inf"), 0.5, 0.25],), ([0.5, 0.5],), ([],),
+        ([float("nan"), 3.0, 3.0, 7.0],),
+    ],
+    "linearTooltipArgs": [
+        (50.0, 200.0, 1.0, -1.0, [[0.0, "1"], [0.5, "0"], [1.0, "-1"]]),
+        (150.0, 200.0, 1.0, -1.0, [[-0.5, ""], [2.0, ""]]),
+        (0.0, 260.0, 0.0, -120.0, [[r / 6, ""] for r in range(7)]),
+        (260.0, 260.0, 0.0, -120.0, []),
+    ],
+    "timeTooltipDisplay": [
+        ("mm:ss.xx",), ("mm:ss",), ("ss.x",), ("ss",), ("hh:mm:ss",),
+    ],
+    "freqTooltipLabel": [("12.3k",), ("440",), ("1k5",), ("2k",)],
+    "freqTooltipArgs": [
+        (sc, p, 300.0, 0.0, 8000.0, 8000.0)
+        for sc in ("Linear", "Mel")
+        for p in (0.0, 10.0, 150.0, 151.0, 300.0)
+    ] + [("Mel", 40.0, 300.0, 200.0, 5000.0, 12000.0)],
     "overviewSecFromX": [(150.0, 1000.0, 100.0), (0.0, 600.0, 44.03)],
     "overviewCursorState": [
         (x, 1.0, 1.0, 100.0)

@@ -634,3 +634,111 @@ def test_js_round_semantics():
     assert T._js_round(1.5) == 2
     assert T._js_round(-0.5) == 0  # JS Math.round(-0.5) === -0
     assert T._js_round(-1.5) == -1
+
+
+# ---------------------------------------------------------------------------
+# axis hover tooltips — wasm-wrapper.ts:120-148 (getValueAndResolution +
+# formatLinearAxisTooltip args), TimeAxis.tsx:79-90, FreqAxis.tsx:214-221,
+# AmpAxis.tsx:123-130
+
+
+def test_adjacent_axis_position_steps_inward_at_edges():
+    # lower half steps +1, clamped at axisLength; upper half steps -1,
+    # clamped at 0 (wasm-wrapper.ts:125-128)
+    assert T.adjacent_axis_position(10.0, 100.0) == 11.0
+    assert T.adjacent_axis_position(50.0, 100.0) == 51.0  # <= length/2 -> +1
+    assert T.adjacent_axis_position(51.0, 100.0) == 50.0
+    assert T.adjacent_axis_position(100.0, 100.0) == 99.0
+    assert T.adjacent_axis_position(0.0, 100.0) == 1.0
+    # degenerate 0-length axis: both clamps collapse to the same pixel
+    assert T.adjacent_axis_position(0.0, 0.0) == 0.0
+
+
+def test_linear_pos_to_value_top_down():
+    # AmpAxis.tsx:124 — ampRange[1] at pos 0, ampRange[0] at pos L
+    assert T.linear_pos_to_value(0.0, 200.0, 1.0, -1.0) == 1.0
+    assert T.linear_pos_to_value(200.0, 200.0, 1.0, -1.0) == -1.0
+    assert T.linear_pos_to_value(50.0, 200.0, 1.0, -1.0) == pytest.approx(0.5)
+
+
+def test_tick_unit_first_positive_gap():
+    # wasm-wrapper.ts:143-147 — first |adjacent difference| > 0 of the
+    # finite-filtered tick values; NaN if none
+    assert T.tick_unit_from_values([0.0, 0.25, 0.5]) == pytest.approx(0.25)
+    assert T.tick_unit_from_values([0.5, 0.5, 0.25]) == pytest.approx(0.25)
+    inf = float("inf")
+    assert T.tick_unit_from_values([inf, 0.5, 0.25]) == pytest.approx(0.25)
+    assert math.isnan(T.tick_unit_from_values([0.5, 0.5]))
+    assert math.isnan(T.tick_unit_from_values([]))
+
+
+def test_linear_tooltip_args_amp_axis_example():
+    # amp axis, range [-1, 1], 200 px, cursor at 50 px (value 0.5): the
+    # resolution is one pixel of travel = 2/200 = 0.01
+    markers = [[0.0, "1"], [0.5, "0"], [1.0, "-1"]]
+    got = T.linear_tooltip_args(50.0, 200.0, 1.0, -1.0, markers)
+    assert got["value"] == pytest.approx(0.5)
+    assert got["resolution"] == pytest.approx(0.01)
+    assert got["tickUnit"] == pytest.approx(1.0)
+    # ratios outside [0,1] are clamped to the axis before evaluating
+    # (wasm-wrapper.ts:141)
+    got = T.linear_tooltip_args(50.0, 200.0, 1.0, -1.0, [[-0.5, ""], [2.0, ""]])
+    assert got["tickUnit"] == pytest.approx(2.0)
+
+
+def test_linear_tooltip_args_feed_engine_formatter():
+    # end-to-end: the twin's args through the real formatter reproduce the
+    # reference AmpAxis hover string (formatLinearAxisTooltip default
+    # maxFractionDigits=9)
+    from thesia_tpu import axis as ax
+
+    markers = [[0.0, "1"], [0.25, "0.5"], [0.5, "0"], [0.75, "-0.5"], [1.0, "-1"]]
+    got = T.linear_tooltip_args(50.0, 200.0, 1.0, -1.0, markers)
+    s = ax.format_linear_axis_tooltip(
+        got["value"], got["resolution"], got["tickUnit"], 9
+    )
+    # resolution 0.01 -> 2 fraction digits (axis.rs:563-592)
+    assert s == "0.50"
+
+
+def test_time_tooltip_display_extension():
+    # TimeAxis.tsx:82-90 — one extra fractional digit; plain-seconds formats
+    # carry a " s" suffix on the label
+    assert T.time_tooltip_display("mm:ss.xx") == {
+        "display": "mm:ss.xxx", "appendSeconds": False,
+    }
+    assert T.time_tooltip_display("mm:ss") == {
+        "display": "mm:ss.x", "appendSeconds": False,
+    }
+    assert T.time_tooltip_display("ss.x") == {
+        "display": "ss.xx", "appendSeconds": True,
+    }
+    assert T.time_tooltip_display("ss") == {
+        "display": "ss.x", "appendSeconds": True,
+    }
+
+
+def test_freq_tooltip_label():
+    # FreqAxis.tsx:221
+    assert T.freq_tooltip_label("12.3k") == "12.3 kHz"
+    assert T.freq_tooltip_label("440") == "440 Hz"
+    assert T.freq_tooltip_label("1k5") == "1k5 Hz"  # only a trailing k splits
+
+
+def test_freq_tooltip_args_matches_engine_scale():
+    # wasm-wrapper.ts:150-158 — hz at the cursor plus a 1-px resolution,
+    # both through the same freq-scale mapping the axis draws with
+    from thesia_tpu import axis as ax
+    from thesia_tpu.common.freqscale import FreqScale
+
+    got = T.freq_tooltip_args("Mel", 40.0, 300.0, 0.0, 8000.0, 8000.0)
+    want = ax.freq_pos_to_hz(FreqScale("Mel"), 40.0, 300.0, (0.0, 8000.0), 8000.0)
+    # the client twin runs in f64 while the engine emulates the reference's
+    # f32 wasm — agreement to f32 precision, not bit-exact
+    assert got["hz"] == pytest.approx(want, rel=1e-6)
+    adj = ax.freq_pos_to_hz(FreqScale("Mel"), 41.0, 300.0, (0.0, 8000.0), 8000.0)
+    assert got["resolutionHz"] == pytest.approx(abs(adj - want), rel=1e-4)
+    # upper half steps -1 px instead
+    hi = T.freq_tooltip_args("Linear", 300.0, 300.0, 0.0, 8000.0, 8000.0)
+    assert hi["hz"] == pytest.approx(0.0, abs=1e-9)
+    assert hi["resolutionHz"] == pytest.approx(8000.0 / 300.0, rel=1e-9)

@@ -62,6 +62,10 @@ class AxisApi:
         )
 
     def format_linear_axis_tooltip(self, value, resolution, tick_unit, max_fraction_digits):
+        # NaN has no JSON encoding: the viewer sends null when the drawn
+        # markers had no positive tick gap (wasm-wrapper.ts:147's ?? NaN)
+        if tick_unit is None:
+            tick_unit = float("nan")
         return ax.format_linear_axis_tooltip(value, resolution, tick_unit, max_fraction_digits)
 
     def format_frequency_axis_tooltip(self, hz, resolution_hz):

@@ -104,6 +104,20 @@ export const api = {
       { hzRangeMin, hzRangeMax, freqScale, maxNumTicks, maxNumLabels, maxTrackHz }),
   calcAmpAxisMarkers: (maxNumTicks, maxNumLabels, ampRangeMin, ampRangeMax) =>
     call("calc_amp_axis_markers", { maxNumTicks, maxNumLabels, ampRangeMin, ampRangeMax }),
+  // axis hover tooltips (reference: wasm-wrapper.ts formatLinearAxisTooltip /
+  // formatFrequencyAxisTooltip, TimeAxis.tsx formatTimeAxisTooltip).  NaN
+  // tickUnit (no positive tick gap) JSON-encodes as null; the service maps
+  // null back to NaN.
+  formatLinearAxisTooltip: (value, resolution, tickUnit, maxFractionDigits) =>
+    call("format_linear_axis_tooltip", {
+      value, resolution,
+      tickUnit: Number.isFinite(tickUnit) ? tickUnit : null,
+      maxFractionDigits,
+    }),
+  formatFrequencyAxisTooltip: (hz, resolutionHz) =>
+    call("format_frequency_axis_tooltip", { hz, resolutionHz }),
+  formatTimeAxisTooltip: (sec, formatDisplay) =>
+    call("format_time_axis_tooltip", { sec, formatDisplay }),
   secondsToLabel: (sec) => call("seconds_to_label", { sec }),
   timeLabelToSeconds: (label) => call("time_label_to_seconds", { label }),
   listMedia: () => fetch("/media").then((r) => r.json()).then((j) => j.result),

@@ -7,7 +7,9 @@
 
 import { api, jsonNumber } from "./api.js";
 import { Compositor, TrackViewport } from "./viewport.js";
-import { timeTickParams, updateAmpAxis, updateFreqAxis, updateTimeAxis } from "./axes.js";
+import {
+  lastAxisMarkers, timeTickParams, updateAmpAxis, updateFreqAxis, updateTimeAxis,
+} from "./axes.js";
 import { Overview, drawColorbar } from "./overview.js";
 // ALL pure interaction math lives in applogic.js (executed Python twins in
 // viewer/twin_app.py golden-test it against the reference formulas); this
@@ -26,6 +28,7 @@ const state = {
   hzRange: null, // null -> full [0, maxTrackHz]
   ampRanges: new Map(), // trackId -> [min, max] (reference AmpAxis.tsx)
   freqScale: "Mel",
+  dbRange: null, // [minDb, maxDb] as drawn on the colorbar (tooltip source)
   rowHeight: 160, // height-zoomable (reference MainViewer.tsx:414-489)
   playing: false,
   playerAnchor: { positionSec: 0, at: performance.now(), isPlaying: false },
@@ -232,6 +235,7 @@ async function updateColorbar() {
     fetch("/api/get_max_dB", { method: "POST" }).then((r) => r.json())
       .then((j) => jsonNumber(j.result)),
   ]);
+  state.dbRange = [minDb, maxDb]; // colorbar hover tooltip reads these
   drawColorbar($("#colorbar"), colormapRgba, minDb, maxDb);
 }
 
@@ -730,6 +734,16 @@ function setupFreqAxisEditing(row) {
     state.hzRange = null; // reset-axis-range (menu.rs reset events)
     redraw();
   });
+  // hover tooltip (reference FreqAxis.tsx:214-221: wasm frequency tooltip
+  // through the current freq-scale mapping, "12.3k" -> "12.3 kHz")
+  attachAxisTooltip(axis, false, async (pos, length) => {
+    const maxHz = state.maxTrackHz;
+    if (!maxHz) return null;
+    const [lo, hi] = hzRangeOrFull();
+    const a = L.freqTooltipArgs(state.freqScale, pos, length, lo, hi, maxHz);
+    const label = await api.formatFrequencyAxisTooltip(a.hz, a.resolutionHz);
+    return L.freqTooltipLabel(label);
+  });
 }
 
 function setupAmpAxisEditing(row, trackId) {
@@ -781,6 +795,13 @@ function setupAmpAxisEditing(row, trackId) {
     e.preventDefault();
     state.ampRanges.delete(trackId);
     redraw();
+  });
+  // hover tooltip (reference AmpAxis.tsx:123-130: linear top-down value,
+  // 1-px resolution, tick unit of the drawn markers; maxFractionDigits 9)
+  attachAxisTooltip(axis, false, async (pos, length) => {
+    const r = ampRangeOf(trackId);
+    const a = L.linearTooltipArgs(pos, length, r[1], r[0], lastAxisMarkers(axis));
+    return api.formatLinearAxisTooltip(a.value, a.resolution, a.tickUnit, 9);
   });
 }
 
@@ -932,8 +953,7 @@ let tooltipEl = null;
 let tooltipPending = false;
 let tooltipLastEvent = null;
 
-function showTooltip(e, vp, row) {
-  if (!vp.metadata) return;
+function placeTooltip(e) {
   if (!tooltipEl) {
     tooltipEl = document.createElement("div");
     tooltipEl.style.cssText =
@@ -944,6 +964,11 @@ function showTooltip(e, vp, row) {
   tooltipEl.style.left = `${e.clientX + 12}px`;
   tooltipEl.style.top = `${e.clientY + 12}px`;
   tooltipEl.style.display = "block";
+}
+
+function showTooltip(e, vp, row) {
+  if (!vp.metadata) return;
+  placeTooltip(e);
   // always remember the LATEST event: the throttled closure below must
   // compute content for where the box actually sits, not for the event
   // that armed the throttle up to 100 ms of mouse travel earlier
@@ -955,34 +980,55 @@ function showTooltip(e, vp, row) {
     if (!tooltipEl || tooltipEl.style.display === "none") return;
     const ev = tooltipLastEvent || e;
     const sec = state.startSec + ev.offsetX / state.pxPerSec;
-    const h = ev.target.clientHeight;
+    const h = ev.target.clientHeight || 1;
     const maxHz = state.maxTrackHz || vp.metadata.sampleRate / 2;
     const [hzLo, hzHi] = hzRangeOrFull();
+    // same value+resolution math as the freq axis tooltip
+    // (wasm-wrapper.ts:150-158), evaluated at the hover row
+    const a = L.freqTooltipArgs(state.freqScale, ev.offsetY, h, hzLo, hzHi, maxHz);
     try {
-      const [t, hz] = await Promise.all([
-        fetch("/api/format_time_axis_tooltip", {
-          method: "POST", headers: { "Content-Type": "application/json" },
-          body: JSON.stringify({ sec, formatDisplay: "mm:ss.xxx" }),
-        }).then((r) => r.json()).then((j) => j.result),
-        fetch("/api/freq_pos_to_hz", {
-          method: "POST", headers: { "Content-Type": "application/json" },
-          body: JSON.stringify({
-            freqScale: state.freqScale, y: ev.offsetY, height: h,
-            hzRangeMin: hzLo, hzRangeMax: hzHi, maxTrackHz: maxHz,
-          }),
-        }).then((r) => r.json()).then((j) => j.result),
+      const [t, hzLabel] = await Promise.all([
+        api.formatTimeAxisTooltip(sec, "mm:ss.xxx"),
+        api.formatFrequencyAxisTooltip(a.hz, a.resolutionHz),
       ]);
-      const hzLabel = await fetch("/api/format_frequency_axis_tooltip", {
-        method: "POST", headers: { "Content-Type": "application/json" },
-        body: JSON.stringify({ hz, resolutionHz: (hzHi - hzLo) / Math.max(h, 1) }),
-      }).then((r) => r.json()).then((j) => j.result);
-      if (tooltipEl) tooltipEl.textContent = `${t} · ${hzLabel}Hz`;
+      if (tooltipEl) {
+        tooltipEl.textContent = `${t} · ${L.freqTooltipLabel(hzLabel)}`;
+      }
     } catch { /* transient */ }
   }, 100);
 }
 
 function hideTooltip() {
   if (tooltipEl) tooltipEl.style.display = "none";
+}
+
+// axis hover tooltips (reference AxisCanvas.tsx:139-166: axisPosition =
+// cursor offset clamped to the axis, content from the per-axis
+// formatTooltip).  compute(pos, length) resolves to the tooltip text, or
+// null to leave the box unchanged.
+function attachAxisTooltip(el, horizontal, compute) {
+  let pending = false;
+  let lastEvent = null;
+  el.addEventListener("mousemove", (e) => {
+    if (!state.trackIds.length) return; // enableInteraction
+    placeTooltip(e);
+    lastEvent = e; // latest-event throttle, same contract as showTooltip
+    if (pending) return;
+    pending = true;
+    setTimeout(async () => {
+      pending = false;
+      if (!tooltipEl || tooltipEl.style.display === "none") return;
+      const ev = lastEvent || e;
+      const length = horizontal ? el.clientWidth : el.clientHeight;
+      const raw = horizontal ? ev.offsetX : ev.offsetY;
+      const pos = Math.min(Math.max(raw, 0), length);
+      try {
+        const text = await compute(pos, length);
+        if (text !== null && tooltipEl) tooltipEl.textContent = text;
+      } catch { /* transient */ }
+    }, 100);
+  });
+  el.addEventListener("mouseleave", hideTooltip);
 }
 
 // ---------------------------------------------------------------------------
@@ -1399,6 +1445,39 @@ async function setupControls() {
       },
     };
   });
+
+  // hover tooltip (reference TimeAxis.tsx:79-90: the axis's own label
+  // format extended by one fractional digit; plain-seconds formats get
+  // a " s" suffix).  The formatDisplay rides the sentinel last marker
+  // (axis.rs: (i32::MIN, format_display)).
+  attachAxisTooltip(timeAxis, true, async (pos) => {
+    const markers = lastAxisMarkers(timeAxis);
+    const last = markers[markers.length - 1];
+    const fd = (last ? last[1] : undefined) ?? "ss";
+    const { display, appendSeconds } = L.timeTooltipDisplay(fd);
+    const label = await api.formatTimeAxisTooltip(
+      state.startSec + pos / state.pxPerSec, display
+    );
+    return appendSeconds ? `${label} s` : label;
+  });
+
+  // dB colorbar hover tooltip (reference ColorMap.tsx:53-63: linear dB
+  // tooltip with maxFractionDigits 6, " dB" suffix, -inf guard)
+  const colorbarEl = $("#colorbar");
+  if (colorbarEl) {
+    attachAxisTooltip(colorbarEl, false, async (pos, length) => {
+      if (!state.dbRange) return null;
+      const [minDb, maxDb] = state.dbRange;
+      if (minDb === -Infinity && maxDb === -Infinity) return "-∞ dB";
+      const a = L.linearTooltipArgs(
+        pos, length, maxDb, minDb, lastAxisMarkers(colorbarEl)
+      );
+      const label = await api.formatLinearAxisTooltip(
+        a.value, a.resolution, a.tickUnit, 6
+      );
+      return `${label} dB`;
+    });
+  }
 
   // write -> read-back -> persist, like the reference's useTracks setters
   const persistSettings = async () => {

@@ -547,6 +547,68 @@ export function ampWheel(ampRange, deltaY) {
 // ---------------------------------------------------------------------------
 // overview lens — reference Overview.tsx:109-183
 
+export function adjacentAxisPosition(axisPosition, axisLength) {
+  // reference: wasm-wrapper.ts:120-131 — the 1-px neighbor used to derive
+  // the tooltip's value resolution, stepping inward at the axis edges
+  return axisPosition <= axisLength / 2
+    ? Math.min(axisPosition + 1, axisLength)
+    : Math.max(axisPosition - 1, 0);
+}
+
+export function linearPosToValue(pos, axisLength, topValue, bottomValue) {
+  // reference: AmpAxis.tsx:123-130 / ColorMap.tsx:53-63 — top-down linear
+  // axis value at a pixel position
+  return topValue - (pos / axisLength) * (topValue - bottomValue);
+}
+
+export function tickUnitFromValues(tickValues) {
+  // reference: wasm-wrapper.ts:141-147 — first positive gap between
+  // adjacent finite tick values (NaN when none)
+  const finite = tickValues.filter((v) => Number.isFinite(v));
+  for (let i = 1; i < finite.length; i++) {
+    const unit = Math.abs(finite[i] - finite[i - 1]);
+    if (unit > 0) return unit;
+  }
+  return NaN;
+}
+
+export function linearTooltipArgs(pos, axisLength, topValue, bottomValue, markers) {
+  // reference: wasm-wrapper.ts:120-148 composed for a top-down linear axis
+  // (amp axis, dB colorbar): value at the cursor, 1-px resolution, and the
+  // tick unit of the currently drawn markers ([ratio, label] pairs)
+  const value = linearPosToValue(pos, axisLength, topValue, bottomValue);
+  const adj = adjacentAxisPosition(pos, axisLength);
+  const resolution =
+    Math.abs(linearPosToValue(adj, axisLength, topValue, bottomValue) - value);
+  const ticks = markers.map(([r]) => linearPosToValue(
+    Math.min(Math.max(r * axisLength, 0), axisLength),
+    axisLength, topValue, bottomValue
+  ));
+  return { value, resolution, tickUnit: tickUnitFromValues(ticks) };
+}
+
+export function timeTooltipDisplay(formatDisplay) {
+  // reference: TimeAxis.tsx:79-90 — extend the axis label format by one
+  // fractional digit; plain seconds formats get a " s" suffix
+  const display = formatDisplay.includes(".")
+    ? `${formatDisplay}x` : `${formatDisplay}.x`;
+  return { display, appendSeconds: formatDisplay.startsWith("ss") };
+}
+
+export function freqTooltipLabel(label) {
+  // reference: FreqAxis.tsx:214-221 — "12.3k" -> "12.3 kHz", else "… Hz"
+  return label.endsWith("k") ? `${label.slice(0, -1)} kHz` : `${label} Hz`;
+}
+
+export function freqTooltipArgs(freqScale, pos, axisLength, hzLo, hzHi, maxTrackHz) {
+  // reference: wasm-wrapper.ts:150-158 — getValueAndResolution over the
+  // freq-scale position mapping (FreqAxis.tsx:214-220's getValue)
+  const hz = freqPosToHz(freqScale, pos, axisLength, hzLo, hzHi, maxTrackHz);
+  const adj = adjacentAxisPosition(pos, axisLength);
+  const adjHz = freqPosToHz(freqScale, adj, axisLength, hzLo, hzHi, maxTrackHz);
+  return { hz, resolutionHz: Math.abs(adjHz - hz) };
+}
+
 export function overviewSecFromX(cursorX, rectWidth, maxTrackSec) {
   // reference: Overview.tsx:109-112
   return (cursorX / rectWidth) * maxTrackSec;

@@ -120,37 +120,53 @@ function bumpSeq(canvas) {
   return n;
 }
 
+// last markers drawn per canvas: hover tooltips derive their formatDisplay
+// (time axis, reference TimeAxis.tsx:81) and tick unit (linear axes,
+// reference wasm-wrapper.ts:139-147) from what is actually on screen
+const lastMarkersMap = new WeakMap();
+
+export function setLastAxisMarkers(canvas, markers) {
+  lastMarkersMap.set(canvas, markers);
+}
+
+export function lastAxisMarkers(canvas) {
+  return lastMarkersMap.get(canvas) || [];
+}
+
 export async function updateTimeAxis(canvas, startSec, pxPerSec, maxSec) {
   const w = canvas.clientWidth;
   const endSec = startSec + w / pxPerSec;
   const params = timeTickParams(pxPerSec);
-  if (!params) return drawMarkersH(canvas, []);
+  if (!params) { setLastAxisMarkers(canvas, []); return drawMarkersH(canvas, []); }
   const seq = bumpSeq(canvas);
   const markers = await api.calcTimeAxisMarkers(
     startSec, endSec, params.tickUnit, params.labelInterval, maxSec
   );
   if (axisSeq.get(canvas) !== seq) return; // superseded while in flight
+  setLastAxisMarkers(canvas, markers);
   drawMarkersH(canvas, markers);
 }
 
 export async function updateAmpAxis(canvas, ampRange = [-1, 1]) {
   const scale = tickScale(AMP_TICK_NUM, canvas.clientHeight);
-  if (!scale) return drawMarkersV(canvas, []);
+  if (!scale) { setLastAxisMarkers(canvas, []); return drawMarkersV(canvas, []); }
   const seq = bumpSeq(canvas);
   const markers = await api.calcAmpAxisMarkers(
     scale[0], scale[1], ampRange[0], ampRange[1]
   );
   if (axisSeq.get(canvas) !== seq) return;
+  setLastAxisMarkers(canvas, markers);
   drawMarkersV(canvas, markers);
 }
 
 export async function updateFreqAxis(canvas, hzRange, freqScale, maxTrackHz) {
   const scale = tickScale(FREQ_TICK_NUM, canvas.clientHeight);
-  if (!scale) return drawMarkersV(canvas, []);
+  if (!scale) { setLastAxisMarkers(canvas, []); return drawMarkersV(canvas, []); }
   const seq = bumpSeq(canvas);
   const markers = await api.calcFreqAxisMarkers(
     hzRange[0], hzRange[1], freqScale, scale[0], scale[1], maxTrackHz
   );
   if (axisSeq.get(canvas) !== seq) return;
+  setLastAxisMarkers(canvas, markers);
   drawMarkersV(canvas, markers);
 }

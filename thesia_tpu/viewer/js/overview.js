@@ -4,6 +4,7 @@
 
 import { api } from "./api.js";
 import * as L from "./applogic.js";
+import { setLastAxisMarkers } from "./axes.js";
 
 const GAIN_COLOR = "rgba(245,145,73,0.55)";
 const WAVE_COLOR = "#2d92e5";
@@ -214,6 +215,7 @@ export async function drawColorbar(canvas, colormap, minDb, maxDb) {
         dBRangeMin: minDb, dBRangeMax: maxDb,
       }),
     }).then((r) => r.json()).then((j) => j.result);
+    setLastAxisMarkers(canvas, markers); // dB tooltip reads the drawn ticks
     ctx.fillStyle = "#9aa0ac";
     ctx.font = "9px system-ui";
     ctx.textBaseline = "middle";
@@ -226,5 +228,7 @@ export async function drawColorbar(canvas, colormap, minDb, maxDb) {
       ctx.stroke();
       if (label) ctx.fillText(label, barW + 6, y);
     }
+  } else {
+    setLastAxisMarkers(canvas, []); // no ticks drawn -> no tooltip tick unit
   }
 }

@@ -603,6 +603,72 @@ def amp_wheel(amp_range, delta_y):
 # overview lens — reference Overview.tsx:109-183
 
 
+def adjacent_axis_position(axis_position, axis_length):
+    """reference: wasm-wrapper.ts:120-131."""
+    if axis_position <= axis_length / 2:
+        return min(axis_position + 1, axis_length)
+    return max(axis_position - 1, 0)
+
+
+def linear_pos_to_value(pos, axis_length, top_value, bottom_value):
+    """reference: AmpAxis.tsx:123-130 / ColorMap.tsx:53-63."""
+    return top_value - (pos / axis_length) * (top_value - bottom_value)
+
+
+def tick_unit_from_values(tick_values):
+    """reference: wasm-wrapper.ts:141-147."""
+    finite = [v for v in tick_values if math.isfinite(v)]
+    for a, b in zip(finite, finite[1:]):
+        unit = abs(b - a)
+        if unit > 0:
+            return unit
+    return float("nan")
+
+
+def linear_tooltip_args(pos, axis_length, top_value, bottom_value, markers):
+    """reference: wasm-wrapper.ts:120-148 (amp axis / dB colorbar)."""
+    value = linear_pos_to_value(pos, axis_length, top_value, bottom_value)
+    adj = adjacent_axis_position(pos, axis_length)
+    resolution = abs(
+        linear_pos_to_value(adj, axis_length, top_value, bottom_value) - value
+    )
+    ticks = [
+        linear_pos_to_value(
+            min(max(m[0] * axis_length, 0.0), axis_length),
+            axis_length, top_value, bottom_value,
+        )
+        for m in markers
+    ]
+    return {
+        "value": value,
+        "resolution": resolution,
+        "tickUnit": tick_unit_from_values(ticks),
+    }
+
+
+def time_tooltip_display(format_display):
+    """reference: TimeAxis.tsx:79-90."""
+    display = (
+        f"{format_display}x" if "." in format_display else f"{format_display}.x"
+    )
+    return {"display": display, "appendSeconds": format_display.startswith("ss")}
+
+
+def freq_tooltip_label(label):
+    """reference: FreqAxis.tsx:214-221."""
+    if label.endswith("k"):
+        return f"{label[:-1]} kHz"
+    return f"{label} Hz"
+
+
+def freq_tooltip_args(freq_scale, pos, axis_length, hz_lo, hz_hi, max_track_hz):
+    """reference: wasm-wrapper.ts:150-158 over FreqAxis.tsx:214-220."""
+    hz = freq_pos_to_hz(freq_scale, pos, axis_length, hz_lo, hz_hi, max_track_hz)
+    adj = adjacent_axis_position(pos, axis_length)
+    adj_hz = freq_pos_to_hz(freq_scale, adj, axis_length, hz_lo, hz_hi, max_track_hz)
+    return {"hz": hz, "resolutionHz": abs(adj_hz - hz)}
+
+
 def overview_sec_from_x(cursor_x, rect_width, max_track_sec):
     """reference: Overview.tsx:109-112."""
     return (cursor_x / rect_width) * max_track_sec
@@ -738,6 +804,13 @@ TWINNED = {
     "ampAxisCursorState": amp_axis_cursor_state,
     "ampDrag": amp_drag,
     "ampWheel": amp_wheel,
+    "adjacentAxisPosition": adjacent_axis_position,
+    "linearPosToValue": linear_pos_to_value,
+    "tickUnitFromValues": tick_unit_from_values,
+    "linearTooltipArgs": linear_tooltip_args,
+    "timeTooltipDisplay": time_tooltip_display,
+    "freqTooltipLabel": freq_tooltip_label,
+    "freqTooltipArgs": freq_tooltip_args,
     "overviewSecFromX": overview_sec_from_x,
     "overviewCursorState": overview_cursor_state,
     "overviewDragAnchor": overview_drag_anchor,
