@@ -120,6 +120,8 @@ def make_element(doc, tag, attrs=None):
             el["hidden"] = True
         elif k == "disabled":
             el["disabled"] = True
+        elif k in ("min", "max", "step"):
+            el[k] = v  # numeric-input bounds (FloatRangeInput clamps)
         elif k and k.startswith("data-"):
             prop = "".join(
                 w.capitalize() if i else w for i, w in enumerate(k[5:].split("-"))

@@ -629,15 +629,17 @@ def test_normalize_and_guard_controls_update_row_stats(booted):
     ]
     norm_type = browser.doc["querySelector"]("#norm-type")
     norm_type["value"] = "LUFS"
+    browser.dispatch_event(norm_type, "change")  # restores the -18 memory
     target = browser.doc["querySelector"]("#norm-target")
     # +6 LUFS guarantees gain > 1 for any fixture mix, so the limiter
-    # engages regardless of which earlier module tests added tracks
+    # engages regardless of which earlier module tests added tracks.
+    # Reference order: pick the family first, then move the slider.
     target["value"] = "6"
-    browser.dispatch_event(norm_type, "change")
     browser.dispatch_event(target, "change")
     guard = browser.doc["querySelector"]("#guard-mode")
     guard["value"] = "Limiter"
     browser.dispatch_event(guard, "change")
+    browser.advance(300)  # fire the 250 ms normalize/guard debounces
     settle(session)
     # the engine really normalized + limited
     assert session.tracklist.common_normalize.to_json()["type"] == "LUFS"
@@ -651,6 +653,7 @@ def test_normalize_and_guard_controls_update_row_stats(booted):
     # back off: normalize Off restores clean stats
     norm_type["value"] = "Off"
     browser.dispatch_event(norm_type, "change")
+    browser.advance(300)
     settle(session)
     assert session.tracklist.common_normalize.to_json()["type"] == "Off"
 
@@ -661,8 +664,9 @@ def test_db_range_and_blend_sliders(booted):
     el = browser.doc["querySelector"]("#db-range")
     el["value"] = "70"
     browser.dispatch_event(el, "input")
-    assert browser.doc["querySelector"]("#db-range-val")["textContent"] == "70"
+    assert browser.doc["querySelector"]("#db-range-val")["value"] == "70"
     browser.dispatch_event(el, "change")
+    browser.advance(50)  # flush the per-frame throttle's trailing call
     settle(session)
     assert session.tm.db_range == 70.0
     blend = browser.doc["querySelector"]("#blend")
@@ -676,6 +680,7 @@ def test_db_range_and_blend_sliders(booted):
     # restore
     el["value"] = "100"
     browser.dispatch_event(el, "change")
+    browser.advance(50)
     settle(session)
 
 
@@ -1110,6 +1115,7 @@ def test_deferred_normalize_settle_poll_repaints_stale_rows(booted, monkeypatch)
         el = browser.doc["querySelector"](sel_id)
         el["value"] = value
         browser.dispatch_event(el, "change")
+        browser.advance(300)  # fire the 250 ms control debounce
 
     # known baseline: limiter armed, normalize off (module fixture is shared)
     set_ui("#guard-mode", "Limiter")
@@ -1129,8 +1135,8 @@ def test_deferred_normalize_settle_poll_repaints_stale_rows(booted, monkeypatch)
         # the race the settle poll exists for CANNOT occur.  Assert that
         # complementary property instead of gating the apply (which would
         # deadlock a synchronous dispatch).
-        browser.doc["querySelector"]("#norm-target")["value"] = "6"
-        set_ui("#norm-type", "LUFS")
+        set_ui("#norm-type", "LUFS")  # restores the -18 family memory
+        set_ui("#norm-target", "6")  # then the slider moves to +6
         stats1 = [
             r["querySelector"](".track-stats")["textContent"]
             for r in rows_el["children"]
@@ -1154,9 +1160,10 @@ def test_deferred_normalize_settle_poll_repaints_stale_rows(booted, monkeypatch)
 
     monkeypatch.setattr(session, "_apply_common_switch", gated)
     # +6 LUFS target: gain > 1 engages the limiter, so the landed state is
-    # visibly different from the stale text ("reduced by ..." appears)
-    browser.doc["querySelector"]("#norm-target")["value"] = "6"
+    # visibly different from the stale text ("reduced by ..." appears).
+    # Reference order: family select first, then the target slider.
     set_ui("#norm-type", "LUFS")
+    set_ui("#norm-target", "6")
     # handler chain already ran — against the PRE-switch engine state
     stale = [
         r["querySelector"](".track-stats")["textContent"]
@@ -1199,10 +1206,11 @@ def test_overview_limiter_band_renders(booted):
         el = browser.doc["querySelector"](sel_id)
         el["value"] = value
         browser.dispatch_event(el, "change")
+        browser.advance(300)  # fire the 250 ms control debounce
 
     set_ui("#guard-mode", "Limiter")
-    browser.doc["querySelector"]("#norm-target")["value"] = "6"
     set_ui("#norm-type", "LUFS")
+    set_ui("#norm-target", "6")
     settle(session)
     # select a row so the overview tracks it (refreshAll -> overview.setTrack)
     info = rows_el["children"][0]["querySelector"](".track-info")
@@ -1705,3 +1713,160 @@ def test_axis_hover_tooltips_reference_exact(booted):
 
     browser.dispatch_event(cb, "mouseleave", {"target": cb})
     assert tooltip_text() is None  # hidden again
+
+
+def test_control_float_range_input_semantics(booted):
+    """FloatRangeInput parity through the real controls (reference
+    modules/FloatRangeInput.tsx + Control.tsx): text commit with
+    slider-then-previous fallback and clamping, Escape cancel, slider
+    double-click reset to 100 dB, free-text window size with the 1 ms
+    floor (Control.tsx:97-110), and per-family normalize target memory
+    (Control.tsx:66-71,118-143)."""
+    interp, browser, session, _media = booted
+    _ensure_two_tracks(booted)
+    browser.advance(2000)  # flush stray debounced/throttled work
+
+    rng = browser.doc["querySelector"]("#db-range")
+    txt = browser.doc["querySelector"]("#db-range-val")
+
+    # text commit: type 73, Enter -> engine applies, slider follows
+    browser.dispatch_event(txt, "focus", {"target": txt})
+    txt["value"] = "73"
+    browser.dispatch_event(txt, "keydown", {"key": "Enter", "target": txt})
+    browser.advance(50)
+    settle(session)
+    assert session.tm.db_range == 73.0
+    assert rng["value"] == "73"
+
+    # garbage text falls back to the slider value -> no engine change
+    browser.dispatch_event(txt, "focus", {"target": txt})
+    txt["value"] = "not a number"
+    browser.dispatch_event(txt, "blur", {"target": txt})
+    browser.advance(50)
+    assert txt["value"] == "73"
+    assert session.tm.db_range == 73.0
+
+    # out-of-range clamps to the bound (FloatRangeInput.tsx:110)
+    browser.dispatch_event(txt, "focus", {"target": txt})
+    txt["value"] = "999"
+    browser.dispatch_event(txt, "blur", {"target": txt})
+    browser.advance(50)
+    settle(session)
+    assert session.tm.db_range == 120.0
+
+    # Escape restores the pre-focus value without committing
+    browser.dispatch_event(txt, "focus", {"target": txt})
+    txt["value"] = "55"
+    browser.dispatch_event(txt, "keydown", {"key": "Escape", "target": txt})
+    browser.advance(50)
+    assert txt["value"] == "120"
+    assert session.tm.db_range == 120.0
+
+    # slider double-click resets to DB_RANGE_DETENTS[len-2] = 100
+    browser.dispatch_event(rng, "click", {
+        "target": rng, "button": 0.0, "detail": 2.0, "altKey": False,
+        "preventDefault": lambda: None,
+    })
+    browser.advance(50)
+    settle(session)
+    assert session.tm.db_range == 100.0
+    assert txt["value"] == "100"
+
+    # window size: free text, < 1 ms clamps to MIN_WIN_MILLISEC
+    win = browser.doc["querySelector"]("#win-ms")
+    win["value"] = "0.25"
+    browser.dispatch_event(win, "change")
+    settle(session)
+    assert session.tm.setting.win_ms == 1.0
+    assert win["value"] == "1.0"
+    # garbage restores the display, engine untouched
+    win["value"] = "garbage"
+    browser.dispatch_event(win, "change")
+    settle(session)
+    assert win["value"] == "1.0"
+    assert session.tm.setting.win_ms == 1.0
+    # edited-then-Escape cancels (FloatingUserInput: changed flag cleared)
+    browser.dispatch_event(win, "input", {"target": win})
+    win["value"] = "80"
+    browser.dispatch_event(win, "keydown", {"key": "Escape", "target": win})
+    settle(session)
+    assert win["value"] == "1.0"
+    assert session.tm.setting.win_ms == 1.0
+    # restore the module default
+    win["value"] = "40"
+    browser.dispatch_event(win, "change")
+    settle(session)
+    assert session.tm.setting.win_ms == 40.0
+
+    # normalize per-family memory.  The fixture is module-shared, so
+    # earlier tests may already have moved the family memories; establish
+    # them in-test and assert recall, not boot defaults (the default
+    # constants 0.0 / -18.0 are pinned by test_viewer_applogic.py).
+    ntype = browser.doc["querySelector"]("#norm-type")
+    ntgt = browser.doc["querySelector"]("#norm-target")
+    ntxt = browser.doc["querySelector"]("#norm-target-text")
+    ntype["value"] = "LUFS"
+    browser.dispatch_event(ntype, "change")
+    browser.advance(300)
+    settle(session)
+    # whatever the shared memory held, the engine now matches the display
+    assert session.tracklist.common_normalize.to_json() == {
+        "type": "LUFS", "target": float(ntxt["value"]),
+    }
+    ntgt["value"] = "-23"
+    browser.dispatch_event(ntgt, "change")
+    browser.advance(300)
+    settle(session)
+    assert session.tracklist.common_normalize.to_json() == {
+        "type": "LUFS", "target": -23.0,
+    }
+    ntype["value"] = "PeakdB"
+    browser.dispatch_event(ntype, "change")
+    browser.advance(300)
+    settle(session)
+    peak_mem = float(ntxt["value"])  # family's remembered (or default) target
+    assert session.tracklist.common_normalize.to_json() == {
+        "type": "PeakdB", "target": peak_mem,
+    }
+    ntgt["value"] = "-1.5"
+    browser.dispatch_event(ntgt, "change")
+    browser.advance(300)
+    settle(session)
+    assert session.tracklist.common_normalize.to_json() == {
+        "type": "PeakdB", "target": -1.5,
+    }
+    # RMSdB shares the LUFS memory -> -23 comes back
+    ntype["value"] = "RMSdB"
+    browser.dispatch_event(ntype, "change")
+    browser.advance(300)
+    settle(session)
+    assert ntxt["value"] == "-23.00"
+    assert session.tracklist.common_normalize.to_json() == {
+        "type": "RMSdB", "target": -23.0,
+    }
+    # ...and PeakdB kept its own
+    ntype["value"] = "PeakdB"
+    browser.dispatch_event(ntype, "change")
+    browser.advance(300)
+    settle(session)
+    assert ntxt["value"] == "-1.50"
+    # Off disables the pair and parks the display at the floor
+    ntype["value"] = "Off"
+    browser.dispatch_event(ntype, "change")
+    browser.advance(300)
+    settle(session)
+    assert ntgt["disabled"] and ntxt["disabled"]
+    assert ntxt["value"] == "-40.00"
+    assert session.tracklist.common_normalize.to_json()["type"] == "Off"
+
+    # blend double-click resets to 0.5 (Control.tsx:80-87)
+    blend = browser.doc["querySelector"]("#blend")
+    blend["value"] = "0.85"
+    browser.dispatch_event(blend, "input")
+    assert g(interp)["state"]["blend"] == 0.85
+    browser.dispatch_event(blend, "click", {
+        "target": blend, "button": 0.0, "detail": 1.0, "altKey": True,
+        "preventDefault": lambda: None,
+    })
+    assert g(interp)["state"]["blend"] == 0.5
+    browser.advance(600)  # flush the blend persist timer

@@ -354,6 +354,30 @@ CASES = {
     "colorbarColorIndex": [
         (y, 48.0, 258.0) for y in (0.0, 1.0, 24.0, 46.0, 47.0)
     ] + [(0.0, 1.0, 258.0)],
+    "floatRangeTextCommit": [
+        ("70", "100", 100.0, 40.0, 120.0),
+        ("abc", "85", 100.0, 40.0, 120.0),
+        ("abc", "junk", 100.0, 40.0, 120.0),
+        ("999", "100", 100.0, 40.0, 120.0),
+        ("-999", "100", 100.0, 40.0, 120.0),
+        ("100.0", "100", 100.0, 40.0, 120.0),
+        ("  55.5e0 stuff", "100", 100.0, 40.0, 120.0),
+        ("-18.25", "-18", -18.0, -40.0, 0.0),
+    ],
+    "floatRangeResetClick": [
+        (b, d, a)
+        for b in (0.0, 1.0, 2.0)
+        for d in (1.0, 2.0, 3.0)
+        for a in (False, True)
+    ],
+    "winMillisecCommit": [
+        ("20", 40.0), ("0.25", 40.0), ("-5", 40.0), ("1", 40.0),
+        ("garbage", 40.0), ("", 40.0), (None, 40.0), ("12.345", 40.0),
+    ],
+    "normalizeSelectTarget": [
+        ("Off", 0.0, -18.0), ("PeakdB", -1.5, -18.0),
+        ("LUFS", -1.5, -23.0), ("RMSdB", -1.5, -23.0),
+    ],
     "fitPxPerSec": [(1000.0, 100.0), (1000.0, 0.0), (50.0, 7200.0)],
     "splitterWidth": [(200.0, -500.0), (200.0, 500.0), (200.0, 13.0)],
     "scrubSecAt": [(500.0, 100.0, 10.0, 100.0), (0.0, 100.0, 0.5, 100.0)],

@@ -742,3 +742,75 @@ def test_freq_tooltip_args_matches_engine_scale():
     hi = T.freq_tooltip_args("Linear", 300.0, 300.0, 0.0, 8000.0, 8000.0)
     assert hi["hz"] == pytest.approx(0.0, abs=1e-9)
     assert hi["resolutionHz"] == pytest.approx(8000.0 / 300.0, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# control panel — FloatRangeInput.tsx + Control.tsx
+
+
+def test_float_range_text_commit_fallback_chain():
+    # FloatRangeInput.tsx:104-121: text -> slider -> pre-focus value
+    assert T.float_range_text_commit("70", "100", 100.0, 40, 120) == {
+        "value": 70.0, "changed": True,
+    }
+    assert T.float_range_text_commit("abc", "85", 100.0, 40, 120) == {
+        "value": 85.0, "changed": True,
+    }
+    assert T.float_range_text_commit("abc", "junk", 100.0, 40, 120) == {
+        "value": 100.0, "changed": False,
+    }
+    # clamp to [min, max] before the changed comparison
+    assert T.float_range_text_commit("999", "100", 120.0, 40, 120) == {
+        "value": 120.0, "changed": False,
+    }
+    assert T.float_range_text_commit("-999", "100", 100.0, 40, 120) == {
+        "value": 40.0, "changed": True,
+    }
+
+
+def test_float_range_reset_click():
+    # FloatRangeInput.tsx:83-87: dblclick or alt+click, primary button only
+    assert T.float_range_reset_click(0, 2, False)
+    assert T.float_range_reset_click(0, 1, True)
+    assert not T.float_range_reset_click(0, 1, False)
+    assert not T.float_range_reset_click(1, 2, False)
+    assert not T.float_range_reset_click(0, 3, False)
+
+
+def test_win_millisec_commit():
+    # Control.tsx:97-110: <1 clamps to MIN_WIN_MILLISEC=1.0, null restores
+    assert T.win_millisec_commit("20", 40.0) == {"set": 20.0, "display": "20.0"}
+    assert T.win_millisec_commit("0.25", 40.0) == {"set": 1.0, "display": "1.0"}
+    assert T.win_millisec_commit("-5", 40.0) == {"set": 1.0, "display": "1.0"}
+    assert T.win_millisec_commit(None, 40.0) == {"set": None, "display": "40.0"}
+    assert T.win_millisec_commit("garbage", 42.5) == {
+        "set": None, "display": "42.5",
+    }
+    assert T.win_millisec_commit("12.345", 40.0) == {
+        "set": 12.345, "display": "12.3",
+    }
+
+
+def test_normalize_select_target_per_type_memory():
+    # Control.tsx:66-71,118-143: PeakdB keeps its own target; LUFS/RMSdB
+    # share one; Off carries no target
+    assert T.normalize_select_target("Off", -1.5, -23.0) == {"type": "Off"}
+    assert T.normalize_select_target("PeakdB", -1.5, -23.0) == {
+        "type": "PeakdB", "target": -1.5,
+    }
+    assert T.normalize_select_target("LUFS", -1.5, -23.0) == {
+        "type": "LUFS", "target": -23.0,
+    }
+    assert T.normalize_select_target("RMSdB", -1.5, -23.0) == {
+        "type": "RMSdB", "target": -23.0,
+    }
+
+
+def test_control_constants_match_reference():
+    # constants/tracks.ts:196,205; Control.tsx:302 (detents[len-2]);
+    # Control.tsx:63-68 (per-family memory seeds)
+    assert T.MIN_WIN_MILLISEC == 1.0
+    assert T.MIN_COMMON_NORMALIZE_DB == -40.0
+    assert T.DB_RANGE_DBLCLICK == 100.0
+    assert T.NORMALIZE_PEAK_DEFAULT_DB == 0.0
+    assert T.NORMALIZE_DB_DEFAULT == -18.0

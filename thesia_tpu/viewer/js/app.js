@@ -1494,6 +1494,92 @@ async function setupControls() {
     fetch(`/api/${name}`, { method: "POST" }).then((r) => r.json())
       .then((j) => j.result);
 
+  // rate shaping (reference Control.tsx:95,146-178: dB range throttled to
+  // one set per frame, normalize/guard selects debounced 250 ms)
+  const throttled = (ms, fn) => {
+    let last = -1e12, timer = null, pending = null;
+    return (arg) => {
+      pending = arg;
+      const now = performance.now();
+      if (now - last >= ms) {
+        last = now;
+        fn(pending);
+      } else if (timer === null) {
+        timer = setTimeout(() => {
+          timer = null;
+          last = performance.now();
+          fn(pending);
+        }, ms - (now - last));
+      }
+    };
+  };
+  const debounced = (ms, fn) => {
+    let timer = null;
+    return (arg) => {
+      clearTimeout(timer);
+      timer = setTimeout(() => { timer = null; fn(arg); }, ms);
+    };
+  };
+
+  // FloatRangeInput (reference modules/FloatRangeInput.tsx): a slider +
+  // text pair.  Slider input applies immediately; text commits on
+  // blur/Enter with slider-then-previous fallback and clamping
+  // (floatRangeTextCommit); Escape restores; double-click or alt+click on
+  // the slider resets to doubleClickValue.
+  function setupFloatRangeInput(rangeEl, textEl, opts) {
+    const lo = parseFloat(rangeEl.min), hi = parseFloat(rangeEl.max);
+    const fmt = (v) => v.toFixed(opts.precision);
+    let prev = parseFloat(rangeEl.value);
+    const onRange = (e) => {
+      const v = parseFloat(e.target.value);
+      textEl.value = fmt(v);
+      opts.onChange(v);
+    };
+    rangeEl.oninput = onRange;
+    rangeEl.onchange = onRange; // browsers fire change at drag end
+    rangeEl.onclick = (e) => {
+      if (opts.doubleClickValue === null) return;
+      if (!L.floatRangeResetClick(e.button ?? 0, e.detail ?? 0, !!e.altKey)) return;
+      e.preventDefault();
+      rangeEl.value = fmt(opts.doubleClickValue);
+      textEl.value = fmt(opts.doubleClickValue);
+      opts.onChange(opts.doubleClickValue);
+    };
+    textEl.onfocus = () => {
+      // FloatRangeInput.tsx:95-102 — remember the pre-edit value
+      let v = parseFloat(textEl.value);
+      if (Number.isNaN(v)) v = parseFloat(rangeEl.value);
+      if (Number.isNaN(v)) v = prev;
+      prev = v;
+    };
+    const commitText = () => {
+      const r = L.floatRangeTextCommit(textEl.value, rangeEl.value, prev, lo, hi);
+      if (r.changed) {
+        rangeEl.value = fmt(r.value);
+        prev = r.value;
+        opts.onChange(r.value);
+      }
+      textEl.value = fmt(parseFloat(rangeEl.value)); // resync text to slider
+    };
+    textEl.onblur = commitText;
+    textEl.onchange = commitText; // change fires at commit time in browsers
+    textEl.onkeydown = (e) => {
+      if (e.key === "Enter") {
+        textEl.blur();
+      } else if (e.key === "Escape") {
+        textEl.value = fmt(prev);
+        textEl.blur();
+      }
+    };
+    return {
+      setValue(v) {
+        rangeEl.value = fmt(v);
+        textEl.value = fmt(v);
+        prev = v;
+      },
+    };
+  }
+
   const applySpec = async () => {
     await api.setSpecSetting({
       winMillisec: Number($("#win-ms").value),
@@ -1506,25 +1592,73 @@ async function setupControls() {
     await refreshAll();
     redraw();
   };
-  $("#win-ms").onchange = applySpec;
+
+  // free-text window size (reference Control.tsx:97-110 via
+  // FloatingUserInput: blur commits only if edited, Escape cancels;
+  // < 1 ms clamps to MIN_WIN_MILLISEC, garbage restores)
+  const winMsEl = $("#win-ms");
+  let winMsCurrent = parseFloat(winMsEl.value);
+  if (Number.isNaN(winMsCurrent)) winMsCurrent = 40.0;
+  winMsEl.value = winMsCurrent.toFixed(1);
+  let winMsEdited = false;
+  const commitWinMs = (text) => {
+    const r = L.winMillisecCommit(text, winMsCurrent);
+    winMsEl.value = r.display;
+    if (r.set === null) return;
+    winMsCurrent = r.set;
+    applySpec();
+  };
+  winMsEl.oninput = () => { winMsEdited = true; };
+  winMsEl.onblur = () => {
+    const text = winMsEdited ? winMsEl.value : null;
+    winMsEdited = false;
+    commitWinMs(text);
+  };
+  winMsEl.onchange = () => {
+    // browsers fire change right before blur when the value was edited
+    winMsEdited = false;
+    commitWinMs(winMsEl.value);
+  };
+  winMsEl.onkeydown = (e) => {
+    if (e.key === "Enter") {
+      winMsEl.blur();
+    } else if (e.key === "Escape") {
+      winMsEdited = false;
+      winMsEl.blur();
+    }
+  };
   $("#t-overlap").onchange = applySpec;
   $("#freq-scale").onchange = applySpec;
 
-  $("#db-range").oninput = (e) => {
-    $("#db-range-val").textContent = e.target.value;
-  };
-  $("#db-range").onchange = async (e) => {
-    await api.setDbRange(Number(e.target.value));
+  // dB range: step-1 slider + text with detents; double-click resets to
+  // 100 (DB_RANGE_DETENTS[len-2], Control.tsx:293-303); applies live
+  // during the drag at most once per frame
+  const applyDbRange = async (v) => {
+    await api.setDbRange(v);
     await persistSettings();
     await refreshAll();
     redraw();
   };
+  setupFloatRangeInput($("#db-range"), $("#db-range-val"), {
+    precision: 0,
+    doubleClickValue: L.DB_RANGE_DBLCLICK,
+    onChange: throttled(1000 / 70, applyDbRange),
+  });
+
   let blendPersist = null;
-  $("#blend").oninput = (e) => {
-    state.blend = Number(e.target.value);
+  const setBlend = (v) => {
+    state.blend = v;
     clearTimeout(blendPersist);
     blendPersist = setTimeout(persistSettings, 500);
     redraw();
+  };
+  $("#blend").oninput = (e) => setBlend(Number(e.target.value));
+  $("#blend").onclick = (e) => {
+    // double-click / alt+click resets to 0.5 (Control.tsx:80-87)
+    if (!L.floatRangeResetClick(e.button ?? 0, e.detail ?? 0, !!e.altKey)) return;
+    e.preventDefault();
+    e.target.value = "0.5";
+    setBlend(0.5);
   };
 
   // deferred normalize/guard switches return at dispatch (the engine
@@ -1550,11 +1684,7 @@ async function setupControls() {
     setTimeout(() => poll(300), 200);
   };
 
-  const applyNormalize = async () => {
-    const type = $("#norm-type").value;
-    $("#norm-target").disabled = type === "Off";
-    const target = type === "Off" ? { type: "Off" }
-      : { type, target: Number($("#norm-target").value) };
+  const applyNormalize = async (target) => {
     await api.setCommonNormalize(target);
     await persistSettings();
     await refreshAll();
@@ -1562,16 +1692,63 @@ async function setupControls() {
     redraw();
     refreshRowInfoWhenSettled();
   };
-  $("#norm-type").onchange = applyNormalize;
-  $("#norm-target").onchange = applyNormalize;
-  $("#guard-mode").onchange = async (e) => {
-    await api.setCommonGuardClipping(e.target.value);
+  // per-family target memory (Control.tsx:63-68: PeakdB separate, init
+  // 0.0; LUFS/RMSdB shared, init -18.0, seeded from the persisted
+  // normalize restored into the controls by boot() only when its type is
+  // exactly LUFS — the reference quirk: an RMSdB persist does NOT seed it)
+  const normType0 = $("#norm-type").value;
+  const normV0 = parseFloat($("#norm-target").value);
+  const normMem = {
+    peak: normType0 === "PeakdB" && !Number.isNaN(normV0)
+      ? normV0 : L.NORMALIZE_PEAK_DEFAULT_DB,
+    db: normType0 === "LUFS" && !Number.isNaN(normV0)
+      ? normV0 : L.NORMALIZE_DB_DEFAULT,
+  };
+  const debouncedNormalize = debounced(250, applyNormalize);
+  const normTargetInput = setupFloatRangeInput(
+    $("#norm-target"), $("#norm-target-text"), {
+      precision: 2,
+      doubleClickValue: null,
+      onChange: (value) => {
+        // Control.tsx:160-166: ignored while Off; remember per family
+        const type = $("#norm-type").value;
+        if (type === "Off") return;
+        if (type === "PeakdB") normMem.peak = value;
+        else normMem.db = value;
+        debouncedNormalize({ type, target: value });
+      },
+    }
+  );
+  const setNormTargetDisabled = (off) => {
+    $("#norm-target").disabled = off;
+    $("#norm-target-text").disabled = off;
+    // disabled shows the range floor (Control.tsx:399-404 initialValue)
+    if (off) normTargetInput.setValue(L.MIN_COMMON_NORMALIZE_DB);
+  };
+  setNormTargetDisabled(normType0 === "Off");
+  if (normType0 !== "Off" && !Number.isNaN(normV0)) {
+    normTargetInput.setValue(normV0);
+  }
+  $("#norm-type").onchange = () => {
+    // Control.tsx:118-151: switching families restores that family's
+    // remembered target; the backend call is debounced 250 ms
+    const type = $("#norm-type").value;
+    const target = L.normalizeSelectTarget(type, normMem.peak, normMem.db);
+    setNormTargetDisabled(type === "Off");
+    if (type !== "Off") normTargetInput.setValue(target.target);
+    debouncedNormalize(target);
+  };
+  const applyGuard = async (mode) => {
+    await api.setCommonGuardClipping(mode);
     await persistSettings();
     await refreshAll();
     await rebuildAllRowInfo();
     redraw();
     refreshRowInfoWhenSettled();
   };
+  // Control.tsx:171-178: guard mode select debounced 250 ms
+  const debouncedGuard = debounced(250, applyGuard);
+  $("#guard-mode").onchange = (e) => debouncedGuard(e.target.value);
 }
 
 // live engine timing panel fed by /debug/metrics (SURVEY §5 tracing)
@@ -1708,14 +1885,14 @@ async function togglePlay() {
   const us = initRes?.userSettings;
   if (us) {
     if (us.specSetting) {
-      $("#win-ms").value = String(us.specSetting.winMillisec ?? 40);
+      $("#win-ms").value = (us.specSetting.winMillisec ?? 40).toFixed(1);
       $("#t-overlap").value = String(us.specSetting.tOverlap ?? 4);
       $("#freq-scale").value = us.specSetting.freqScale ?? "Mel";
       state.freqScale = $("#freq-scale").value;
     }
     if (us.dBRange !== undefined) {
       $("#db-range").value = String(us.dBRange);
-      $("#db-range-val").textContent = String(us.dBRange);
+      $("#db-range-val").value = us.dBRange.toFixed(0);
     }
     if (us.blend !== undefined) {
       state.blend = us.blend;
@@ -1726,8 +1903,10 @@ async function togglePlay() {
       $("#norm-type").value = us.commonNormalize.type ?? "Off";
       if (us.commonNormalize.target !== undefined) {
         $("#norm-target").value = String(us.commonNormalize.target);
+        $("#norm-target-text").value = us.commonNormalize.target.toFixed(2);
       }
-      $("#norm-target").disabled = $("#norm-type").value === "Off";
+      // setupControls() seeds its per-family memory + disabled state from
+      // these restored values
     }
   }
   // overview lens callbacks route through the reference's moveLens /

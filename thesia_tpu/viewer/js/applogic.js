@@ -659,6 +659,63 @@ export function colorbarColorIndex(y, height, colormapLength) {
 }
 
 // ---------------------------------------------------------------------------
+// control panel — reference FloatRangeInput.tsx + Control.tsx
+
+export const MIN_WIN_MILLISEC = 1.0; // constants/tracks.ts:205
+export const MIN_COMMON_NORMALIZE_DB = -40.0; // constants/tracks.ts:196
+// DB_RANGE_DETENTS[len-2] is the double-click reset (Control.tsx:302)
+export const DB_RANGE_DBLCLICK = 100.0;
+// per-family target memory seeds (Control.tsx:63-68): PeakdB inits 0.0;
+// the shared LUFS/RMSdB memory inits -18.0 and is seeded from a persisted
+// normalize only when its type is exactly LUFS
+export const NORMALIZE_PEAK_DEFAULT_DB = 0.0;
+export const NORMALIZE_DB_DEFAULT = -18.0;
+
+export function floatRangeTextCommit(text, rangeValue, prevValue, min, max) {
+  // reference: FloatRangeInput.tsx:104-121 (onTextBlur) — garbage text
+  // falls back to the slider value, then to the pre-focus value; the
+  // clamped result commits only when it differs from the pre-focus value
+  let value = parseFloat(text);
+  if (Number.isNaN(value)) {
+    value = parseFloat(rangeValue);
+    if (Number.isNaN(value)) value = prevValue;
+  }
+  const clamped = Math.min(Math.max(value, min), max);
+  return { value: clamped, changed: clamped !== prevValue };
+}
+
+export function floatRangeResetClick(button, detail, altKey) {
+  // reference: FloatRangeInput.tsx:83-87 / Control.tsx:80-87 (onBlendClick)
+  // — primary-button double-click, or alt + single-click, resets
+  return button === 0 && (detail === 2 || (detail === 1 && altKey));
+}
+
+export function winMillisecCommit(text, currentWinMillisec) {
+  // reference: Control.tsx:97-110 — null (editing cancelled / unchanged)
+  // restores the current value; < 1 ms clamps to MIN_WIN_MILLISEC.  The
+  // reference forwards a NaN parse to the backend where it fails
+  // validation and the setting stays unchanged; restoring the display
+  // directly reaches the same end state without the failed round-trip.
+  const restore = { set: null, display: currentWinMillisec.toFixed(1) };
+  if (text === null) return restore;
+  const winMillisec = parseFloat(text);
+  if (Number.isNaN(winMillisec)) return restore;
+  if (winMillisec < 1) {
+    return { set: MIN_WIN_MILLISEC, display: MIN_WIN_MILLISEC.toFixed(1) };
+  }
+  return { set: winMillisec, display: winMillisec.toFixed(1) };
+}
+
+export function normalizeSelectTarget(type, peakMem, dbMem) {
+  // reference: Control.tsx:118-143 — each normalize family remembers its
+  // own last target: PeakdB separately (init 0.0), LUFS/RMSdB shared
+  // (init -18.0)
+  if (type === "Off") return { type: "Off" };
+  if (type === "PeakdB") return { type, target: peakMem };
+  return { type, target: dbMem };
+}
+
+// ---------------------------------------------------------------------------
 // misc app formulas
 
 export function fitPxPerSec(width, maxSec) {

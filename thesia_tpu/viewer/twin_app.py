@@ -712,6 +712,64 @@ def colorbar_color_index(y, height, colormap_length):
 # misc app formulas
 
 
+def _js_parse_float(v):
+    """JS parseFloat: leading numeric prefix or NaN."""
+    import re as _re
+
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    s = str(v).strip()
+    m = _re.match(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
+    return float(m.group()) if m else float("nan")
+
+
+# control panel — reference FloatRangeInput.tsx + Control.tsx
+
+MIN_WIN_MILLISEC = 1.0  # constants/tracks.ts:205
+MIN_COMMON_NORMALIZE_DB = -40.0  # constants/tracks.ts:196
+DB_RANGE_DBLCLICK = 100.0  # DB_RANGE_DETENTS[len-2] (Control.tsx:302)
+NORMALIZE_PEAK_DEFAULT_DB = 0.0  # Control.tsx:63-65
+NORMALIZE_DB_DEFAULT = -18.0  # Control.tsx:66-68 (seeded only when LUFS)
+
+
+def float_range_text_commit(text, range_value, prev_value, lo, hi):
+    """reference: FloatRangeInput.tsx:104-121."""
+    value = _js_parse_float(text)
+    if math.isnan(value):
+        value = _js_parse_float(range_value)
+        if math.isnan(value):
+            value = prev_value
+    clamped = min(max(value, lo), hi)
+    return {"value": clamped, "changed": clamped != prev_value}
+
+
+def float_range_reset_click(button, detail, alt_key):
+    """reference: FloatRangeInput.tsx:83-87 / Control.tsx:80-87."""
+    return button == 0 and (detail == 2 or (detail == 1 and alt_key))
+
+
+def win_millisec_commit(text, current_win_millisec):
+    """reference: Control.tsx:97-110 (NaN-restore noted in the JS)."""
+    restore = {"set": None, "display": _js_to_fixed(current_win_millisec, 1)}
+    if text is None:
+        return restore
+    win_millisec = _js_parse_float(text)
+    if math.isnan(win_millisec):
+        return restore
+    if win_millisec < 1:
+        return {"set": MIN_WIN_MILLISEC, "display": _js_to_fixed(MIN_WIN_MILLISEC, 1)}
+    return {"set": win_millisec, "display": _js_to_fixed(win_millisec, 1)}
+
+
+def normalize_select_target(kind, peak_mem, db_mem):
+    """reference: Control.tsx:118-143."""
+    if kind == "Off":
+        return {"type": "Off"}
+    if kind == "PeakdB":
+        return {"type": kind, "target": peak_mem}
+    return {"type": kind, "target": db_mem}
+
+
 def fit_px_per_sec(width, max_sec):
     return max(width / max(max_sec, 1e-8), 1e-8)
 
@@ -816,6 +874,15 @@ TWINNED = {
     "overviewDragAnchor": overview_drag_anchor,
     "overviewWaveLevel": overview_wave_level,
     "colorbarColorIndex": colorbar_color_index,
+    "MIN_WIN_MILLISEC": MIN_WIN_MILLISEC,
+    "MIN_COMMON_NORMALIZE_DB": MIN_COMMON_NORMALIZE_DB,
+    "DB_RANGE_DBLCLICK": DB_RANGE_DBLCLICK,
+    "NORMALIZE_PEAK_DEFAULT_DB": NORMALIZE_PEAK_DEFAULT_DB,
+    "NORMALIZE_DB_DEFAULT": NORMALIZE_DB_DEFAULT,
+    "floatRangeTextCommit": float_range_text_commit,
+    "floatRangeResetClick": float_range_reset_click,
+    "winMillisecCommit": win_millisec_commit,
+    "normalizeSelectTarget": normalize_select_target,
     "fitPxPerSec": fit_px_per_sec,
     "splitterWidth": splitter_width,
     "scrubSecAt": scrub_sec_at,
