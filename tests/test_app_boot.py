@@ -1870,3 +1870,76 @@ def test_control_float_range_input_semantics(booted):
     })
     assert g(interp)["state"]["blend"] == 0.5
     browser.advance(600)  # flush the blend persist timer
+
+
+def test_multichannel_rows_and_channel_labels(booted):
+    """Every channel gets a row (reference track.rs:359-366 id_ch_tuples
+    spans 0..n_ch) labeled from the CHANNEL table (tracks.ts:8-12 via
+    TrackInfo.tsx:85-88): mono M, stereo L/R, numbered past the table."""
+    import pathlib
+
+    interp, browser, session, media = booted
+    _ensure_two_tracks(booted)  # track 0 = stereo boot_track.wav
+    rows_el = browser.doc["querySelector"]("#rows")
+
+    def rows_for(track_id):
+        return [
+            r for r in rows_el["children"]
+            if int(float(r["dataset"]["trackId"])) == track_id
+        ]
+
+    def rows_named(prefix):
+        return [
+            r for r in rows_el["children"]
+            if r["querySelector"](".track-name")["textContent"]
+            .startswith(prefix)
+        ]
+
+    # the fixture's boot_track.wav is stereo (id may have shifted if an
+    # earlier module test removed/re-added it — find it by name)
+    stereo = rows_named("boot_track")
+    assert [r["querySelector"](".ch-label")["textContent"] for r in stereo] \
+        == ["L", "R"]
+    assert "[L]" in stereo[0]["querySelector"](".track-name")["textContent"]
+    assert "[R]" in stereo[1]["querySelector"](".track-name")["textContent"]
+    # ...and second.wav is mono: M label, unsuffixed name
+    mono = rows_named("second")
+    assert len(mono) == 1
+    assert mono[0]["querySelector"](".ch-label")["textContent"] == "M"
+    assert "[" not in mono[0]["querySelector"](".track-name")["textContent"]
+
+    from thesia_tpu.io.wav import encode_wav_s16
+
+    quad = pathlib.Path(media).parent / "quad.wav"
+    if not quad.exists():
+        sig = np.stack([
+            0.2 * np.sin(2 * np.pi * (220.0 * (ch + 1)) *
+                         np.arange(8000) / 8000.0)
+            for ch in range(4)
+        ]).astype(np.float32)
+        quad.write_bytes(encode_wav_s16(sig, 8000))
+    sel = browser.doc["querySelector"]("#media-list")
+    sel["value"] = str(quad)
+    browser.dispatch_event(sel, "change")
+    settle(session)
+
+    state = g(interp)["state"]
+    quad_id = int(max(state["trackIds"]))
+    qrows = rows_for(quad_id)
+    assert len(qrows) == 4  # no 2-channel cap
+    assert [r["dataset"]["idCh"] for r in qrows] == [
+        f"{quad_id}_{ch}" for ch in range(4)
+    ]
+    # past the CHANNEL table: numbered fallback labels, distinguishable names
+    assert [r["querySelector"](".ch-label")["textContent"] for r in qrows] \
+        == ["ch0", "ch1", "ch2", "ch3"]
+    # all four viewports got real metadata from the engine
+    for ch in range(4):
+        vp = interp._call_method(
+            state["viewports"], "get", [f"{quad_id}_{ch}"])
+        assert vp["metadata"]["spectrogramWidth"] > 0
+
+    # clean up so later module tests keep their expected track set
+    g(interp)["removeTracks"]([float(quad_id)])
+    settle(session)
+    assert not rows_for(quad_id)

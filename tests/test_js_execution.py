@@ -378,6 +378,9 @@ CASES = {
         ("Off", 0.0, -18.0), ("PeakdB", -1.5, -18.0),
         ("LUFS", -1.5, -23.0), ("RMSdB", -1.5, -23.0),
     ],
+    "channelLabel": [
+        (n, c) for n in (1.0, 2.0, 4.0, 6.0) for c in (0.0, 1.0, 3.0)
+    ],
     "fitPxPerSec": [(1000.0, 100.0), (1000.0, 0.0), (50.0, 7200.0)],
     "splitterWidth": [(200.0, -500.0), (200.0, 500.0), (200.0, 13.0)],
     "scrubSecAt": [(500.0, 100.0, 10.0, 100.0), (0.0, 100.0, 0.5, 100.0)],

@@ -806,6 +806,18 @@ def test_normalize_select_target_per_type_memory():
     }
 
 
+def test_channel_label_matches_reference_table():
+    # constants/tracks.ts:8-12 via TrackInfo.tsx:85-88
+    assert T.channel_label(1, 0) == "M"
+    assert T.channel_label(2, 0) == "L"
+    assert T.channel_label(2, 1) == "R"
+    # past the table the reference's `CHANNEL[nCh][ch] || ""` has no row
+    # (it would throw there); every out-of-table channel is ""
+    assert T.channel_label(4, 0) == ""
+    assert T.channel_label(4, 3) == ""
+    assert T.channel_label(1, 1) == ""
+
+
 def test_control_constants_match_reference():
     # constants/tracks.ts:196,205; Control.tsx:302 (detents[len-2]);
     # Control.tsx:63-68 (per-family memory seeds)

@@ -242,7 +242,9 @@ async function updateColorbar() {
 async function buildRow(trackId) {
   const nCh = await api.getChannelCounts(trackId);
   const tpl = document.querySelector("#row-template");
-  for (let ch = 0; ch < Math.min(nCh, 2); ch++) {
+  // every channel gets a row (reference: track.rs:359-366 id_ch_tuples
+  // spans 0..n_ch; TrackInfo.tsx:82-90 renders one sub-row per channel)
+  for (let ch = 0; ch < nCh; ch++) {
     const idChStr = `${trackId}_${ch}`;
     if (state.viewports.has(idChStr)) continue;
     const row = tpl.content.cloneNode(true).firstElementChild;
@@ -382,8 +384,14 @@ async function updateRowInfo(row, trackId, ch, nCh) {
     api.getLengthSec(trackId), api.getSampleRate(trackId),
     api.getGlobalLufs(trackId), api.getGuardClipStats(trackId),
   ]);
+  // per-channel label from the reference's CHANNEL table (M / L / R;
+  // tracks.ts:8-12).  Past stereo the table is empty — fall back to the
+  // channel number so >2-ch rows stay distinguishable (the reference UI
+  // has no defined rendering there).
+  const chLabel = L.channelLabel(nCh, ch) || (nCh > 1 ? `ch${ch}` : "");
   row.querySelector(".track-name").textContent =
-    nCh > 1 ? `${name} [ch${ch}]` : name;
+    chLabel && nCh > 1 ? `${name} [${chLabel}]` : name;
+  row.querySelector(".ch-label").textContent = chLabel;
   const lufsTxt = L.lufsLabel(lufs);
   row.querySelector(".track-meta").textContent =
     `${fmt.name} · ${L.srKhzLabel(sr)} kHz · ${sec.toFixed(2)} s`;

@@ -706,6 +706,17 @@ export function winMillisecCommit(text, currentWinMillisec) {
   return { set: winMillisec, display: winMillisec.toFixed(1) };
 }
 
+export function channelLabel(nCh, ch) {
+  // reference: constants/tracks.ts:8-12 (CHANNEL) via TrackInfo.tsx:85-88 —
+  // mono "M", stereo "L"/"R".  The reference's `CHANNEL[nCh][ch] || ""`
+  // has no table rows past stereo (indexing would throw there); every
+  // out-of-table channel is labeled "" here.
+  if (nCh === 1 && ch === 0) return "M";
+  if (nCh === 2 && ch === 0) return "L";
+  if (nCh === 2 && ch === 1) return "R";
+  return "";
+}
+
 export function normalizeSelectTarget(type, peakMem, dbMem) {
   // reference: Control.tsx:118-143 — each normalize family remembers its
   // own last target: PeakdB separately (init 0.0), LUFS/RMSdB shared

@@ -761,6 +761,18 @@ def win_millisec_commit(text, current_win_millisec):
     return {"set": win_millisec, "display": _js_to_fixed(win_millisec, 1)}
 
 
+def channel_label(n_ch, ch):
+    """reference: constants/tracks.ts:8-12 (CHANNEL) via TrackInfo.tsx:85-88
+    — mono "M", stereo "L"/"R", "" past the table."""
+    if n_ch == 1 and ch == 0:
+        return "M"
+    if n_ch == 2 and ch == 0:
+        return "L"
+    if n_ch == 2 and ch == 1:
+        return "R"
+    return ""
+
+
 def normalize_select_target(kind, peak_mem, db_mem):
     """reference: Control.tsx:118-143."""
     if kind == "Off":
@@ -879,6 +891,7 @@ TWINNED = {
     "DB_RANGE_DBLCLICK": DB_RANGE_DBLCLICK,
     "NORMALIZE_PEAK_DEFAULT_DB": NORMALIZE_PEAK_DEFAULT_DB,
     "NORMALIZE_DB_DEFAULT": NORMALIZE_DB_DEFAULT,
+    "channelLabel": channel_label,
     "floatRangeTextCommit": float_range_text_commit,
     "floatRangeResetClick": float_range_reset_click,
     "winMillisecCommit": win_millisec_commit,
