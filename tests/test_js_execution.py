@@ -386,7 +386,16 @@ CASES = {
     "scrubSecAt": [(500.0, 100.0, 10.0, 100.0), (0.0, 100.0, 0.5, 100.0)],
     "jumpAmountSec": [(False,), (True,)],
     "srKhzLabel": [(16000,), (44100,), (22050,), (8000,), (192000,)],
-    "lufsLabel": [(-26.12148,), (float("-inf"),), (0.0,), (-3.0499999,)],
+    "trackMetaLine": [
+        ("wav", "16 bit", "", 16000.0),
+        ("mp3", "", "257 kbps", 44100.0),
+        ("flac", "24 bit", "", 22050.0),
+        ("ogg - vorbis", "", "", 48000.0),
+    ],
+    "nonFiniteNumberLabel": [
+        (float("inf"),), (float("-inf"),), (float("nan"),),
+    ],
+    "lufsLabel": [("-26.20",), ("-∞",), ("0.00",)],
     "fmtTime": [
         (0.0,), (3725.678,), (3725.5,), (59.9999,), (-5.0,), (float("nan"),),
         (86399.999,),

@@ -610,15 +610,37 @@ def test_fmt_time_goldens():
 
 
 def test_sr_khz_label():
+    # TrackSummary.tsx:19 `${sampleRate / 1000}` — plain JS number→string
     assert T.sr_khz_label(16000) == "16"
     assert T.sr_khz_label(44100) == "44.1"
-    assert T.sr_khz_label(22050) == "22.1"  # JS (22.05).toFixed(1) === "22.1"
+    assert T.sr_khz_label(22050) == "22.05"
     assert T.sr_khz_label(8000) == "8"
+    assert T.sr_khz_label(192000) == "192"
+
+
+def test_track_meta_line():
+    # TrackSummary.tsx:159-165: conditional " | " segments
+    assert T.track_meta_line("wav", "16 bit", "", 16000) == "wav | 16 bit | 16 kHz"
+    assert T.track_meta_line("mp3", "", "257 kbps", 44100) \
+        == "mp3 | 257 kbps | 44.1 kHz"
+    assert T.track_meta_line("flac", "24 bit", "", 22050) \
+        == "flac | 24 bit | 22.05 kHz"
+    assert T.track_meta_line("ogg - vorbis", "", "", 48000) \
+        == "ogg - vorbis | 48 kHz"
 
 
 def test_lufs_label():
-    assert T.lufs_label(-26.12148) == "-26.1 LUFS"
-    assert T.lufs_label(float("-inf")) == "-∞ LUFS"
+    # TrackSummary.tsx:12,20: formatNumberLabel(lufs, 2) + " LUFS"; the
+    # number formatting itself is the backend axis command, golden-tested
+    # in tests/test_axis.py — here the unit join and non-finite branch
+    from thesia_tpu.axis import format_number_label
+
+    assert T.lufs_label(format_number_label(-26.203317050290, 2)) \
+        == "-26.20 LUFS"
+    assert T.lufs_label(T.non_finite_number_label(float("-inf"))) \
+        == "-∞ LUFS"
+    assert T.non_finite_number_label(float("inf")) == "+∞"
+    assert T.non_finite_number_label(float("nan")) == "nan"
 
 
 def test_js_to_fixed_tie_semantics():

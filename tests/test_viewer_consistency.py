@@ -338,7 +338,8 @@ def test_app_and_overview_use_applogic():
         "L.ampDrag(", "L.ampWheel(", "L.clampAmpRange(", "L.zoomFreqRangeAt(",
         "L.moveLensStartSec(", "L.resizeLensLeft(", "L.resizeLensRight(",
         "L.fmtTime(", "L.scrubSecAt(", "L.jumpAmountSec(", "L.splitterWidth(",
-        "L.fitPxPerSec(", "L.lufsLabel(", "L.srKhzLabel(",
+        "L.fitPxPerSec(", "L.lufsLabel(", "L.trackMetaLine(",
+        "L.nonFiniteNumberLabel(", "L.channelLabel(",
     ):
         assert call in app, f"app.js no longer routes through {call}"
     ov = srcs["overview.js"]

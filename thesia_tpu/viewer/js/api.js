@@ -116,6 +116,12 @@ export const api = {
     }),
   formatFrequencyAxisTooltip: (hz, resolutionHz) =>
     call("format_frequency_axis_tooltip", { hz, resolutionHz }),
+  // TrackSummary's LUFS number (reference: wasm-wrapper.ts
+  // formatNumberLabel — Rust {:.N} half-even).  Finite values only; the
+  // non-finite branch (axis.rs format_non_finite_float) is the client-side
+  // applogic.nonFiniteNumberLabel.
+  formatNumberLabel: (value, fractionDigits) =>
+    call("format_number_label", { value, fractionDigits }),
   formatTimeAxisTooltip: (sec, formatDisplay) =>
     call("format_time_axis_tooltip", { sec, formatDisplay }),
   secondsToLabel: (sec) => call("seconds_to_label", { sec }),

@@ -392,9 +392,14 @@ async function updateRowInfo(row, trackId, ch, nCh) {
   row.querySelector(".track-name").textContent =
     chLabel && nCh > 1 ? `${name} [${chLabel}]` : name;
   row.querySelector(".ch-label").textContent = chLabel;
-  const lufsTxt = L.lufsLabel(lufs);
+  // TrackSummary.tsx:15-20: time is HH:MM:SS.mmm; the LUFS number goes
+  // through formatNumberLabel(·, 2) — served by the backend axis command
+  // (same function the reference calls in WASM)
+  const lufsTxt = L.lufsLabel(
+    Number.isFinite(lufs) ? await api.formatNumberLabel(lufs, 2)
+      : L.nonFiniteNumberLabel(lufs));
   row.querySelector(".track-meta").textContent =
-    `${fmt.name} · ${L.srKhzLabel(sr)} kHz · ${sec.toFixed(2)} s`;
+    `${L.fmtTime(sec)} · ${L.trackMetaLine(fmt.name, fmt.bitDepth, fmt.bitrate, sr)}`;
   const guardTxt = guard.filter(([c]) => c === -1 || c === ch)
     .map(([, s]) => s).join("; ");
   row.querySelector(".track-stats").textContent =

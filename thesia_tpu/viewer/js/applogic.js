@@ -751,13 +751,35 @@ export function jumpAmountSec(big) {
 }
 
 export function srKhzLabel(sr) {
-  // row info "44.1 kHz" / "16 kHz" (TrackSummary.tsx sr formatting)
-  return (sr / 1000).toFixed(sr % 1000 ? 1 : 0);
+  // reference: TrackSummary.tsx:19 `${sampleRate / 1000} kHz` — plain JS
+  // number→string, so 22050 renders "22.05" (not a fixed precision)
+  return `${sr / 1000}`;
 }
 
-export function lufsLabel(lufs) {
-  // TrackSummary LUFS line; -inf renders as the unicode infinity
-  return Number.isFinite(lufs) ? `${lufs.toFixed(1)} LUFS` : "-∞ LUFS";
+export function trackMetaLine(formatName, bitDepth, bitrate, sr) {
+  // reference: TrackSummary.tsx:159-165 — "format | bitDepth | bitrate |
+  // rate kHz"; the bitDepth/bitrate segments render only when non-empty
+  const parts = [formatName];
+  if (bitDepth) parts.push(bitDepth);
+  if (bitrate) parts.push(bitrate);
+  parts.push(`${srKhzLabel(sr)} kHz`);
+  return parts.join(" | ");
+}
+
+export function nonFiniteNumberLabel(value) {
+  // reference: axis.rs:525-533 format_non_finite_float — ±∞ as the
+  // unicode infinity sign, anything else non-finite as "nan"
+  if (value === Infinity) return "+∞";
+  if (value === -Infinity) return "-∞";
+  return "nan";
+}
+
+export function lufsLabel(formatted) {
+  // reference: TrackSummary.tsx:12,20 — `${formatNumberLabel(lufs, 2)}
+  // LUFS`; the number itself is formatted by the backend axis command
+  // (Rust {:.2} half-even, -∞ for silence), exactly the WASM call the
+  // reference makes client-side
+  return `${formatted} LUFS`;
 }
 
 export function fmtTime(sec) {

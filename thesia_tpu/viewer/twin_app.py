@@ -798,14 +798,42 @@ def jump_amount_sec(big):
     return PLAY_BIG_JUMP_SEC if big else PLAY_JUMP_SEC
 
 
+def _js_num_str(x):
+    """JS number→string for the value ranges the labels see (shortest
+    positional, no trailing .0)."""
+    if x == math.floor(x) and abs(x) < 1e21:
+        return str(int(x))
+    return repr(float(x))
+
+
 def sr_khz_label(sr):
-    return _js_to_fixed(sr / 1000, 1 if sr % 1000 else 0)
+    """reference: TrackSummary.tsx:19 — plain JS number→string of sr/1000."""
+    return _js_num_str(sr / 1000)
 
 
-def lufs_label(lufs):
-    if math.isfinite(lufs):
-        return f"{_js_to_fixed(lufs, 1)} LUFS"
-    return "-∞ LUFS"
+def track_meta_line(format_name, bit_depth, bitrate, sr):
+    """reference: TrackSummary.tsx:159-165 — conditional ' | ' segments."""
+    parts = [format_name]
+    if bit_depth:
+        parts.append(bit_depth)
+    if bitrate:
+        parts.append(bitrate)
+    parts.append(f"{sr_khz_label(sr)} kHz")
+    return " | ".join(parts)
+
+
+def non_finite_number_label(value):
+    """reference: axis.rs:525-533 format_non_finite_float."""
+    if value == math.inf:
+        return "+∞"
+    if value == -math.inf:
+        return "-∞"
+    return "nan"
+
+
+def lufs_label(formatted):
+    """reference: TrackSummary.tsx:12,20 — backend-formatted number + unit."""
+    return f"{formatted} LUFS"
 
 
 def fmt_time(sec):
@@ -901,6 +929,8 @@ TWINNED = {
     "scrubSecAt": scrub_sec_at,
     "jumpAmountSec": jump_amount_sec,
     "srKhzLabel": sr_khz_label,
+    "trackMetaLine": track_meta_line,
+    "nonFiniteNumberLabel": non_finite_number_label,
     "lufsLabel": lufs_label,
     "fmtTime": fmt_time,
 }
