@@ -1224,7 +1224,8 @@ def test_overview_limiter_band_renders(booted):
     tid = int(state["selectedTrack"])
     # force a fresh fetch+draw through the bridge
     interp._call_method(ov, "setTrack", [float(tid), True])
-    interp._call_method(ov, "draw", [state["startSec"], state["pxPerSec"]])
+    interp._call_method(
+        ov, "draw", [state["startSec"], 2.0, state["maxSec"]])
     gain = ov["gain"]
     assert gain is not None and gain is not UNDEF
     # the engine really limited: a sub-unity gain region exists
@@ -1232,10 +1233,11 @@ def test_overview_limiter_band_renders(booted):
     assert min(gain) == pytest.approx(
         min(session.get_limiter_gain(tid)), abs=1e-6
     )
-    # the band was painted with the gain color
+    # the band was painted with the gain color (top + bottom bands per lane,
+    # OverviewWaveformViewport.tsx:123-143)
     ctx = browser.doc["querySelector"]("#overview")["_ctx"]
     fills = [v for name, v in ctx["_ops"] if name == "set:fillStyle"]
-    assert "rgba(245,145,73,0.55)" in fills
+    assert "#da972e" in fills
     # back off for later module tests
     set_ui("#norm-type", "Off")
     set_ui("#guard-mode", "ReduceGlobalLevel")

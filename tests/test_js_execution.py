@@ -351,6 +351,39 @@ CASES = {
         for st in ("inlens", "outlens", "left", "right")
     ],
     "overviewWaveLevel": [(600000.0, 600.0), (500.0, 600.0), (57600000.0, 800.0), (1024.0, 0.0)],
+    "overviewLaneLayout": [
+        (1.0, 60.0, False), (2.0, 60.0, True), (4.0, 63.0, True),
+        (3.0, 100.0, True), (2.0, 61.0, False),
+    ],
+    "ampRangeFromBins": [
+        ([[-0.5, 0.5, 0.0, -1.2, 0.9, 0.1]],),
+        ([[0.0, 0.0, 0.0], [-2.0, 3.0, 0.5]],),
+        ([],),
+        ([[-0.25, 0.25, 0.0]],),
+    ],
+    "overviewWavePoints": [
+        ([-0.5, 0.5, 0.0, -1.5, 1.5, 0.1],
+         {"y": 6.0, "height": 18.0, "gainHeight": 6.0},
+         300.0, [-1.5, 1.5], False),
+        ([-0.5, 0.5, 0.0, -1.5, 1.5, 0.1],
+         {"y": 6.0, "height": 18.0, "gainHeight": 6.0},
+         300.0, [-1.5, 1.5], True),
+        ([], {"y": 0.0, "height": 50.0, "gainHeight": 0.0},
+         300.0, [-1.0, 1.0], False),
+        ([-1.0, 1.0, 0.0], {"y": 0.0, "height": 50.0, "gainHeight": 0.0},
+         250.0, [-1.0, 1.0], False),
+    ],
+    "calcLimiterGainEnvelopes": [
+        ([1.0, 1.0, 1.0, 1.0], 8.0, 10.0, [0.5, 1.0]),
+        ([1.0, 0.8, 0.6, 1.0], 8.0, 10.0, [0.5, 1.0]),
+        ([0.7] * 10, 4.0, 6.0, [0.5, 1.0]),
+        ([1.0, 0.9, 1.0, 0.9, 1.0, 1.0, 0.5], 14.0, 5.0, [0.5, 1.0]),
+        ([], 10.0, 10.0, [0.5, 1.0]),
+        ([0.9], 10.0, 10.0, [0.5, 1.0]),
+        ([1.0, 0.95], 0.0, 10.0, [0.5, 1.0]),
+        ([0.4, 1.0, 0.4, 1.0], 400.0, 12.0, [0.5, 1.0]),
+        ([1.0, 0.5], 4.0, 10.0, [0.5, 1.0]),
+    ],
     "colorbarColorIndex": [
         (y, 48.0, 258.0) for y in (0.0, 1.0, 24.0, 46.0, 47.0)
     ] + [(0.0, 1.0, 258.0)],

@@ -828,6 +828,50 @@ def test_normalize_select_target_per_type_memory():
     }
 
 
+def test_overview_lane_layout_golden():
+    # OverviewWaveformViewport.tsx:385-389,407-417: gap 1, gain ratio 0.2
+    lanes = T.overview_lane_layout(2, 61, True)
+    assert lanes == [
+        {"y": 6.0, "height": 18.0, "gainHeight": 6.0},
+        {"y": 37.0, "height": 18.0, "gainHeight": 6.0},
+    ]
+    lanes = T.overview_lane_layout(1, 50, False)
+    assert lanes == [{"y": 0.0, "height": 50.0, "gainHeight": 0}]
+
+
+def test_amp_range_from_bins_seeded():
+    # calcAmpRange seeds [-1, 1] and only widens (:43-55)
+    assert T.amp_range_from_bins([[-0.5, 0.5, 0.0]]) == [-1.0, 1.0]
+    assert T.amp_range_from_bins([[-0.5, 0.5, 0.0], [-2.0, 3.0, 0.1]]) \
+        == [-2.0, 3.0]
+    assert T.amp_range_from_bins([]) == [-1.0, 1.0]
+
+
+def test_limiter_gain_envelopes_reference_exact():
+    """Hand-executed goldens of OverviewWaveformViewport.tsx:57-111 over
+    gainRange [0.5, 1]: gainToY(g) = 20 - 20 g at height 10."""
+    # unity everywhere -> no envelopes
+    assert T.calc_limiter_gain_envelopes([1, 1, 1, 1], 8, 10, [0.5, 1]) == []
+    # one dip: opens at the first sub-unity column's xFloor, per-column
+    # midpoints at min-gain depth, closes back at unity
+    assert T.calc_limiter_gain_envelopes(
+        [1.0, 0.8, 0.6, 1.0], 8, 10, [0.5, 1]
+    ) == [[[2.0, 0.0], [2.5, 4.0], [4.5, 8.0], [6.0, 0.0]]]
+    # trailing sub-unity region closes at floor(lastX)+1 at the LAST
+    # sample's gain depth (:104-108)
+    assert T.calc_limiter_gain_envelopes(
+        [1.0, 0.5], 4, 10, [0.5, 1]
+    ) == [[[2.0, 0.0], [2.5, 10.0], [3.0, 10.0]]]
+    # two separate dips -> two envelopes
+    envs = T.calc_limiter_gain_envelopes(
+        [0.9, 1.0, 1.0, 1.0, 0.9, 1.0, 1.0, 1.0], 8, 10, [0.5, 1]
+    )
+    assert len(envs) == 2
+    # degenerate inputs
+    assert T.calc_limiter_gain_envelopes([], 10, 10, [0.5, 1]) == []
+    assert T.calc_limiter_gain_envelopes([0.9], 0, 10, [0.5, 1]) == []
+
+
 def test_channel_label_matches_reference_table():
     # constants/tracks.ts:8-12 via TrackInfo.tsx:85-88
     assert T.channel_label(1, 0) == "M"

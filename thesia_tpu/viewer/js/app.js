@@ -951,7 +951,7 @@ function renderFrame() {
       }
     });
     if (overview) {
-      overview.draw(state.startSec, [state.startSec, viewWidth() / state.pxPerSec]);
+      overview.draw(state.startSec, viewWidth() / state.pxPerSec, state.maxSec);
     }
     scheduleAxisUpdate(hzRange);
   }

@@ -648,6 +648,118 @@ export function overviewWaveLevel(sampleCount, width) {
   return Math.max(0, Math.ceil(Math.log2(sampleCount / Math.max(width, 1))));
 }
 
+export const OVERVIEW_MAX_CH = 4; // constants/tracks.ts:211
+export const OVERVIEW_CH_GAP_HEIGHT = 1; // OverviewWaveformViewport.tsx:19
+export const OVERVIEW_GAIN_HEIGHT_RATIO = 0.2; // OverviewWaveformViewport.tsx:20
+
+export function overviewLaneLayout(nCh, height, hasGain) {
+  // reference: OverviewWaveformViewport.tsx:385-389,407-417 — stacked
+  // per-channel lanes with 1 px gaps; when a limiter gain sequence exists
+  // the gain band carves OVERVIEW_GAIN_HEIGHT_RATIO of the lane off the
+  // top AND the bottom, squeezing the waveform between them
+  const gap = OVERVIEW_CH_GAP_HEIGHT;
+  const chHeight = (height - gap * Math.max(nCh - 1, 0)) / nCh;
+  const gainHeight = hasGain ? chHeight * OVERVIEW_GAIN_HEIGHT_RATIO : 0;
+  const lanes = [];
+  for (let i = 0; i < nCh; i++) {
+    lanes.push({
+      y: i * (chHeight + gap) + gainHeight,
+      height: chHeight - 2 * gainHeight,
+      gainHeight,
+    });
+  }
+  return lanes;
+}
+
+export function ampRangeFromBins(binsPerCh) {
+  // reference: OverviewWaveformViewport.tsx:43-55 calcAmpRange — ONE amp
+  // range shared by every lane, seeded at [-1, 1], widened by tile
+  // min/max (flattened (min,max,mean) bin triplets here)
+  let min = -1;
+  let max = 1;
+  for (const bins of binsPerCh) {
+    const n = Math.floor(bins.length / 3);
+    for (let i = 0; i < n; i++) {
+      min = Math.min(min, bins[i * 3]);
+      max = Math.max(max, bins[i * 3 + 1]);
+    }
+  }
+  return [min, max];
+}
+
+export function overviewWavePoints(bins, lane, trackWidth, ampRange, clampValues) {
+  // the overview's waveform fill polygon (reference: renderWaveformTiles
+  // as called from OverviewWaveformViewport.tsx:453-480): max envelope
+  // left→right then min envelope right→left over flattened (min,max,mean)
+  // bin triplets, y mapped through the SHARED ampRange onto the lane.
+  // clampValues mirrors the isClipped handling — the top (waveform-color)
+  // pass clamps to ±1 so the unclamped clipping-color pass underneath
+  // peeks out exactly where the signal saturates
+  const n = Math.floor(bins.length / 3);
+  const points = [];
+  if (!n) return points;
+  const span = Math.max(ampRange[1] - ampRange[0], 1e-8);
+  const clamp = (v) => (clampValues ? Math.min(Math.max(v, -1), 1) : v);
+  const toY = (v) => lane.y + ((ampRange[1] - clamp(v)) / span) * lane.height;
+  for (let i = 0; i < n; i++) {
+    points.push([(i / n) * trackWidth, toY(bins[i * 3 + 1])]);
+  }
+  for (let i = n - 1; i >= 0; i--) {
+    points.push([(i / n) * trackWidth, toY(bins[i * 3])]);
+  }
+  return points;
+}
+
+export function calcLimiterGainEnvelopes(gainSeq, width, height, gainRange) {
+  // reference-exact: OverviewWaveformViewport.tsx:57-111 — bins the gain
+  // sequence into pixel columns (min gain per column), emitting one
+  // closed polyline per contiguous sub-unity region; y maps gainRange
+  // onto [height, 0] so unity gain sits at the band's top edge
+  if (gainSeq.length === 0 || width <= 0 || height <= 0) return [];
+  const xScale = width / gainSeq.length;
+  const yScale = -height / Math.max(gainRange[1] - gainRange[0], 1e-8);
+  const yOffset = -gainRange[1] * yScale;
+  const gainToY = (value) => value * yScale + yOffset;
+  const yUnityGain = gainToY(gainRange[1]);
+  const envelopes = [];
+  let current = [];
+  let i = 0;
+  while (i < gainSeq.length) {
+    const x = i * xScale;
+    const xFloor = Math.floor(x);
+    const xMid = xFloor + 0.5;
+    let i2 = i;
+    let iNext = gainSeq.length;
+    while (i2 < gainSeq.length) {
+      const x2Floor = Math.floor(i2 * xScale);
+      if (x2Floor > xFloor && iNext === gainSeq.length) iNext = i2;
+      if (x2Floor > xFloor + 1) break;
+      i2 += 1;
+    }
+    if (i2 === i) i2 = Math.min(i + 1, gainSeq.length);
+    let minGain = Infinity;
+    for (let j = i; j < i2; j += 1) {
+      minGain = Math.min(minGain, gainSeq[j]);
+    }
+    const bottom = gainToY(minGain);
+    if (bottom > yUnityGain) {
+      if (current.length === 0) current.push([xFloor, yUnityGain]);
+      current.push([xMid, bottom]);
+    } else if (current.length > 0) {
+      current.push([xFloor, yUnityGain]);
+      envelopes.push(current);
+      current = [];
+    }
+    i = iNext;
+  }
+  if (current.length > 0) {
+    const lastX = (gainSeq.length - 1) * xScale;
+    current.push([Math.floor(lastX) + 1, gainToY(gainSeq[gainSeq.length - 1])]);
+    envelopes.push(current);
+  }
+  return envelopes;
+}
+
 export function colorbarColorIndex(y, height, colormapLength) {
   // overview.js drawColorbar: top = max dB = colormap end; index 0 is the
   // reserved out-of-band black (render_tiles.rs colormap layout, 258

@@ -6,8 +6,10 @@ import { api } from "./api.js";
 import * as L from "./applogic.js";
 import { setLastAxisMarkers } from "./axes.js";
 
-const GAIN_COLOR = "rgba(245,145,73,0.55)";
-const WAVE_COLOR = "#2d92e5";
+const GAIN_COLOR = "#da972e"; // OverviewWaveformViewport.tsx:22
+const WAVE_COLOR = "#1389eb"; // waveform-renderer.ts:7 WAV_COLOR
+const CLIP_COLOR = "#c42232"; // waveform-renderer.ts:8 WAV_CLIPPING_COLOR
+const OUT_TRACK_FILL = "rgba(0, 0, 0, 0.2)"; // OverviewWaveformViewport.tsx:23-24
 const LENS_FILL = "rgba(255,255,255,0.08)";
 const LENS_EDGE = "rgba(255,255,255,0.35)";
 
@@ -40,7 +42,7 @@ export class Overview {
       const cursorState = this._cursorState(e);
       const anchorRatio = L.overviewDragAnchor(
         cursorState, e.clientX - rect.left, rect.width || 1,
-        this.metadata.trackSec, this._lens.startSec, this._lens.durationSec
+        this._timelineSec(), this._lens.startSec, this._lens.durationSec
       );
       this._drag = { state: cursorState, anchorRatio };
       this._applyDrag(e);
@@ -51,10 +53,17 @@ export class Overview {
     window.addEventListener("mouseup", () => (this._drag = null));
   }
 
+  _timelineSec() {
+    // the overview x axis spans the LONGEST track (reference:
+    // Overview.tsx:49-52 pxPerSec = width / maxTrackSec), not the
+    // selected track's own length
+    return Math.max(this._maxSec ?? this.metadata?.trackSec ?? 1, 1e-8);
+  }
+
   _cursorState(e) {
     // reference: Overview.tsx:158-173 (left | inlens | right | outlens)
     const rect = this.canvas.getBoundingClientRect();
-    const pxPerSec = (rect.width || 1) / Math.max(this.metadata?.trackSec ?? 1, 1e-8);
+    const pxPerSec = (rect.width || 1) / this._timelineSec();
     return L.overviewCursorState(
       e.clientX - rect.left, this._lens.startSec, this._lens.durationSec, pxPerSec
     );
@@ -64,7 +73,7 @@ export class Overview {
     if (!this.metadata || !this._drag) return;
     const rect = this.canvas.getBoundingClientRect();
     const sec = L.overviewSecFromX(
-      e.clientX - rect.left, rect.width || 1, this.metadata.trackSec
+      e.clientX - rect.left, rect.width || 1, this._timelineSec()
     );
     if (this._drag.state === "left") this.onResizeLensLeft(sec);
     else if (this._drag.state === "right") this.onResizeLensRight(sec);
@@ -85,8 +94,10 @@ export class Overview {
     this.metadata = metadata;
     if (!this.metadata) return;
     // up to OVERVIEW_MAX_CH stacked channel lanes
-    // (reference: OverviewWaveformViewport.tsx:18-143)
-    const nCh = Math.min(await api.getChannelCounts(trackId).catch(() => 1), 4);
+    // (reference: constants/tracks.ts:211, OverviewWaveformViewport.tsx)
+    const nCh = Math.min(
+      await api.getChannelCounts(trackId).catch(() => 1), L.OVERVIEW_MAX_CH
+    );
     const width = this.canvas.clientWidth || 600;
     const level = L.overviewWaveLevel(this.metadata.sampleCount, width);
     const spb = 1 << level;
@@ -115,7 +126,7 @@ export class Overview {
     this.gain = gain;
   }
 
-  draw(startSec, pxPerSecViewWidthSec) {
+  draw(viewStartSec, viewWidthSec, maxSec) {
     const { canvas, ctx } = this;
     const dpr = window.devicePixelRatio || 1;
     const w = canvas.clientWidth, h = canvas.clientHeight;
@@ -127,63 +138,76 @@ export class Overview {
     ctx.fillStyle = "#111317";
     ctx.fillRect(0, 0, w, h);
     if (!this.metadata || !this.bins || !this.bins.length) return;
-    // stacked channel lanes
+    this._maxSec = maxSec || this.metadata.trackSec;
+    const pxPerSec = w / this._timelineSec();
+    // reference: OverviewWaveformViewport.tsx:383-417 — stacked lanes
+    // with gaps, the gain band carving the lane top+bottom, ONE shared
+    // amp range, a clipping-colored unclamped pass under the waveform,
+    // and the out-of-track region dimmed
+    const trackWidth = Math.min(this.metadata.trackSec * pxPerSec, w);
     const nCh = this.bins.length;
-    const laneH = h / nCh;
-    ctx.fillStyle = WAVE_COLOR;
-    ctx.globalAlpha = 0.8;
+    const hasGain = !!(this.gain && this.gain.length > 1);
+    const lanes = L.overviewLaneLayout(nCh, h, hasGain);
+    const ampRange = L.ampRangeFromBins(this.bins);
+    const isClipped = !!this.metadata.isClipped;
     for (let ch = 0; ch < nCh; ch++) {
-      const bins = this.bins[ch];
-      const n = bins.length / 3;
-      if (!n) continue;
-      const mid = laneH * (ch + 0.5), amp = (laneH / 2) * 0.9;
-      ctx.beginPath();
-      for (let i = 0; i < n; i++) {
-        const x = (i / n) * w;
-        const y = mid - bins[i * 3 + 1] * amp;
-        if (i === 0) ctx.moveTo(x, y);
-        else ctx.lineTo(x, y);
+      const lane = lanes[ch];
+      if (hasGain && lane.gainHeight > 0) this._drawGainBands(trackWidth, lane);
+      if (isClipped) {
+        // unclamped pass in the clipping color peeks out wherever the
+        // clamped waveform saturates (OverviewWaveformViewport.tsx:453-463)
+        this._fillWave(this.bins[ch], lane, trackWidth, ampRange, CLIP_COLOR, false);
       }
-      for (let i = n - 1; i >= 0; i--) {
-        const x = (i / n) * w;
-        ctx.lineTo(x, mid - bins[i * 3] * amp);
-      }
-      ctx.closePath();
-      ctx.fill();
+      this._fillWave(this.bins[ch], lane, trackWidth, ampRange, WAVE_COLOR, isClipped);
     }
-    ctx.globalAlpha = 1;
-    if (nCh > 1) {
-      ctx.strokeStyle = "#2c3039";
-      for (let ch = 1; ch < nCh; ch++) {
-        ctx.beginPath();
-        ctx.moveTo(0, laneH * ch + 0.5);
-        ctx.lineTo(w, laneH * ch + 0.5);
-        ctx.stroke();
-      }
-    }
-    // limiter gain envelope band (gain < 1 regions), orange from top
-    if (this.gain && this.gain.length > 1) {
-      ctx.fillStyle = GAIN_COLOR;
-      const g = this.gain;
-      ctx.beginPath();
-      ctx.moveTo(0, 0);
-      for (let i = 0; i < g.length; i++) {
-        const x = (i / g.length) * w;
-        ctx.lineTo(x, (1 - g[i]) * h * 0.5);
-      }
-      ctx.lineTo(w, 0);
-      ctx.closePath();
-      ctx.fill();
+    if (trackWidth < w) {
+      ctx.fillStyle = OUT_TRACK_FILL;
+      ctx.fillRect(trackWidth, 0, w - trackWidth, h);
     }
     // lens
-    const [vs, vw] = pxPerSecViewWidthSec;
-    this._lens = { startSec: vs, durationSec: vw };
-    const x0 = (vs / this.metadata.trackSec) * w;
-    const x1 = ((vs + vw) / this.metadata.trackSec) * w;
+    this._lens = { startSec: viewStartSec, durationSec: viewWidthSec };
+    const x0 = viewStartSec * pxPerSec;
+    const x1 = (viewStartSec + viewWidthSec) * pxPerSec;
     ctx.fillStyle = LENS_FILL;
     ctx.fillRect(x0, 0, Math.max(x1 - x0, 2), h);
     ctx.strokeStyle = LENS_EDGE;
     ctx.strokeRect(x0 + 0.5, 0.5, Math.max(x1 - x0, 2) - 1, h - 1);
+  }
+
+  _fillWave(bins, lane, trackWidth, ampRange, color, clampValues) {
+    this.ctx.fillStyle = color;
+    this._fillPath(
+      L.overviewWavePoints(bins, lane, trackWidth, ampRange, clampValues)
+    );
+  }
+
+  _drawGainBands(trackWidth, lane) {
+    // reference: OverviewWaveformViewport.tsx:123-143 drawLimiterGain —
+    // each sub-unity envelope painted hanging from the lane's top band
+    // and mirrored rising from the bottom band, over gainRange [0.5, 1]
+    const { ctx } = this;
+    ctx.fillStyle = GAIN_COLOR;
+    const envelopes = L.calcLimiterGainEnvelopes(
+      this.gain, trackWidth, lane.gainHeight, [0.5, 1]
+    );
+    const yAbove = lane.y - lane.gainHeight;
+    const yBelow = lane.y + lane.height;
+    for (const env of envelopes) {
+      this._fillPath(env.map(([x, y]) => [x, y + yAbove]));
+      this._fillPath(env.map(([x, y]) => [x, yBelow + lane.gainHeight - y]));
+    }
+  }
+
+  _fillPath(points) {
+    if (points.length < 2) return;
+    const { ctx } = this;
+    ctx.beginPath();
+    for (let i = 0; i < points.length; i++) {
+      if (i === 0) ctx.moveTo(points[i][0], points[i][1]);
+      else ctx.lineTo(points[i][0], points[i][1]);
+    }
+    ctx.closePath();
+    ctx.fill();
   }
 }
 

@@ -700,6 +700,109 @@ def overview_wave_level(sample_count, width):
     return max(0, math.ceil(math.log2(sample_count / max(width, 1))))
 
 
+OVERVIEW_MAX_CH = 4  # constants/tracks.ts:211
+OVERVIEW_CH_GAP_HEIGHT = 1  # OverviewWaveformViewport.tsx:19
+OVERVIEW_GAIN_HEIGHT_RATIO = 0.2  # OverviewWaveformViewport.tsx:20
+
+
+def overview_lane_layout(n_ch, height, has_gain):
+    """reference: OverviewWaveformViewport.tsx:385-389,407-417."""
+    gap = OVERVIEW_CH_GAP_HEIGHT
+    ch_height = (height - gap * max(n_ch - 1, 0)) / n_ch
+    gain_height = ch_height * OVERVIEW_GAIN_HEIGHT_RATIO if has_gain else 0
+    return [
+        {
+            "y": i * (ch_height + gap) + gain_height,
+            "height": ch_height - 2 * gain_height,
+            "gainHeight": gain_height,
+        }
+        for i in range(int(n_ch))
+    ]
+
+
+def amp_range_from_bins(bins_per_ch):
+    """reference: OverviewWaveformViewport.tsx:43-55 calcAmpRange."""
+    lo, hi = -1.0, 1.0
+    for bins in bins_per_ch:
+        n = len(bins) // 3
+        for i in range(n):
+            lo = min(lo, bins[i * 3])
+            hi = max(hi, bins[i * 3 + 1])
+    return [lo, hi]
+
+
+def overview_wave_points(bins, lane, track_width, amp_range, clamp_values):
+    """reference: renderWaveformTiles via OverviewWaveformViewport.tsx:453-480."""
+    n = len(bins) // 3
+    points = []
+    if not n:
+        return points
+    span = max(amp_range[1] - amp_range[0], 1e-8)
+
+    def clamp(v):
+        return min(max(v, -1), 1) if clamp_values else v
+
+    def to_y(v):
+        return lane["y"] + ((amp_range[1] - clamp(v)) / span) * lane["height"]
+
+    for i in range(n):
+        points.append([(i / n) * track_width, to_y(bins[i * 3 + 1])])
+    for i in range(n - 1, -1, -1):
+        points.append([(i / n) * track_width, to_y(bins[i * 3])])
+    return points
+
+
+def calc_limiter_gain_envelopes(gain_seq, width, height, gain_range):
+    """reference-exact: OverviewWaveformViewport.tsx:57-111."""
+    n = len(gain_seq)
+    if n == 0 or width <= 0 or height <= 0:
+        return []
+    x_scale = width / n
+    y_scale = -height / max(gain_range[1] - gain_range[0], 1e-8)
+    y_offset = -gain_range[1] * y_scale
+
+    def gain_to_y(value):
+        return value * y_scale + y_offset
+
+    y_unity = gain_to_y(gain_range[1])
+    envelopes = []
+    current = []
+    i = 0
+    while i < n:
+        x = i * x_scale
+        x_floor = math.floor(x)
+        x_mid = x_floor + 0.5
+        i2 = i
+        i_next = n
+        while i2 < n:
+            x2_floor = math.floor(i2 * x_scale)
+            if x2_floor > x_floor and i_next == n:
+                i_next = i2
+            if x2_floor > x_floor + 1:
+                break
+            i2 += 1
+        if i2 == i:
+            i2 = min(i + 1, n)
+        min_gain = math.inf
+        for j in range(i, i2):
+            min_gain = min(min_gain, gain_seq[j])
+        bottom = gain_to_y(min_gain)
+        if bottom > y_unity:
+            if not current:
+                current.append([float(x_floor), y_unity])
+            current.append([x_mid, bottom])
+        elif current:
+            current.append([float(x_floor), y_unity])
+            envelopes.append(current)
+            current = []
+        i = i_next
+    if current:
+        last_x = (n - 1) * x_scale
+        current.append([float(math.floor(last_x) + 1), gain_to_y(gain_seq[n - 1])])
+        envelopes.append(current)
+    return envelopes
+
+
 def colorbar_color_index(y, height, colormap_length):
     """overview.js drawColorbar LUT index (0 = reserved black skipped)."""
     return min(
@@ -913,6 +1016,13 @@ TWINNED = {
     "overviewCursorState": overview_cursor_state,
     "overviewDragAnchor": overview_drag_anchor,
     "overviewWaveLevel": overview_wave_level,
+    "OVERVIEW_MAX_CH": OVERVIEW_MAX_CH,
+    "OVERVIEW_CH_GAP_HEIGHT": OVERVIEW_CH_GAP_HEIGHT,
+    "OVERVIEW_GAIN_HEIGHT_RATIO": OVERVIEW_GAIN_HEIGHT_RATIO,
+    "overviewLaneLayout": overview_lane_layout,
+    "ampRangeFromBins": amp_range_from_bins,
+    "overviewWavePoints": overview_wave_points,
+    "calcLimiterGainEnvelopes": calc_limiter_gain_envelopes,
     "colorbarColorIndex": colorbar_color_index,
     "MIN_WIN_MILLISEC": MIN_WIN_MILLISEC,
     "MIN_COMMON_NORMALIZE_DB": MIN_COMMON_NORMALIZE_DB,
