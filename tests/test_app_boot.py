@@ -1941,6 +1941,18 @@ def test_multichannel_rows_and_channel_labels(booted):
             state["viewports"], "get", [f"{quad_id}_{ch}"])
         assert vp["metadata"]["spectrogramWidth"] > 0
 
+    # overview draws all four channel lanes (OVERVIEW_MAX_CH=4,
+    # overviewLaneLayout geometry) through real waveform tiles
+    ov = g(interp)["overview"]
+    interp._call_method(ov, "setTrack", [float(quad_id), True])
+    ctx = browser.doc["querySelector"]("#overview")["_ctx"]
+    ctx["_ops"].clear()
+    interp._call_method(ov, "draw", [0.0, 0.5, state["maxSec"]])
+    assert len(ov["bins"]) == 4
+    fills = [v for name, v in ctx["_ops"] if name == "set:fillStyle"]
+    # one wave fill per lane (no clipping/gain on this quiet fixture)
+    assert fills.count("#1389eb") == 4
+
     # clean up so later module tests keep their expected track set
     g(interp)["removeTracks"]([float(quad_id)])
     settle(session)

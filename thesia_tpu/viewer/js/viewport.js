@@ -15,9 +15,9 @@ import { relativeFreqPos } from "./freqscale.js";
 
 const TILE = 512;
 const WAVE_BINS = 1024;
-const WAVE_COLOR = "#2d92e5";
+const WAVE_COLOR = "#1389eb"; // waveform-renderer.ts:7 WAV_COLOR
 const WAVE_LINE_COLOR = "#7cc0f2"; // representative mid line (lighter)
-const CLIP_COLOR = "#e05252";
+const CLIP_COLOR = "#c42232"; // waveform-renderer.ts:8 WAV_CLIPPING_COLOR
 const CLIP_LINE_COLOR = "#f2948f";
 const CROSSFADE_MS = 200; // reference: AudioTrackViewport.tsx:30-35
 
