@@ -1957,3 +1957,65 @@ def test_multichannel_rows_and_channel_labels(booted):
     g(interp)["removeTracks"]([float(quad_id)])
     settle(session)
     assert not rows_for(quad_id)
+
+
+def test_hotkeys_mod_zooms_and_arrow_selection(booted):
+    """Reference hotkeys ported this round: mod+left/right time zoom
+    anchored at the select cursor (MainViewer.tsx:735-773), mod+up/down
+    row-height zoom keeping the content middle (691-733), and up/down
+    (shift extends) moving the selection from the most recent pick
+    (783-795)."""
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+
+    # place the select cursor somewhere nonzero
+    vpc = rows_el["children"][0]["querySelector"](".viewport")
+    g(interp)["setLens"]({"startSec": 0.0, "pxPerSec": 500.0})
+    browser.dispatch_event(vpc, "click", {
+        "offsetX": 250.0, "offsetY": 40.0, "target": vpc,
+    })
+    sel_sec = state["selectCursorSec"]
+    assert sel_sec == pytest.approx(0.5)
+
+    # mod+right zooms IN keeping the select cursor's pixel position
+    pps0, start0 = state["pxPerSec"], state["startSec"]
+    px_before = (sel_sec - start0) * pps0
+    _key(browser, "ArrowRight", key="ArrowRight", ctrlKey=True)
+    assert state["pxPerSec"] > pps0
+    assert (sel_sec - state["startSec"]) * state["pxPerSec"] == pytest.approx(
+        px_before, rel=1e-6)
+    # mod+left zooms back OUT
+    pps1 = state["pxPerSec"]
+    _key(browser, "ArrowLeft", key="ArrowLeft", ctrlKey=True)
+    assert state["pxPerSec"] < pps1
+
+    # mod+down/up = row-height zoom through --row-h
+    h0 = state["rowHeight"]
+    _key(browser, "ArrowDown", key="ArrowDown", ctrlKey=True)
+    h1 = state["rowHeight"]
+    assert h1 > h0
+    assert browser.doc["documentElement"]["style"]["--row-h"] \
+        == f"{int(h1)}px"
+    _key(browser, "ArrowUp", key="ArrowUp", ctrlKey=True)
+    assert state["rowHeight"] < h1
+
+    # up/down move the selection; shift+down extends the range
+    order = [
+        int(float(r["dataset"]["trackId"])) for r in rows_el["children"]
+    ]
+    uniq = list(dict.fromkeys(order))
+    assert len(uniq) >= 2
+    info0 = rows_el["children"][0]["querySelector"](".track-info")
+    browser.dispatch_event(info0, "mousedown", {
+        "target": info0, "metaKey": False, "ctrlKey": False, "shiftKey": False,
+    })
+    assert [int(x) for x in state["selected"]] == [uniq[0]]
+    _key(browser, "ArrowDown", key="ArrowDown")
+    assert [int(x) for x in state["selected"]] == [uniq[1]]
+    _key(browser, "ArrowUp", key="ArrowUp")
+    assert [int(x) for x in state["selected"]] == [uniq[0]]
+    _key(browser, "ArrowUp", key="ArrowUp")  # clamped at the first track
+    assert [int(x) for x in state["selected"]] == [uniq[0]]
+    _key(browser, "ArrowDown", key="ArrowDown", shiftKey=True)
+    assert sorted(int(x) for x in state["selected"]) == sorted(uniq[:2])

@@ -414,6 +414,30 @@ CASES = {
     "channelLabel": [
         (n, c) for n in (1.0, 2.0, 4.0, 6.0) for c in (0.0, 1.0, 3.0)
     ],
+    "zoomStepDelta": [
+        (160.0, False), (160.0, True), (37.5, False), (1000.0, True),
+        (1.0, False), (500.0, True),
+    ],
+    "zoomLensAtSelect": [
+        ({"startSec": 2.0, "pxPerSec": 500.0}, 3.0, False, 44.0, 800.0),
+        ({"startSec": 2.0, "pxPerSec": 500.0}, 3.0, True, 44.0, 800.0),
+        ({"startSec": 0.0, "pxPerSec": 10.0}, 0.0, False, 7200.0, 1000.0),
+        ({"startSec": 5.0, "pxPerSec": 100000.0}, 5.5, False, 10.0, 500.0),
+        ({"startSec": 0.5, "pxPerSec": 50.0}, 1.0, True, 2.0, 640.0),
+    ],
+    "freqZoomScrollTop": [
+        (160.0, 200.0, 0.0, 600.0, 4.0),
+        (160.0, 120.0, 300.0, 600.0, 10.0),
+        (160.0, 200.0, 0.0, 600.0, 0.0),
+        (160.0, 200.0, 5000.0, 600.0, 3.0),
+        (24.0, 4096.0, 100.0, 480.0, 6.0),
+    ],
+    "nextTrackOnArrow": [
+        ([0.0, 1.0, 2.0], [0.0], True), ([0.0, 1.0, 2.0], [2.0], True),
+        ([0.0, 1.0, 2.0], [1.0, 2.0], False), ([0.0, 1.0, 2.0], [], True),
+        ([0.0, 1.0, 2.0], [], False), ([], [1.0], True),
+        ([0.0, 1.0, 2.0], [5.0], True), ([0.0, 1.0, 2.0], [0.0], False),
+    ],
     "fitPxPerSec": [(1000.0, 100.0), (1000.0, 0.0), (50.0, 7200.0)],
     "splitterWidth": [(200.0, -500.0), (200.0, 500.0), (200.0, 13.0)],
     "scrubSecAt": [(500.0, 100.0, 10.0, 100.0), (0.0, 100.0, 0.5, 100.0)],

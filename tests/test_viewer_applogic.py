@@ -828,6 +828,57 @@ def test_normalize_select_target_per_type_memory():
     }
 
 
+def test_zoom_step_delta_golden():
+    # MainViewer.tsx:714-717: 2^(floor(log2(base)) - 1.2)
+    assert T.zoom_step_delta(160, False) == pytest.approx(2 ** 5.8)
+    assert T.zoom_step_delta(160, True) == pytest.approx(-(2 ** 5.8))
+    assert T.zoom_step_delta(1.0, False) == pytest.approx(2 ** -1.2)
+
+
+def test_zoom_lens_at_select_anchors_select_cursor():
+    # MainViewer.tsx:735-748: the select cursor keeps its pixel position
+    cur = {"startSec": 2.0, "pxPerSec": 500.0}
+    sel = 3.0
+    out = T.zoom_lens_at_select(cur, sel, False, 44.0, 800.0)
+    assert out["pxPerSec"] > cur["pxPerSec"]
+    px_before = (sel - cur["startSec"]) * cur["pxPerSec"]
+    px_after = (sel - out["startSec"]) * out["pxPerSec"]
+    assert px_after == pytest.approx(px_before, rel=1e-9)
+    # zoom-out shrinks pxPerSec and still anchors (no clamp in range)
+    out2 = T.zoom_lens_at_select(cur, sel, True, 44.0, 800.0)
+    assert out2["pxPerSec"] < cur["pxPerSec"]
+    assert (sel - out2["startSec"]) * out2["pxPerSec"] == pytest.approx(
+        px_before, rel=1e-9)
+
+
+def test_freq_zoom_scroll_top_keeps_content_middle():
+    # MainViewer.tsx:691-721: the row under the view middle keeps its
+    # fractional offset after the height change
+    base, new, st, view, rows = 160.0, 200.0, 300.0, 600.0, 10
+    out = T.freq_zoom_scroll_top(base, new, st, view, rows)
+    mid_before = st + view / 2
+    mid_after = out + view / 2
+    row = int(mid_before // base)
+    assert mid_after == pytest.approx(
+        row * new + (mid_before - row * base) / base * new)
+    # no rows -> None (reference returns early)
+    assert T.freq_zoom_scroll_top(base, new, st, view, 0) is None
+    # middle beyond the last row clamps to it (findIndex -1 branch)
+    out2 = T.freq_zoom_scroll_top(base, new, 5000.0, view, 3)
+    assert out2 == pytest.approx(2 * new + (5300.0 - 2 * base) / base * new - 300.0)
+
+
+def test_next_track_on_arrow():
+    # MainViewer.tsx:783-795
+    ids = [3, 1, 4]
+    assert T.next_track_on_arrow(ids, [3], True) == 1
+    assert T.next_track_on_arrow(ids, [4], True) == 4  # clamped at end
+    assert T.next_track_on_arrow(ids, [1, 4], False) == 1  # from RECENT (4)
+    assert T.next_track_on_arrow(ids, [], True) == 3  # -1 + 1 = first
+    assert T.next_track_on_arrow(ids, [], False) == 3  # clamped at start
+    assert T.next_track_on_arrow([], [1], True) is None
+
+
 def test_overview_lane_layout_golden():
     # OverviewWaveformViewport.tsx:385-389,407-417: gap 1, gain ratio 0.2
     lanes = T.overview_lane_layout(2, 61, True)

@@ -339,7 +339,8 @@ def test_app_and_overview_use_applogic():
         "L.moveLensStartSec(", "L.resizeLensLeft(", "L.resizeLensRight(",
         "L.fmtTime(", "L.scrubSecAt(", "L.jumpAmountSec(", "L.splitterWidth(",
         "L.fitPxPerSec(", "L.lufsLabel(", "L.trackMetaLine(",
-        "L.nonFiniteNumberLabel(", "L.channelLabel(",
+        "L.nonFiniteNumberLabel(", "L.channelLabel(", "L.zoomStepDelta(",
+        "L.zoomLensAtSelect(", "L.freqZoomScrollTop(", "L.nextTrackOnArrow(",
     ):
         assert call in app, f"app.js no longer routes through {call}"
     ov = srcs["overview.js"]

@@ -1333,6 +1333,56 @@ async function setupControls() {
       // (paused: the select cursor) by ±1 s, ±5 s with shift
       e.preventDefault();
       await jumpBy(e.code === "Period" ? jump : -jump);
+    } else if (
+      (e.metaKey || e.ctrlKey) &&
+      (e.code === "ArrowLeft" || e.code === "ArrowRight")
+    ) {
+      // reference MainViewer.tsx:735-773: mod+left/right time zoom
+      // anchored at the select cursor through the normalize pipeline
+      e.preventDefault();
+      if (!state.trackIds.length) return;
+      leaveFit();
+      setLens(L.zoomLensAtSelect(
+        { startSec: state.startSec, pxPerSec: state.pxPerSec },
+        state.selectCursorSec ?? 0, e.code === "ArrowLeft",
+        state.maxSec, viewWidth()
+      ));
+      redraw();
+    } else if (
+      (e.metaKey || e.ctrlKey) &&
+      (e.code === "ArrowDown" || e.code === "ArrowUp")
+    ) {
+      // reference MainViewer.tsx:691-733: mod+down/up = freq (row-height)
+      // zoom keeping the content middle stable
+      e.preventDefault();
+      if (!state.trackIds.length) return;
+      const isZoomOut = e.code === "ArrowUp";
+      const base = state.rowHeight;
+      const h = L.calcZoomedHeight(base, L.zoomStepDelta(base, isZoomOut));
+      const st = L.freqZoomScrollTop(
+        base, h, rowsEl.scrollTop, rowsEl.clientHeight, rowsEl.children.length
+      );
+      if (st === null) return;
+      state.rowHeight = h;
+      document.documentElement.style.setProperty("--row-h", `${h}px`);
+      rowsEl.scrollTop = Math.max(st, 0);
+      redraw();
+    } else if (e.code === "ArrowDown" || e.code === "ArrowUp") {
+      // reference MainViewer.tsx:783-795: up/down (shift extends the
+      // range) move the selection relative to the most recent pick
+      e.preventDefault();
+      const id = L.nextTrackOnArrow(
+        displayOrder(), state.selected, e.code === "ArrowDown"
+      );
+      if (id !== null) {
+        applySelection(
+          L.selectTrack(state.selected, state.selectPivot, id, displayOrder(), {
+            command: false,
+            shift: e.shiftKey,
+          })
+        );
+        redraw();
+      }
     } else if (e.code === "ArrowLeft" || e.code === "ArrowRight") {
       // reference MainViewer.tsx:680-690: arrows pan the lens by 40 css px
       // (200 with shift) — they do NOT touch the player

@@ -289,6 +289,52 @@ export function arrowPanStartSec(startSec, pxPerSec, dirRight, big) {
 // selection with pivot semantics — reference useSelectedTracks.ts:5-126.
 // selection state is an ORDERED array (insertion order drives pivot rules).
 
+export function zoomStepDelta(base, isZoomOut) {
+  // reference: MainViewer.tsx:714-717,736-738 — the menu/hotkey zoom step
+  // is 2^(floor(log2(base)) - 1.2) of the current height / pxPerSec,
+  // negated when zooming out
+  const delta = 2 ** (Math.floor(Math.log2(base)) - 1.2);
+  return isZoomOut ? -delta : delta;
+}
+
+export function zoomLensAtSelect(cursor, selectSec, isZoomOut, maxTrackSec, width) {
+  // reference: MainViewer.tsx:735-755 — mod+left/right time zoom anchored
+  // at the SELECT cursor (0 when none), through the normalize pipeline
+  const pxPerSec = normalizePxPerSec(
+    cursor.pxPerSec + zoomStepDelta(cursor.pxPerSec, isZoomOut),
+    0, maxTrackSec, width
+  );
+  const startSec = normalizeStartSec(
+    selectSec - ((selectSec - cursor.startSec) * cursor.pxPerSec) / pxPerSec,
+    pxPerSec, maxTrackSec, width
+  );
+  return { startSec, pxPerSec };
+}
+
+export function freqZoomScrollTop(baseHeight, newHeight, scrollTop, splitViewHeight, rowCount) {
+  // reference: MainViewer.tsx:691-721 — the menu/mod+up/down height zoom
+  // keeps the CONTENT MIDDLE stable in row space (uniform row heights:
+  // the row under the middle keeps its fractional offset)
+  if (rowCount <= 0) return null;
+  const contentMiddle = scrollTop + splitViewHeight / 2;
+  let rowIndex = Math.floor(contentMiddle / Math.max(baseHeight, 1e-8));
+  rowIndex = Math.min(Math.max(rowIndex, 0), rowCount - 1);
+  const offsetInRow = contentMiddle - rowIndex * baseHeight;
+  const newOffsetInRow = (offsetInRow / Math.max(baseHeight, 1e-8)) * newHeight;
+  return rowIndex * newHeight + newOffsetInRow - splitViewHeight / 2;
+}
+
+export function nextTrackOnArrow(displayIds, selectedIds, isDown) {
+  // reference: MainViewer.tsx:783-795 — up/down move relative to the MOST
+  // RECENTLY selected track (last element), clamped at the list ends; an
+  // empty selection starts from index -1, so down lands on the first track
+  if (!displayIds.length) return null;
+  const recentIdx = displayIds.indexOf(selectedIds[selectedIds.length - 1]);
+  return isDown
+    ? displayIds[Math.min(recentIdx + 1, displayIds.length - 1)]
+    : displayIds[Math.max(recentIdx - 1, 0)];
+}
+
 export function selectTrack(selected, pivotId, id, trackIds, mods) {
   // reference: useSelectedTracks.ts:13-63; mods: {command, shift}
   if (mods.command) {

@@ -358,6 +358,49 @@ def arrow_pan_start_sec(start_sec, px_per_sec, dir_right, big):
 # selection pivot semantics — reference useSelectedTracks.ts:5-126
 
 
+def zoom_step_delta(base, is_zoom_out):
+    """reference: MainViewer.tsx:714-717,736-738."""
+    delta = 2 ** (math.floor(math.log2(base)) - 1.2)
+    return -delta if is_zoom_out else delta
+
+
+def zoom_lens_at_select(cursor, select_sec, is_zoom_out, max_track_sec, width):
+    """reference: MainViewer.tsx:735-755."""
+    px_per_sec = normalize_px_per_sec(
+        cursor["pxPerSec"] + zoom_step_delta(cursor["pxPerSec"], is_zoom_out),
+        0, max_track_sec, width,
+    )
+    start_sec = normalize_start_sec(
+        select_sec
+        - ((select_sec - cursor["startSec"]) * cursor["pxPerSec"]) / px_per_sec,
+        px_per_sec, max_track_sec, width,
+    )
+    return {"startSec": start_sec, "pxPerSec": px_per_sec}
+
+
+def freq_zoom_scroll_top(base_height, new_height, scroll_top, split_view_height, row_count):
+    """reference: MainViewer.tsx:691-721."""
+    if row_count <= 0:
+        return None
+    content_middle = scroll_top + split_view_height / 2
+    row_index = math.floor(content_middle / max(base_height, 1e-8))
+    row_index = min(max(row_index, 0), row_count - 1)
+    offset_in_row = content_middle - row_index * base_height
+    new_offset = (offset_in_row / max(base_height, 1e-8)) * new_height
+    return row_index * new_height + new_offset - split_view_height / 2
+
+
+def next_track_on_arrow(display_ids, selected_ids, is_down):
+    """reference: MainViewer.tsx:783-795."""
+    if not display_ids:
+        return None
+    last = selected_ids[-1] if selected_ids else None
+    recent_idx = display_ids.index(last) if last in display_ids else -1
+    if is_down:
+        return display_ids[min(recent_idx + 1, len(display_ids) - 1)]
+    return display_ids[max(recent_idx - 1, 0)]
+
+
 def select_track(selected, pivot_id, tid, track_ids, mods):
     """reference: useSelectedTracks.ts:13-63. selected: ordered list."""
     if mods.get("command"):
@@ -985,6 +1028,10 @@ TWINNED = {
     "playingTrackStartSec": playing_track_start_sec,
     "jumpTargetSec": jump_target_sec,
     "arrowPanStartSec": arrow_pan_start_sec,
+    "zoomStepDelta": zoom_step_delta,
+    "zoomLensAtSelect": zoom_lens_at_select,
+    "freqZoomScrollTop": freq_zoom_scroll_top,
+    "nextTrackOnArrow": next_track_on_arrow,
     "selectTrack": select_track,
     "selectAllTracks": select_all_tracks,
     "selectAfterAddTracks": select_after_add_tracks,
