@@ -2019,3 +2019,59 @@ def test_hotkeys_mod_zooms_and_arrow_selection(booted):
     assert [int(x) for x in state["selected"]] == [uniq[0]]
     _key(browser, "ArrowDown", key="ArrowDown", shiftKey=True)
     assert sorted(int(x) for x in state["selected"]) == sorted(uniq[:2])
+
+
+def test_file_drop_at_index_inserts_and_filters_unsupported(booted):
+    """Dropped files insert at the cursor's track index (App.tsx
+    addDroppedFile + useTracks.ts:92-100 splice; MainViewer.tsx:175-189
+    calculateDropIndex) and unsupported extensions are rejected before
+    upload with the file-open error message (App.tsx:85-101)."""
+    import numpy as np
+
+    from thesia_tpu.io.wav import encode_wav_s16
+
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    state = g(interp)["state"]
+    order_before = [
+        int(float(r["dataset"]["trackId"])) for r in rows_el["children"]
+    ]
+    uniq_before = list(dict.fromkeys(order_before))
+    assert len(uniq_before) >= 2
+
+    data = encode_wav_s16(0.15 * np.ones((1, 4000), np.float32), 8000)
+    # drop BETWEEN the first and second track: clientY past track 0's
+    # midpoint -> index 1 (fakedom rows are 160 px bands)
+    first_rows = sum(1 for t in order_before if t == uniq_before[0])
+    drop_y = first_rows * 160.0 + 10.0
+    browser.dispatch_event(browser.doc, "drop", {
+        "clientY": drop_y,
+        "dataTransfer": {
+            "files": [
+                {"name": "insert_mid.wav", "bytes": data},
+                {"name": "rejected.txt", "bytes": b"nope"},
+            ],
+            "types": ["Files"],
+        },
+    })
+    settle(session)
+    # the unsupported file never reached the engine and raised the error box
+    assert all(
+        "rejected" not in session.get_file_name(i)
+        for i in session.tracklist.all_ids()
+    )
+    errs = browser.doc["querySelector"]("#error-box")["children"]
+    assert any("rejected.txt" in (e["textContent"] or "") for e in errs)
+    # the wav landed AT index 1 in display order (between the two tracks)
+    order_after = list(dict.fromkeys(
+        int(float(r["dataset"]["trackId"])) for r in rows_el["children"]
+    ))
+    new_id = next(i for i in order_after if i not in uniq_before)
+    assert "insert_mid" in session.get_file_name(new_id)
+    assert order_after.index(new_id) == 1
+    assert order_after[0] == uniq_before[0]
+    # state.trackIds re-derived from the DOM order
+    assert [int(x) for x in state["trackIds"]] == order_after
+    # clean up for later module tests
+    g(interp)["removeTracks"]([float(new_id)])
+    settle(session)

@@ -414,6 +414,21 @@ CASES = {
     "channelLabel": [
         (n, c) for n in (1.0, 2.0, 4.0, 6.0) for c in (0.0, 1.0, 3.0)
     ],
+    "splitSupportedPaths": [
+        (["a.wav", "b.mp3", "c.txt", "d", "e.WAV", "f."],),
+        (["x.aac", "y.flac", "z.m4a", "w.oga", "v.ogg", "u.opus"],),
+        ([],),
+        (["noext", "tail.", "dir.name/file.wav"],),
+    ],
+    "fileDropIndex": [
+        (50.0, [0.0, 160.0, 320.0], [160.0, 160.0, 160.0]),
+        (100.0, [0.0, 160.0, 320.0], [160.0, 160.0, 160.0]),
+        (250.0, [0.0, 160.0, 320.0], [160.0, 160.0, 160.0]),
+        (1000.0, [0.0, 160.0, 320.0], [160.0, 160.0, 160.0]),
+        (80.0, [0.0, 160.0, 320.0], [160.0, 160.0, 160.0]),
+        (10.0, [], []),
+        (50.0, [0.0, 320.0], [320.0, 160.0]),
+    ],
     "zoomStepDelta": [
         (160.0, False), (160.0, True), (37.5, False), (1000.0, True),
         (1.0, False), (500.0, True),

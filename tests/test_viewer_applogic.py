@@ -828,6 +828,27 @@ def test_normalize_select_target_per_type_memory():
     }
 
 
+def test_split_supported_paths():
+    # App.tsx:85-92 + tracks.ts:5: raw case-sensitive extension check
+    out = T.split_supported_paths(
+        ["a.wav", "b.mp3", "c.txt", "noext", "e.WAV", "tail."])
+    assert out["supported"] == ["a.wav", "b.mp3"]
+    assert out["unsupported"] == ["c.txt", "noext", "e.WAV", "tail."]
+    assert T.SUPPORTED_TYPES == [
+        "aac", "flac", "m4a", "mp3", "oga", "ogg", "opus", "wav",
+    ]
+
+
+def test_file_drop_index():
+    # MainViewer.tsx:175-189: first track whose midpoint is below the cursor
+    tops, heights = [0.0, 160.0, 320.0], [160.0, 160.0, 160.0]
+    assert T.file_drop_index(50, tops, heights) == 0  # above row 0 midpoint
+    assert T.file_drop_index(100, tops, heights) == 1  # past row 0 midpoint
+    assert T.file_drop_index(250, tops, heights) == 2
+    assert T.file_drop_index(1000, tops, heights) == 3  # past every midpoint
+    assert T.file_drop_index(10, [], []) == 0
+
+
 def test_zoom_step_delta_golden():
     # MainViewer.tsx:714-717: 2^(floor(log2(base)) - 1.2)
     assert T.zoom_step_delta(160, False) == pytest.approx(2 ** 5.8)

@@ -317,9 +317,19 @@ def test_applogic_constants_match_twin():
     src = _js_sources()["applogic.js"]
     consts, _ = _applogic_exports()
     for name in sorted(consts):
+        twin_val = twin_app.TWINNED[name]
+        if isinstance(twin_val, list):
+            # JSON-compatible array literal (e.g. SUPPORTED_TYPES)
+            m = re.search(rf"export const {name} = (\[[^\]]*\]);", src, re.S)
+            assert m, f"cannot parse constant {name}"
+            import json
+
+            literal = re.sub(r",\s*\]", "]", m.group(1))  # trailing comma
+            assert json.loads(literal) == twin_val, name
+            continue
         m = re.search(rf"export const {name} = ([\w.e-]+);", src)
         assert m, f"cannot parse constant {name}"
-        assert float(m.group(1)) == float(twin_app.TWINNED[name]), name
+        assert float(m.group(1)) == float(twin_val), name
 
 
 def test_app_and_overview_use_applogic():
@@ -341,6 +351,7 @@ def test_app_and_overview_use_applogic():
         "L.fitPxPerSec(", "L.lufsLabel(", "L.trackMetaLine(",
         "L.nonFiniteNumberLabel(", "L.channelLabel(", "L.zoomStepDelta(",
         "L.zoomLensAtSelect(", "L.freqZoomScrollTop(", "L.nextTrackOnArrow(",
+        "L.fileDropIndex(", "L.splitSupportedPaths(",
     ):
         assert call in app, f"app.js no longer routes through {call}"
     ov = srcs["overview.js"]

@@ -169,7 +169,7 @@ function showError(message) {
 // ---------------------------------------------------------------------------
 // track management
 
-async function addPaths(paths) {
+async function addPaths(paths, insertIndex = null) {
   // dedupe against already-open paths (reference App.tsx:103-131)
   const fresh = [];
   const reload = [];
@@ -195,6 +195,22 @@ async function addPaths(paths) {
     if (failed.length) showError(`Could not open: ${failed.join(", ")}`);
     await refreshAll();
     for (const id of added) await buildRow(id);
+    // dropped files insert at the drop row (useTracks.ts:92-100 splice);
+    // buildRow appended them, so move their rows before the anchor track
+    if (insertIndex !== null && insertIndex < prevIds.length && added.length) {
+      const anchorId = prevIds[insertIndex];
+      const anchorRow = [...rowsEl.children].find(
+        (r) => Number(r.dataset.trackId) === anchorId
+      );
+      if (anchorRow) {
+        for (const row of [...rowsEl.children]) {
+          if (added.includes(Number(row.dataset.trackId))) {
+            rowsEl.insertBefore(row, anchorRow);
+          }
+        }
+        state.trackIds = displayOrder();
+      }
+    }
     // select exactly the new tracks (useSelectedTracks.ts:77-80)
     applySelection(L.selectAfterAddTracks(prevIds, displayOrder()));
   } else {
@@ -1148,28 +1164,83 @@ function connectEvents() {
 
 function setupFileDrop() {
   const indicator = $("#drop-indicator");
+  // per-track vertical spans for the drop-index math (one trackInfo rect
+  // per track in the reference; channel rows merge into their track here)
+  const trackSpans = () => {
+    const spans = [];
+    for (const row of rowsEl.children) {
+      const id = Number(row.dataset.trackId);
+      const rect = row.getBoundingClientRect();
+      const last = spans[spans.length - 1];
+      if (last && last.id === id) last.height += rect.height;
+      else spans.push({ id, top: rect.top, height: rect.height });
+    }
+    return spans;
+  };
+  const clearDropMark = () => {
+    for (const row of rowsEl.children) {
+      row.classList.remove("drop-above", "drop-below");
+    }
+  };
+  const markDropIndex = (index) => {
+    clearDropMark();
+    const rows = [...rowsEl.children];
+    if (!rows.length) return;
+    const spans = trackSpans();
+    if (index < spans.length) {
+      const anchor = rows.find(
+        (r) => Number(r.dataset.trackId) === spans[index].id
+      );
+      if (anchor) anchor.classList.add("drop-above");
+    } else {
+      rows[rows.length - 1].classList.add("drop-below");
+    }
+  };
+  const dropIndexAt = (clientY) => {
+    const spans = trackSpans();
+    return L.fileDropIndex(
+      clientY ?? Infinity, // no coordinate -> append past the end
+      spans.map((s) => s.top), spans.map((s) => s.height)
+    );
+  };
   window.addEventListener("dragover", (e) => {
     if ([...e.dataTransfer.types].includes("Files")) {
       e.preventDefault();
       indicator.classList.add("visible");
+      // reference MainViewer.tsx:191-195: the drop row indicator follows
+      // the cursor while dragging over
+      markDropIndex(dropIndexAt(e.clientY));
     }
   });
   window.addEventListener("dragleave", (e) => {
-    if (e.relatedTarget === null) indicator.classList.remove("visible");
+    if (e.relatedTarget === null) {
+      indicator.classList.remove("visible");
+      clearDropMark();
+    }
   });
   window.addEventListener("drop", async (e) => {
     indicator.classList.remove("visible");
+    clearDropMark();
     if (!e.dataTransfer.files.length) return;
     e.preventDefault();
+    const index = dropIndexAt(e.clientY);
+    // unsupported extensions are rejected before upload with the file-open
+    // error message (App.tsx:85-101 + SUPPORTED_TYPES)
+    const names = [...e.dataTransfer.files].map((f) => f.name);
+    const { unsupported } = L.splitSupportedPaths(names);
+    if (unsupported.length) {
+      showError(`Unsupported file type: ${unsupported.join(", ")}`);
+    }
     const paths = [];
     for (const f of e.dataTransfer.files) {
+      if (unsupported.includes(f.name)) continue;
       try {
         paths.push(await api.upload(f));
       } catch {
         showError(`Upload failed: ${f.name}`);
       }
     }
-    if (paths.length) await addPaths(paths);
+    if (paths.length) await addPaths(paths, index);
   });
 }
 

@@ -289,6 +289,36 @@ export function arrowPanStartSec(startSec, pxPerSec, dirRight, big) {
 // selection with pivot semantics — reference useSelectedTracks.ts:5-126.
 // selection state is an ORDERED array (insertion order drives pivot rules).
 
+// ascending order (reference: constants/tracks.ts:5 SUPPORTED_TYPES)
+export const SUPPORTED_TYPES = [
+  "aac", "flac", "m4a", "mp3", "oga", "ogg", "opus", "wav",
+];
+
+export function splitSupportedPaths(paths) {
+  // reference: App.tsx:85-92 — dropped paths split by raw (case-sensitive)
+  // extension against SUPPORTED_TYPES; no extension -> unsupported
+  const supported = [];
+  const unsupported = [];
+  for (const path of paths) {
+    const extension = path.split(".").pop();
+    if (extension && SUPPORTED_TYPES.includes(extension)) supported.push(path);
+    else unsupported.push(path);
+  }
+  return { supported, unsupported };
+}
+
+export function fileDropIndex(clientY, trackTops, trackHeights) {
+  // reference: MainViewer.tsx:175-189 calculateDropIndex — the first track
+  // whose vertical midpoint is below the cursor; past-the-end otherwise
+  let dropIndex = trackTops.length;
+  for (let i = 0; i < trackTops.length; i++) {
+    if (clientY >= trackTops[i] + trackHeights[i] / 2) continue;
+    dropIndex = i;
+    break;
+  }
+  return dropIndex;
+}
+
 export function zoomStepDelta(base, isZoomOut) {
   // reference: MainViewer.tsx:714-717,736-738 — the menu/hotkey zoom step
   // is 2^(floor(log2(base)) - 1.2) of the current height / pxPerSec,

@@ -358,6 +358,32 @@ def arrow_pan_start_sec(start_sec, px_per_sec, dir_right, big):
 # selection pivot semantics — reference useSelectedTracks.ts:5-126
 
 
+SUPPORTED_TYPES = ["aac", "flac", "m4a", "mp3", "oga", "ogg", "opus", "wav"]
+
+
+def split_supported_paths(paths):
+    """reference: App.tsx:85-92 (raw case-sensitive extension check)."""
+    supported, unsupported = [], []
+    for path in paths:
+        extension = path.split(".")[-1]  # JS split().pop(): whole string if no "."
+        if extension and extension in SUPPORTED_TYPES:
+            supported.append(path)
+        else:
+            unsupported.append(path)
+    return {"supported": supported, "unsupported": unsupported}
+
+
+def file_drop_index(client_y, track_tops, track_heights):
+    """reference: MainViewer.tsx:175-189 calculateDropIndex."""
+    drop_index = len(track_tops)
+    for i in range(len(track_tops)):
+        if client_y >= track_tops[i] + track_heights[i] / 2:
+            continue
+        drop_index = i
+        break
+    return drop_index
+
+
 def zoom_step_delta(base, is_zoom_out):
     """reference: MainViewer.tsx:714-717,736-738."""
     delta = 2 ** (math.floor(math.log2(base)) - 1.2)
@@ -1028,6 +1054,9 @@ TWINNED = {
     "playingTrackStartSec": playing_track_start_sec,
     "jumpTargetSec": jump_target_sec,
     "arrowPanStartSec": arrow_pan_start_sec,
+    "SUPPORTED_TYPES": SUPPORTED_TYPES,
+    "splitSupportedPaths": split_supported_paths,
+    "fileDropIndex": file_drop_index,
     "zoomStepDelta": zoom_step_delta,
     "zoomLensAtSelect": zoom_lens_at_select,
     "freqZoomScrollTop": freq_zoom_scroll_top,
