@@ -1072,6 +1072,9 @@ class Interp:
 
         def _parse_float(v):
             s = js_to_string(v).strip()
+            m = re.match(r"([+-]?)Infinity", s)
+            if m:
+                return -math.inf if m.group(1) == "-" else math.inf
             m = re.match(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
             return float(m.group()) if m else math.nan
 

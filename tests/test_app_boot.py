@@ -1244,6 +1244,45 @@ def test_overview_limiter_band_renders(booted):
     settle(session)
 
 
+def test_overview_short_track_level_spans_track_share(booted):
+    """A short track on a longer timeline occupies only its share of the
+    overview canvas, so the whole-track waveform level derives from that
+    narrower span, not the full canvas width (reference derives the level
+    from pxPerSec = width / maxTrackSec,
+    OverviewWaveformViewport.tsx:384,396)."""
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    from thesia_tpu.viewer.twin_app import overview_wave_level
+
+    # the 1 s second.wav vs the 2 s boot track ruling the timeline
+    short_row = next(
+        r for r in rows_el["children"]
+        if r["querySelector"](".track-name")["textContent"].startswith("secon")
+    )
+    info = short_row["querySelector"](".track-info")
+    browser.dispatch_event(info, "mousedown", {
+        "target": info, "metaKey": False, "ctrlKey": False, "shiftKey": False,
+    })
+    for _ in range(4):
+        browser.advance(500)
+    ov = g(interp)["overview"]
+    state = g(interp)["state"]
+    tid = int(state["selectedTrack"])
+    assert tid == int(short_row["dataset"]["trackId"])
+    interp._call_method(ov, "setTrack", [float(tid), True, state["maxSec"]])
+    md = ov["metadata"]
+    assert md["trackSec"] < state["maxSec"]  # genuinely the short track
+    width = 1000.0  # fakedom clientWidth
+    track_width = max(1.0, width * md["trackSec"] / state["maxSec"])
+    level = overview_wave_level(md["sampleCount"], track_width)
+    full_width_level = overview_wave_level(md["sampleCount"], width)
+    assert level != full_width_level  # the regression this test guards
+    # the bins actually fetched used the track-share level
+    spb = 1 << level
+    n_bins = len(ov["bins"][0]) // 3
+    assert n_bins == math.ceil(md["sampleCount"] / spb)
+
+
 def test_hotkeys_select_all_freq_zoom_and_escape(booted):
     """The remaining hotkey branches: ctrl+A select-all, ]/[ freq zoom
     around the range center (menu.rs freq-zoom events), shift+arrow big
@@ -1781,19 +1820,45 @@ def test_control_float_range_input_semantics(booted):
     settle(session)
     assert session.tm.setting.win_ms == 1.0
     assert win["value"] == "1.0"
+    # FULL precision reaches the engine; only the display rounds
+    # (reference applies 12.345 and shows 12.3, Control.tsx:97-110)
+    win["value"] = "12.345"
+    browser.dispatch_event(win, "change")
+    settle(session)
+    assert session.tm.setting.win_ms == 12.345
+    assert win["value"] == "12.3"
+    # ...and an unrelated knob change must NOT quantize it to the display
+    tov = browser.doc["querySelector"]("#t-overlap")
+    tov["value"] = "2"
+    browser.dispatch_event(tov, "change")
+    settle(session)
+    assert session.tm.setting.win_ms == 12.345
+    assert session.tm.setting.t_overlap == 2
+    tov["value"] = "4"
+    browser.dispatch_event(tov, "change")
+    settle(session)
+    # real browsers fire `change` BEFORE `blur` for a user-edited input
+    # whose value differs from its focus-time value; Escape must restore
+    # the display synchronously in keydown so no change can fire at all
+    browser.dispatch_event(win, "input", {"target": win})
+    win["value"] = "80"
+    browser.dispatch_event(win, "keydown", {"key": "Escape", "target": win})
+    assert win["value"] == "12.3"  # restored BEFORE blur ran
+    settle(session)
+    assert session.tm.setting.win_ms == 12.345
     # garbage restores the display, engine untouched
     win["value"] = "garbage"
     browser.dispatch_event(win, "change")
     settle(session)
-    assert win["value"] == "1.0"
-    assert session.tm.setting.win_ms == 1.0
+    assert win["value"] == "12.3"
+    assert session.tm.setting.win_ms == 12.345
     # edited-then-Escape cancels (FloatingUserInput: changed flag cleared)
     browser.dispatch_event(win, "input", {"target": win})
     win["value"] = "80"
     browser.dispatch_event(win, "keydown", {"key": "Escape", "target": win})
     settle(session)
-    assert win["value"] == "1.0"
-    assert session.tm.setting.win_ms == 1.0
+    assert win["value"] == "12.3"
+    assert session.tm.setting.win_ms == 12.345
     # restore the module default
     win["value"] = "40"
     browser.dispatch_event(win, "change")

@@ -396,6 +396,9 @@ CASES = {
         ("100.0", "100", 100.0, 40.0, 120.0),
         ("  55.5e0 stuff", "100", 100.0, 40.0, 120.0),
         ("-18.25", "-18", -18.0, -40.0, 0.0),
+        ("Infinity", "100", 100.0, 40.0, 120.0),
+        ("-Infinity", "100", 100.0, 40.0, 120.0),
+        ("+Infinity junk", "100", 100.0, 40.0, 120.0),
     ],
     "floatRangeResetClick": [
         (b, d, a)
@@ -406,6 +409,7 @@ CASES = {
     "winMillisecCommit": [
         ("20", 40.0), ("0.25", 40.0), ("-5", 40.0), ("1", 40.0),
         ("garbage", 40.0), ("", 40.0), (None, 40.0), ("12.345", 40.0),
+        ("Infinity", 40.0), ("-Infinity", 40.0),
     ],
     "normalizeSelectTarget": [
         ("Off", 0.0, -18.0), ("PeakdB", -1.5, -18.0),

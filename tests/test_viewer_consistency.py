@@ -389,12 +389,12 @@ def test_app_inline_math_budget():
     execution.  Bumping these budgets requires moving the math or a
     conscious justification here."""
     srcs = _js_sources()
-    # overview.js 8: timeline-sec guard max, OVERVIEW_MAX_CH cap min, tile
-    # count ceil, trackWidth min, 2 lens min-2px display clamps, colorbar
-    # label y clamp pair — all DOM/display plumbing; the wave/lane/gain
-    # math lives in applogic (overviewWavePoints/overviewLaneLayout/
-    # calcLimiterGainEnvelopes)
-    budgets = {"app.js": 14, "overview.js": 8}
+    # overview.js 9: timeline-sec guard max, OVERVIEW_MAX_CH cap min,
+    # level trackWidth floor max, tile count ceil, draw trackWidth min,
+    # 2 lens min-2px display clamps, colorbar label y clamp pair — all
+    # DOM/display plumbing; the wave/lane/gain math lives in applogic
+    # (overviewWavePoints/overviewLaneLayout/calcLimiterGainEnvelopes)
+    budgets = {"app.js": 14, "overview.js": 9}
     for name, budget in budgets.items():
         count = len(re.findall(r"Math\.\w+", srcs[name]))
         assert count <= budget, (

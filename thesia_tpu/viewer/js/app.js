@@ -237,7 +237,7 @@ async function refreshAll() {
     [...state.viewports.values()].map((vp) => vp.refreshMetadata())
   );
   if (overview && state.selectedTrack !== null) {
-    await overview.setTrack(state.selectedTrack, true); // revisions changed
+    await overview.setTrack(state.selectedTrack, true, state.maxSec); // revisions changed
   }
   updateColorbar();
   state.needsRedraw = true;
@@ -499,7 +499,7 @@ function applySelection(result) {
   state.selectedTrack = result.selected.length
     ? result.selected[result.selected.length - 1] : null;
   if (overview && state.selectedTrack !== null) {
-    overview.setTrack(state.selectedTrack).then(redraw);
+    overview.setTrack(state.selectedTrack, false, state.maxSec).then(redraw);
   } else if (overview && state.selectedTrack === null) {
     overview.setTrack(null);
   }
@@ -1182,11 +1182,10 @@ function setupFileDrop() {
       row.classList.remove("drop-above", "drop-below");
     }
   };
-  const markDropIndex = (index) => {
+  const markDropIndex = (index, spans) => {
     clearDropMark();
     const rows = [...rowsEl.children];
     if (!rows.length) return;
-    const spans = trackSpans();
     if (index < spans.length) {
       const anchor = rows.find(
         (r) => Number(r.dataset.trackId) === spans[index].id
@@ -1196,34 +1195,38 @@ function setupFileDrop() {
       rows[rows.length - 1].classList.add("drop-below");
     }
   };
-  const dropIndexAt = (clientY) => {
-    const spans = trackSpans();
-    return L.fileDropIndex(
-      clientY ?? Infinity, // no coordinate -> append past the end
-      spans.map((s) => s.top), spans.map((s) => s.height)
-    );
-  };
-  window.addEventListener("dragover", (e) => {
+  const dropIndexOf = (clientY, spans) => L.fileDropIndex(
+    clientY ?? Infinity, // no coordinate -> append past the end
+    spans.map((s) => s.top), spans.map((s) => s.height)
+  );
+  let lastDropMark = null; // dragover fires continuously — re-mark only
+  window.addEventListener("dragover", (e) => { // when the index changes
     if ([...e.dataTransfer.types].includes("Files")) {
       e.preventDefault();
       indicator.classList.add("visible");
       // reference MainViewer.tsx:191-195: the drop row indicator follows
       // the cursor while dragging over
-      markDropIndex(dropIndexAt(e.clientY));
+      const spans = trackSpans();
+      const index = dropIndexOf(e.clientY, spans);
+      if (index === lastDropMark) return;
+      lastDropMark = index;
+      markDropIndex(index, spans);
     }
   });
   window.addEventListener("dragleave", (e) => {
     if (e.relatedTarget === null) {
       indicator.classList.remove("visible");
       clearDropMark();
+      lastDropMark = null;
     }
   });
   window.addEventListener("drop", async (e) => {
     indicator.classList.remove("visible");
     clearDropMark();
+    lastDropMark = null;
     if (!e.dataTransfer.files.length) return;
     e.preventDefault();
-    const index = dropIndexAt(e.clientY);
+    const index = dropIndexOf(e.clientY, trackSpans());
     // unsupported extensions are rejected before upload with the file-open
     // error message (App.tsx:85-101 + SUPPORTED_TYPES)
     const names = [...e.dataTransfer.files].map((f) => f.name);
@@ -1714,9 +1717,19 @@ async function setupControls() {
     };
   }
 
+  // free-text window size (reference Control.tsx:97-110 via
+  // FloatingUserInput: blur commits only if edited, Escape cancels;
+  // < 1 ms clamps to MIN_WIN_MILLISEC, garbage restores).  The FULL
+  // precision value lives in winMsCurrent; the input only shows the
+  // toFixed(1) display (the reference applies 12.345 and displays 12.3).
+  const winMsEl = $("#win-ms");
+  let winMsCurrent = parseFloat(winMsEl.value);
+  if (Number.isNaN(winMsCurrent)) winMsCurrent = 40.0;
+  winMsEl.value = winMsCurrent.toFixed(1);
+
   const applySpec = async () => {
     await api.setSpecSetting({
-      winMillisec: Number($("#win-ms").value),
+      winMillisec: winMsCurrent,
       tOverlap: Number($("#t-overlap").value),
       fOverlap: 1,
       freqScale: $("#freq-scale").value,
@@ -1727,13 +1740,6 @@ async function setupControls() {
     redraw();
   };
 
-  // free-text window size (reference Control.tsx:97-110 via
-  // FloatingUserInput: blur commits only if edited, Escape cancels;
-  // < 1 ms clamps to MIN_WIN_MILLISEC, garbage restores)
-  const winMsEl = $("#win-ms");
-  let winMsCurrent = parseFloat(winMsEl.value);
-  if (Number.isNaN(winMsCurrent)) winMsCurrent = 40.0;
-  winMsEl.value = winMsCurrent.toFixed(1);
   let winMsEdited = false;
   const commitWinMs = (text) => {
     const r = L.winMillisecCommit(text, winMsCurrent);
@@ -1757,7 +1763,11 @@ async function setupControls() {
     if (e.key === "Enter") {
       winMsEl.blur();
     } else if (e.key === "Escape") {
+      // restore the display BEFORE blurring: real browsers fire `change`
+      // ahead of `blur` for a user-edited input, and the change handler
+      // commits whatever text is in the box
       winMsEdited = false;
+      winMsEl.value = winMsCurrent.toFixed(1);
       winMsEl.blur();
     }
   };
@@ -2019,7 +2029,9 @@ async function togglePlay() {
   const us = initRes?.userSettings;
   if (us) {
     if (us.specSetting) {
-      $("#win-ms").value = (us.specSetting.winMillisec ?? 40).toFixed(1);
+      // full precision: setupControls() captures this into winMsCurrent
+      // and then formats the visible display to one decimal
+      $("#win-ms").value = String(us.specSetting.winMillisec ?? 40);
       $("#t-overlap").value = String(us.specSetting.tOverlap ?? 4);
       $("#freq-scale").value = us.specSetting.freqScale ?? "Mel";
       state.freqScale = $("#freq-scale").value;

@@ -887,7 +887,10 @@ export function winMillisecCommit(text, currentWinMillisec) {
   const restore = { set: null, display: currentWinMillisec.toFixed(1) };
   if (text === null) return restore;
   const winMillisec = parseFloat(text);
-  if (Number.isNaN(winMillisec)) return restore;
+  // the reference forwards NaN/±Infinity to the backend where SpecSetting
+  // validation rejects them and the setting stays unchanged; restoring the
+  // display directly reaches the same end state without the failed trip
+  if (!Number.isFinite(winMillisec)) return restore;
   if (winMillisec < 1) {
     return { set: MIN_WIN_MILLISEC, display: MIN_WIN_MILLISEC.toFixed(1) };
   }

@@ -80,7 +80,8 @@ export class Overview {
     else this.onMoveLens(sec, this._drag.anchorRatio);
   }
 
-  async setTrack(trackId, force = false) {
+  async setTrack(trackId, force = false, maxSec = null) {
+    if (maxSec) this._maxSec = maxSec;
     if (trackId === this.trackId && !force && this.bins) return; // no refetch
     const gen = (this._gen = (this._gen || 0) + 1); // kill in-flight races
     this.trackId = trackId;
@@ -99,7 +100,14 @@ export class Overview {
       await api.getChannelCounts(trackId).catch(() => 1), L.OVERVIEW_MAX_CH
     );
     const width = this.canvas.clientWidth || 600;
-    const level = L.overviewWaveLevel(this.metadata.sampleCount, width);
+    // bins-per-pixel ~1 over the track's actual span: the x axis covers
+    // the LONGEST track, so a short track occupies only its share of the
+    // canvas (reference derives the level from pxPerSec = width/maxTrackSec,
+    // OverviewWaveformViewport.tsx:384,396)
+    const trackWidth = Math.max(
+      1, width * (this.metadata.trackSec / this._timelineSec())
+    );
+    const level = L.overviewWaveLevel(this.metadata.sampleCount, trackWidth);
     const spb = 1 << level;
     const tileSamples = 1024 * spb;
     const nTiles = Math.ceil(this.metadata.sampleCount / tileSamples);

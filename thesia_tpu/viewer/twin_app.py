@@ -885,12 +885,15 @@ def colorbar_color_index(y, height, colormap_length):
 
 
 def _js_parse_float(v):
-    """JS parseFloat: leading numeric prefix or NaN."""
+    """JS parseFloat: leading numeric prefix (incl. Infinity) or NaN."""
     import re as _re
 
     if isinstance(v, (int, float)) and not isinstance(v, bool):
         return float(v)
     s = str(v).strip()
+    m = _re.match(r"([+-]?)Infinity", s)
+    if m:
+        return -math.inf if m.group(1) == "-" else math.inf
     m = _re.match(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
     return float(m.group()) if m else float("nan")
 
@@ -926,7 +929,7 @@ def win_millisec_commit(text, current_win_millisec):
     if text is None:
         return restore
     win_millisec = _js_parse_float(text)
-    if math.isnan(win_millisec):
+    if not math.isfinite(win_millisec):
         return restore
     if win_millisec < 1:
         return {"set": MIN_WIN_MILLISEC, "display": _js_to_fixed(MIN_WIN_MILLISEC, 1)}
