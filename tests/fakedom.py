@@ -346,6 +346,7 @@ class FakeBrowser:
         self._seq = 0
         self.doc = self._build_document(index_html)
         self.local_storage = {}
+        self.fetch_log = []  # every fetched URL, in order (tests inspect)
 
     # -- DOM ----------------------------------------------------------------
     def _build_document(self, index_html):
@@ -414,6 +415,7 @@ class FakeBrowser:
     # -- fetch bridge ---------------------------------------------------------
     def fetch(self, url, opts=UNDEF):
         url = str(url)
+        self.fetch_log.append(url)
         body = {}
         if isinstance(opts, dict) and isinstance(opts.get("body"), str):
             try:

@@ -684,6 +684,45 @@ def test_db_range_and_blend_sliders(booted):
     settle(session)
 
 
+def test_db_range_drag_is_light_until_drag_end(booted):
+    """During a slider drag (input events) only the throttled setDbRange +
+    metadata/colorbar refresh runs — the reference throttles just
+    setdBRange (Control.tsx:95); the expensive persist + full refreshAll
+    (apply_track_list_changes, forced overview waveform refetch) lands
+    exactly once at drag end (change event).  Overlapping full refresh
+    chains at 70 Hz flooded the engine (review finding)."""
+    interp, browser, session, _media = booted
+    _ensure_two_tracks(booted)
+    el = browser.doc["querySelector"]("#db-range")
+    browser.fetch_log.clear()
+    # a drag burst: input events across several throttle windows
+    for v in ("118", "112", "104", "98", "92", "85"):
+        el["value"] = v
+        browser.dispatch_event(el, "input")
+        browser.advance(20)
+    browser.advance(100)  # flush the throttle's trailing call
+    settle(session)
+    drag_log = list(browser.fetch_log)
+    assert "/api/set_dB_range" in drag_log
+    assert session.tm.db_range == 85.0  # latest drag value won
+    # the heavy path stayed out of the drag
+    assert "/api/apply_track_list_changes" not in drag_log
+    assert "/api/set_user_settings" not in drag_log
+    assert not any(u.startswith("/api/get_waveform_tile") for u in drag_log)
+    # the light refresh DID keep the viewer current
+    assert any(u.startswith("/api/get_audio_render_metadata") for u in drag_log)
+    # drag end: one full commit (persist + refreshAll)
+    browser.fetch_log.clear()
+    el["value"] = "100"
+    browser.dispatch_event(el, "change")
+    browser.advance(100)
+    settle(session)
+    end_log = list(browser.fetch_log)
+    assert session.tm.db_range == 100.0
+    assert end_log.count("/api/apply_track_list_changes") == 1
+    assert "/api/set_user_settings" in end_log
+
+
 def _key(browser, code, key=None, **mods):
     ev = {"code": code, "key": key or code, "target": {"tagName": "DIV"},
           "shiftKey": False, "metaKey": False, "ctrlKey": False}

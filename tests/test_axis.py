@@ -218,8 +218,13 @@ def test_axis_inputs_from_http_never_crash():
 
     with pytest.raises(ValueError):
         calc_time_axis_markers(0.0, 1e15, 1e-6, 2, 10.0)  # ~1e21 ticks
+    # zero span is VALID (reference asserts start <= end, axis.rs:23): a
+    # zero-width canvas during boot layout produces start==end and must get
+    # a well-formed (sentinel-terminated) marker list, not a 400
+    degenerate = calc_time_axis_markers(1.0, 1.0, 0.5, 2, 10.0)
+    assert degenerate[-1][1] == "ss"  # the format sentinel
     with pytest.raises(ValueError):
-        calc_time_axis_markers(1.0, 1.0, 0.5, 2, 10.0)  # zero span
+        calc_time_axis_markers(1.0, 0.999, 0.5, 2, 10.0)  # reversed
     with pytest.raises(ValueError):
         calc_time_axis_markers(0.0, 1.0, 0.0, 2, 10.0)  # zero tick unit
     with pytest.raises(ValueError):

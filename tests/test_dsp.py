@@ -131,6 +131,80 @@ def test_calc_spec_sine_peak():
     assert abs(int(np.argmax(mid)) - expected_bin) <= 1
 
 
+def test_rfft_fallback_parity_and_trigger(monkeypatch):
+    """Huge-window guard: when the folded-DFT (win, n_freq) matrices would
+    exceed THESIA_DFT_MAT_MAX_BYTES, the fused programs compute the
+    magnitude via |rfft(frame * window, n_fft)| instead — which equals the
+    centered-zero-pad DFT magnitude exactly in infinite precision (the
+    center shift only rotates phase).  Without this, winMillisec=2000 at
+    48 kHz would try to build two ~25 GB matrices."""
+    from thesia_tpu.dsp import spectrogram as sg
+
+    sr = 8000
+    s = SpecSetting(freq_scale=FreqScale.Mel)
+    hop, win, n_fft = s.calc_framing_params(sr)
+    rng = np.random.default_rng(3)
+    wav = rng.uniform(-0.5, 0.5, (2, sr)).astype(np.float32)
+
+    ref = np.asarray(SpectrogramAnalyzer().calc_spec_multi(wav, sr, s).db_padded)
+
+    monkeypatch.setattr(sg, "_DFT_MAT_MAX_BYTES", 0)  # force rfft everywhere
+    an = SpectrogramAnalyzer()
+    cw, _sw, rn = an._spec_operands(win, n_fft)
+    assert rn == n_fft and cw.ndim == 1  # the window vector, not a matrix
+    out = np.asarray(an.calc_spec_multi(wav, sr, s).db_padded)
+    assert out.shape == ref.shape
+    finite = np.isfinite(ref) & np.isfinite(out)
+    np.testing.assert_allclose(out[finite], ref[finite], atol=5e-3)
+    assert np.array_equal(np.isfinite(ref), np.isfinite(out))
+
+    # batched path too (mixed with a second track)
+    items = [(0, wav, sr, 1), (1, wav[:1] * 0.5, sr, 2)]
+    ref_b = SpectrogramAnalyzer().calc_specs_batched(items, s)
+    out_b = an.calc_specs_batched(items, s)
+    for k in ref_b:
+        a = np.asarray(ref_b[k].db_padded)
+        b = np.asarray(out_b[k].db_padded)
+        m = np.isfinite(a) & np.isfinite(b)
+        np.testing.assert_allclose(b[m], a[m], atol=5e-3)
+
+    # the default budget really triggers for the dangerous shape:
+    # 2000 ms at 48 kHz (win 96000, n_fft 131072)
+    monkeypatch.undo()
+    assert sg.use_rfft_for(96000, 131072)
+    assert not sg.use_rfft_for(win, n_fft)  # production shapes stay on MXU
+
+
+def test_engine_survives_max_window_setting(tmp_path):
+    """set_spec_setting at the 2000 ms entry cap completes end-to-end (the
+    rfft fallback engages at 8 kHz: the folded mats would be ~1 GB) and
+    tiles keep serving."""
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_f32
+    from thesia_tpu.render import default_colormap_rgba8
+
+    p = tmp_path / "t.wav"
+    rng = np.random.default_rng(7)
+    p.write_bytes(encode_wav_f32(
+        rng.uniform(-0.5, 0.5, (1, 24000)).astype(np.float32), 8000
+    ))
+    session = EngineSession(settings_dir=tmp_path)
+    session.init(default_colormap_rgba8())
+    session.add_tracks([0], [str(p)])
+    session.apply_track_list_changes()
+    session.set_spec_setting(
+        {"winMillisec": 2000.0, "tOverlap": 4, "fOverlap": 1,
+         "freqScale": "Mel"},
+        defer=False,
+    )
+    session.tm.images.drain()
+    md = session.get_audio_render_metadata("0_0")
+    assert md["spectrogramWidth"] > 0 and not md["isComputing"]
+    tile = session.get_spectrogram_tile("0_0", 0, 0, 0, 0)
+    assert len(tile) > 44
+    session.tm.images.shutdown()
+
+
 def test_calc_spec_matches_reference_stft():
     """Fused device path == frame-by-frame STFT + dB (semantics parity)."""
     analyzer = SpectrogramAnalyzer()

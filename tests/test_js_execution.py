@@ -410,6 +410,7 @@ CASES = {
         ("20", 40.0), ("0.25", 40.0), ("-5", 40.0), ("1", 40.0),
         ("garbage", 40.0), ("", 40.0), (None, 40.0), ("12.345", 40.0),
         ("Infinity", 40.0), ("-Infinity", 40.0),
+        ("3000", 40.0), ("2000", 40.0), ("2000.5", 40.0),
     ],
     "normalizeSelectTarget": [
         ("Off", 0.0, -18.0), ("PeakdB", -1.5, -18.0),

@@ -30,10 +30,11 @@ def test_group_signature_matches_real_grouping():
     assert len(arrays) == 2  # two (sr, ...) groups
     for g, st in zip(arrays, specs):
         raw, ns, gains, cw, sw, mel = g
-        hop, t_overlap, use_mel, bucket, pad, t_cap, _sh = st
+        hop, t_overlap, use_mel, bucket, pad, t_cap, rfft_n_fft, _sh = st
         assert raw.shape[1] == bucket and ns.shape[0] == raw.shape[0]
         assert gains.shape == ns.shape and gains.dtype == np.float32
         assert cw.shape == sw.shape
+        assert rfft_n_fft is None  # production shapes stay on the DFT GEMM
         assert use_mel and mel.shape[0] == cw.shape[1]
 
 

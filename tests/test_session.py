@@ -163,6 +163,48 @@ def test_settings_persistence(tmp_path, samples_dir):
     assert out["constants"]["PLAY_JUMP_SEC"] == 1.0
 
 
+def test_user_settings_validated_and_poison_proof(tmp_path):
+    """set_user_settings rejects values the settings entry points would
+    refuse (the reference deserializes into typed UserSettingsOptionals,
+    lib.rs:100-149), and a settings.json poisoned BEHIND the API (disk
+    corruption, old version) degrades to defaults at init instead of
+    bricking it — a persisted winMillisec=1e9 would otherwise build an
+    astronomically large DFT matrix inside init's write closure."""
+    import json as _json
+
+    s = EngineSession(settings_dir=tmp_path)
+    s.init(default_colormap_rgba8())
+    # every malformed persist is a ValueError (-> HTTP 400)
+    for bad in [
+        {"specSetting": {"winMillisec": 1e9, "tOverlap": 4, "fOverlap": 1,
+                         "freqScale": "Mel"}},
+        {"specSetting": {"winMillisec": float("nan"), "tOverlap": 4,
+                         "fOverlap": 1, "freqScale": "Mel"}},
+        {"specSetting": {"winMillisec": 40.0, "tOverlap": 9999,
+                         "fOverlap": 1, "freqScale": "Mel"}},
+        {"specSetting": {"winMillisec": 40.0}},  # missing keys
+        {"dBRange": float("nan")},
+        {"dBRange": -5.0},
+        {"blend": "bogus"},
+        {"commonGuardClipping": "NotAMode"},
+        {"commonNormalize": {"type": "LUFS"}},  # missing target
+    ]:
+        with pytest.raises(ValueError):
+            s.set_user_settings(bad)
+    # a valid partial persist still works after the rejections
+    s.set_user_settings({"dBRange": 90.0})
+    # poison the store file directly: init must fall back to defaults
+    (tmp_path / "settings.json").write_text(_json.dumps({
+        "specSetting": {"winMillisec": 1e9, "tOverlap": 4, "fOverlap": 1,
+                        "freqScale": "Mel"},
+        "dBRange": 90.0,
+    }))
+    s2 = EngineSession(settings_dir=tmp_path)
+    out = s2.init(default_colormap_rgba8())
+    assert out["userSettings"]["specSetting"]["winMillisec"] == 40.0
+    assert out["userSettings"]["dBRange"] == 90.0  # the sane key survives
+
+
 def test_open_files_dialog_path(tmp_path):
     s = EngineSession(settings_dir=tmp_path)
     assert s.get_open_files_dialog_path() == ""

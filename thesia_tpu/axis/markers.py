@@ -148,7 +148,9 @@ def calc_time_axis_markers(
         "non-finite time axis parameters",
     )
     _require(tick_unit > 0.0, "tickUnit must be positive")
-    _require(start_sec < end_sec, "startSec must be < endSec")
+    # reference asserts start <= end (axis.rs:23): equality arises naturally
+    # from a zero-width canvas (pre-layout boot frame) and must not 400
+    _require(start_sec <= end_sec, "startSec must be <= endSec")
     _require(label_interval > 0, "labelInterval must be positive")
     first_unit = max(math.ceil(start_sec / tick_unit) - label_interval, 0)
     last_unit = math.ceil(end_sec / tick_unit)
@@ -172,6 +174,11 @@ def calc_time_axis_markers(
             n_mod, milli_display = 1, ".xxx"
 
     out: list[tuple[float, str]] = []
+    if end_sec == start_sec:
+        # zero span: there is no position axis to project onto — return
+        # just the format sentinel (the Rust f64 division would yield inf
+        # positions; nothing can be drawn on a zero-width canvas anyway)
+        first_unit = last_unit = 0
     for unit in range(first_unit, last_unit):
         sec = unit * tick_unit
         x = float(np.float32((sec - start_sec) / (end_sec - start_sec)))

@@ -73,3 +73,20 @@ class SpecSetting:
             f_overlap=int(d["fOverlap"]),
             freq_scale=FreqScale(d["freqScale"]),
         )
+
+    def validated(self) -> "SpecSetting":
+        """Magnitude caps shared by every entry point that can introduce a
+        setting (set_spec_setting, set_user_settings, init's persisted
+        restore): an absurd window or overlap would otherwise OOM the
+        folded-DFT GEMM instead of returning a clean error.  The reference
+        UI clamps client-side (MIN_WIN_MILLISEC=1, T_OVERLAP_VALUES max 32,
+        fOverlap fixed 1 — constants/tracks.ts:205-207)."""
+        if not self.win_ms > 0.0:  # also rejects NaN
+            raise ValueError("winMillisec must be positive")
+        if self.win_ms > 2000.0:
+            raise ValueError("winMillisec too large (max 2000)")
+        if not 1 <= self.t_overlap <= 64:
+            raise ValueError("tOverlap out of range (1..64)")
+        if not 1 <= self.f_overlap <= 8:
+            raise ValueError("fOverlap out of range (1..8)")
+        return self

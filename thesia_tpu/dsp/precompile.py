@@ -125,7 +125,7 @@ def group_signature(analyzer, items, setting: SpecSetting, shardings=None):
     sds = jax.ShapeDtypeStruct
     arrays, specs = [], []
     for (sr, hop, win, n_fft, bucket), members in groups.items():
-        cw, _sw = analyzer._dft_mats(win, n_fft)
+        cw, _sw, rfft_n_fft = analyzer._spec_operands(win, n_fft)
         mel_shape = (
             tuple(analyzer.mel_fb(sr, n_fft).shape) if use_mel else (1, 1)
         )
@@ -144,7 +144,10 @@ def group_signature(analyzer, items, setting: SpecSetting, shardings=None):
                 sds(mel_shape, jnp.float32),
             )
         )
-        specs.append((hop, win // hop, use_mel, bucket, win // 2, t_cap, shardings))
+        specs.append(
+            (hop, win // hop, use_mel, bucket, win // 2, t_cap, rfft_n_fft,
+             shardings)
+        )
     return tuple(arrays), tuple(specs)
 
 
@@ -339,14 +342,14 @@ def spec_full_job(analyzer, shape, sr, setting: SpecSetting):
         if pad + n + pad > bucket:
             bucket = wav_size_bucket(n + 2 * pad)
         use_mel = setting.freq_scale is FreqScale.Mel
-        cw, _sw = analyzer._dft_mats(win, n_fft)
+        cw, _sw, rfft_n_fft = analyzer._spec_operands(win, n_fft)
         mel_shape = (
             tuple(analyzer.mel_fb(sr, n_fft).shape) if use_mel else (1, 1)
         )
         t_cap = frame_cap(stft_frame_count(n, win, hop))
         statics = dict(
             hop_length=hop, t_overlap=win // hop, use_mel=use_mel,
-            bucket=bucket, pad=pad, t_cap=t_cap,
+            bucket=bucket, pad=pad, t_cap=t_cap, rfft_n_fft=rfft_n_fft,
         )
         sds = jax.ShapeDtypeStruct
         key = ("spec_full", (c, bucket), tuple(cw.shape), mel_shape,

@@ -195,15 +195,43 @@ def _build_padded(raw, n, *, pad: int, bucket: int):
     )(raw)
 
 
+# Above this operand size the (win, n_freq) folded-DFT matrices switch to a
+# framed jnp.fft.rfft: at 2000 ms / 48 kHz the two matrices would need
+# ~2 x 25 GB of HBM.  |rfft(frame * window, n_fft)| is EXACTLY the
+# centered-zero-pad DFT magnitude (the center shift only rotates phase and
+# the pipeline consumes magnitudes), so mel/dB semantics are unchanged; the
+# GEMM path stays the default because it is faster at production shapes
+# (measured, see CLAUDE.md) and the MXU's home turf.
+_DFT_MAT_MAX_BYTES = int(os.environ.get("THESIA_DFT_MAT_MAX_BYTES", 256 << 20))
+
+
+def use_rfft_for(win_length: int, n_fft: int) -> bool:
+    return win_length * (n_fft // 2 + 1) * 8 > _DFT_MAT_MAX_BYTES
+
+
+def _dft_magnitude(frames, cw, sw, rfft_n_fft):
+    """(…, win) frames -> (…, n_freq) spectral magnitude.
+
+    GEMM mode (rfft_n_fft None): two MXU matmuls against the window-folded
+    cos/sin matrices.  rfft mode: cw IS the window vector (sw unused) and
+    the magnitude comes from a real FFT of the windowed frame."""
+    if rfft_n_fft is not None:
+        return jnp.abs(jnp.fft.rfft(frames * cw, n=rfft_n_fft))
+    re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=_matmul_precision())
+    im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=_matmul_precision())
+    return jnp.sqrt(re * re + im * im)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "hop_length", "t_overlap", "use_mel", "bucket", "pad", "t_cap"
+        "hop_length", "t_overlap", "use_mel", "bucket", "pad", "t_cap",
+        "rfft_n_fft",
     ),
 )
 def _spec_full(raw, n, gain, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
                use_mel: bool, bucket: int, pad: int,
-               t_cap: int | None = None):
+               t_cap: int | None = None, rfft_n_fft: int | None = None):
     """Whole-track fused pipeline.
 
     raw: (C, bucket) with the first n samples valid.  gain: dynamic f32
@@ -227,9 +255,7 @@ def _spec_full(raw, n, gain, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
     frames = jnp.concatenate(
         [blocks[:, i : i + t_max] for i in range(t_overlap)], axis=2
     )  # (C, T_max, win)
-    re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=_matmul_precision())
-    im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=_matmul_precision())
-    mag = jnp.sqrt(re * re + im * im)
+    mag = _dft_magnitude(frames, cw, sw, rfft_n_fft)
     if use_mel:
         out = jnp.einsum(
             "ctf,fm->ctm", mag, mel_fb, precision=_matmul_precision()
@@ -248,12 +274,14 @@ def _spec_full(raw, n, gain, cw, sw, mel_fb, *, hop_length: int, t_overlap: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "hop_length", "t_overlap", "use_mel", "bucket", "pad", "shardings", "t_cap"
+        "hop_length", "t_overlap", "use_mel", "bucket", "pad", "shardings",
+        "t_cap", "rfft_n_fft",
     ),
 )
 def _spec_full_multi(raw, ns, gains, cw, sw, mel_fb, *, hop_length: int,
                      t_overlap: int, use_mel: bool, bucket: int, pad: int,
-                     shardings=None, t_cap: int | None = None):
+                     shardings=None, t_cap: int | None = None,
+                     rfft_n_fft: int | None = None):
     """Multi-track batch: raw (C_total, bucket) with PER-ROW valid lengths ns
     (C_total,) and PER-ROW gains (C_total,) f32 (1.0 rows are bitwise
     identity — see _spec_full).  Returns (db (C, T_max, F), row_min (C,),
@@ -269,12 +297,13 @@ def _spec_full_multi(raw, ns, gains, cw, sw, mel_fb, *, hop_length: int,
     return _spec_multi_impl(
         raw, ns, gains, cw, sw, mel_fb, hop_length=hop_length,
         t_overlap=t_overlap, use_mel=use_mel, bucket=bucket, pad=pad,
-        shardings=shardings, t_cap=t_cap,
+        shardings=shardings, t_cap=t_cap, rfft_n_fft=rfft_n_fft,
     )
 
 
 def _spec_multi_impl(raw, ns, gains, cw, sw, mel_fb, *, hop_length, t_overlap,
-                     use_mel, bucket, pad, shardings, t_cap):
+                     use_mel, bucket, pad, shardings, t_cap,
+                     rfft_n_fft=None):
     """Trace-time body shared by _spec_full_multi and the fused multi-group
     program _spec_groups."""
     win_length = hop_length * t_overlap
@@ -283,7 +312,9 @@ def _spec_multi_impl(raw, ns, gains, cw, sw, mel_fb, *, hop_length, t_overlap,
         raw = jax.lax.with_sharding_constraint(raw, shardings.rows2)
         ns = jax.lax.with_sharding_constraint(ns, shardings.rows1)
         gains = jax.lax.with_sharding_constraint(gains, shardings.rows1)
-        if shardings.mat is not None:
+        if shardings.mat is not None and rfft_n_fft is None:
+            # freq-TP partitions the (win, F) GEMM operands; the rfft
+            # fallback has no F-partitionable operand — rows-DP only
             cw = jax.lax.with_sharding_constraint(cw, shardings.mat)
             sw = jax.lax.with_sharding_constraint(sw, shardings.mat)
             if use_mel:
@@ -300,9 +331,7 @@ def _spec_multi_impl(raw, ns, gains, cw, sw, mel_fb, *, hop_length, t_overlap,
     frames = jnp.concatenate(
         [blocks[:, i : i + t_max] for i in range(t_overlap)], axis=2
     )
-    re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=_matmul_precision())
-    im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=_matmul_precision())
-    mag = jnp.sqrt(re * re + im * im)
+    mag = _dft_magnitude(frames, cw, sw, rfft_n_fft)
     if use_mel:
         out = jnp.einsum("ctf,fm->ctm", mag, mel_fb, precision=_matmul_precision())
     else:
@@ -330,7 +359,7 @@ def _spec_groups(arrays, *, specs):
 
     arrays: tuple of (raw, ns, gains, cw, sw, mel_fb) pytrees, one per group;
     specs:  matching tuple of (hop_length, t_overlap, use_mel, bucket, pad,
-            t_cap, shardings) static tuples.  Compilation is keyed on the
+            t_cap, rfft_n_fft, shardings) static tuples.  Compilation is keyed on the
     combination of group shapes/params ONLY — per-track row extents stay
     out of the key so adding a track that fits the same pow2 row bucket
     reuses the executable (compile stability is a feature).
@@ -342,9 +371,11 @@ def _spec_groups(arrays, *, specs):
     return tuple(
         _spec_multi_impl(
             raw, ns, gains, cw, sw, mel, hop_length=h, t_overlap=t, use_mel=m,
-            bucket=b, pad=p, shardings=sh, t_cap=tc,
+            bucket=b, pad=p, shardings=sh, t_cap=tc, rfft_n_fft=rn,
         )
-        for (raw, ns, gains, cw, sw, mel), (h, t, m, b, p, tc, sh) in zip(arrays, specs)
+        for (raw, ns, gains, cw, sw, mel), (h, t, m, b, p, tc, rn, sh) in zip(
+            arrays, specs
+        )
     )
 
 
@@ -438,7 +469,7 @@ class SpectrogramAnalyzer:
     # -- lifecycle ---------------------------------------------------------
     def prepare(self, params, freq_scale: FreqScale) -> None:
         for p in params:
-            self._dft_mats(p.win_length, p.n_fft)
+            self._spec_operands(p.win_length, p.n_fft)
         if freq_scale is FreqScale.Mel:
             for p in params:
                 self.mel_fb(p.sr, p.n_fft)
@@ -481,12 +512,30 @@ class SpectrogramAnalyzer:
 
     def _dft_mats(self, win_length: int, n_fft: int):
         key = (win_length, n_fft)
-        if key not in self._dft:
+        if key not in self._dft or self._dft[key][0].ndim != 2:
             window = calc_normalized_win(WindowType.Hann, win_length, n_fft)
             n_pad_left = (n_fft - win_length) // 2
             cw, sw = make_dft_matrices(window, n_fft, n_pad_left)
             self._dft[key] = (jnp.asarray(cw), jnp.asarray(sw))
         return self._dft[key]
+
+    def _spec_operands(self, win_length: int, n_fft: int):
+        """(cw, sw, rfft_n_fft) for the fused programs: the window-folded
+        DFT GEMM matrices by default, or — when those matrices would exceed
+        THESIA_DFT_MAT_MAX_BYTES (huge window x high sample rate) — the bare
+        window vector twice (sw unused) with the rfft flag set.  Every
+        engine compute/warm path must route through here so the warmer
+        compiles the exact program the dispatch will run."""
+        if not use_rfft_for(win_length, n_fft):
+            cw, sw = self._dft_mats(win_length, n_fft)
+            return cw, sw, None
+        key = (win_length, n_fft)
+        if key not in self._dft or self._dft[key][0].ndim != 1:
+            window = calc_normalized_win(WindowType.Hann, win_length, n_fft)
+            w = jnp.asarray(window.astype(np.float32))
+            self._dft[key] = (w, w)
+        cw, sw = self._dft[key]
+        return cw, sw, n_fft
 
     def _device_wav(self, wavs: np.ndarray, cache_key, token=None) -> tuple[jax.Array, int]:
         """(C, bucket) device array + valid length; uploaded once per
@@ -672,14 +721,16 @@ class SpectrogramAnalyzer:
         pad = win // 2
         n_frames = stft_frame_count(n, win, hop)
         use_mel = setting.freq_scale is FreqScale.Mel
-        cw, sw = self._dft_mats(win, n_fft)
+        cw, sw, rfft_n_fft = self._spec_operands(win, n_fft)
         mel = self.mel_fb(sr, n_fft) if use_mel else self._empty_fb()
 
         if n <= pad + 1 or n < win:
             # short-track path: host reflect-pad (cyclic) + same device math
             if gain != 1.0:
                 wavs = (np.float32(gain) * wavs).astype(np.float32)
-            return self._calc_short(wavs, hop, win, pad, cw, sw, mel, use_mel, n_frames)
+            return self._calc_short(
+                wavs, hop, win, pad, cw, sw, mel, use_mel, n_frames, rfft_n_fft
+            )
 
         raw_dev, n_dev = self._device_wav(wavs, cache_key, token)
         bucket = raw_dev.shape[-1]
@@ -707,10 +758,12 @@ class SpectrogramAnalyzer:
             bucket=bucket,
             pad=pad,
             t_cap=frame_cap(n_frames),
+            rfft_n_fft=rfft_n_fft,
         )
         return SpecResult(db, n_frames, mn, mx)
 
-    def _calc_short(self, wavs, hop, win, pad, cw, sw, mel, use_mel, n_frames):
+    def _calc_short(self, wavs, hop, win, pad, cw, sw, mel, use_mel, n_frames,
+                    rfft_n_fft=None):
         padded = reflect_pad_1d(wavs, pad, pad)
         t_overlap = win // hop
         need = (max(n_frames - 1, 0)) * hop + win
@@ -719,9 +772,7 @@ class SpectrogramAnalyzer:
         frames = np.stack(
             [padded[:, t * hop : t * hop + win] for t in range(max(n_frames, 1))], axis=1
         ).astype(np.float32)
-        re = jnp.einsum("ctw,wf->ctf", frames, cw, precision=_matmul_precision())
-        im = jnp.einsum("ctw,wf->ctf", frames, sw, precision=_matmul_precision())
-        mag = jnp.sqrt(re * re + im * im)
+        mag = _dft_magnitude(jnp.asarray(frames), cw, sw, rfft_n_fft)
         out = (
             jnp.einsum("ctf,fm->ctm", mag, mel, precision=_matmul_precision())
             if use_mel
@@ -826,7 +877,7 @@ class SpectrogramAnalyzer:
         use_mel = setting.freq_scale is FreqScale.Mel
         prepared = []  # (spans, (hop, win), arrays, statics)
         for (sr, hop, win, n_fft, bucket), members in groups.items():
-            cw, sw = self._dft_mats(win, n_fft)
+            cw, sw, rfft_n_fft = self._spec_operands(win, n_fft)
             mel = self.mel_fb(sr, n_fft) if use_mel else self._empty_fb()
             rows = sum(w.shape[0] for _, w, _n, _t, _g in members)
             c_bucket = pad_rows_for(shardings, rows)
@@ -848,7 +899,7 @@ class SpectrogramAnalyzer:
                     spans,
                     (hop, win),
                     (buf_dev, ns_dev, jnp.asarray(gains), cw, sw, mel),
-                    (hop, win // hop, use_mel, bucket, win // 2, t_cap),
+                    (hop, win // hop, use_mel, bucket, win // 2, t_cap, rfft_n_fft),
                 )
             )
         if not prepared:

@@ -183,7 +183,14 @@ class EngineService:
             return web.json_response({"error": str(e)}, status=400)
         except (TypeError, AttributeError) as e:
             # wrong-typed args (string where float expected, int idChStr, …)
-            # surface from deep in the command body — client errors, not 500s
+            # surface from deep in the command body — client errors, not 500s.
+            # But the same exception types also flag REAL server defects
+            # (a race leaving track=None then track.sr), so keep the full
+            # traceback in the server log: the 400 contract must not hide
+            # engine bugs from operators (review finding)
+            logging.getLogger(__name__).warning(
+                "%s mapped to 400: %r", name, e, exc_info=True
+            )
             return web.json_response(
                 {"error": f"invalid argument: {e}"}, status=400
             )

@@ -61,6 +61,13 @@ def _as_finite(value, name: str) -> float:
     return out
 
 
+def _require_positive_finite(value, name: str) -> float:
+    out = _as_finite(value, name)
+    if not out > 0.0:
+        raise ValueError(f"invalid {name}: {value!r}")
+    return out
+
+
 def _as_index(value, name: str, max_value: int = 2**31 - 1) -> int:
     """Coerce a JSON value to a bounded non-negative int; ValueError
     (-> HTTP 400) for anything else, incl. None/strings/negatives
@@ -244,7 +251,9 @@ class EngineSession:
                 )
                 return None
 
-        spec = _parse("specSetting", SpecSetting.from_json)
+        spec = _parse(
+            "specSetting", lambda v: SpecSetting.from_json(v).validated()
+        )
         db_range = _parse("dBRange", float)
         guard = _parse("commonGuardClipping", GuardClippingMode)
         normalize = _parse("commonNormalize", NormalizeTarget.from_json)
@@ -307,14 +316,31 @@ class EngineSession:
         a pure file write queueing behind an in-flight multi-second apply
         (deferred normalize/guard, long add) would stall every persist —
         the viewer's blend debounce and the knob handlers' await chains."""
+        # typed validation BEFORE persisting (the reference deserializes
+        # into UserSettingsOptionals, lib.rs:100-149 — malformed values are
+        # rejected at the boundary): without this, a specSetting that
+        # set_spec_setting would refuse (winMillisec 1e9/NaN, absurd
+        # overlaps) could be written to settings.json and poison every
+        # subsequent init (review finding)
+        validators = {
+            "specSetting": lambda v: SpecSetting.from_json(v).validated(),
+            "blend": lambda v: _as_finite(v, "blend"),
+            "dBRange": lambda v: _require_positive_finite(v, "dBRange"),
+            "commonGuardClipping": GuardClippingMode,
+            "commonNormalize": NormalizeTarget.from_json,
+        }
+        for k, v in user_settings.items():
+            if k in validators and v is not None:
+                try:
+                    validators[k](v)
+                except ValueError:
+                    raise
+                except Exception as e:
+                    raise ValueError(f"invalid {k}: {e}") from e
         with self._store_lock:
             stored = self._load_store("settings.json")
-            allowed = {
-                "specSetting", "blend", "dBRange", "commonGuardClipping",
-                "commonNormalize",
-            }
             for k, v in user_settings.items():
-                if k in allowed and v is not None:
+                if k in validators and v is not None:
                     stored[k] = v
             self._save_store("settings.json", stored)
 
@@ -524,18 +550,10 @@ class EngineSession:
         restores the fully synchronous reference-style semantics."""
         if isinstance(spec_setting, dict):
             spec_setting = SpecSetting.from_json(spec_setting)
-        if not spec_setting.win_ms > 0.0:  # also rejects NaN
-            raise ValueError("winMillisec must be positive")
-        # network-API safety caps (the reference UI clamps client-side:
-        # MIN_WIN_MILLISEC=1, T_OVERLAP_VALUES max 32, fOverlap fixed 1 —
-        # constants/tracks.ts:205-207): an absurd window or overlap would
-        # otherwise OOM the folded-DFT GEMM instead of returning a clean 400
-        if spec_setting.win_ms > 2000.0:
-            raise ValueError("winMillisec too large (max 2000)")
-        if not 1 <= spec_setting.t_overlap <= 64:
-            raise ValueError("tOverlap out of range (1..64)")
-        if not 1 <= spec_setting.f_overlap <= 8:
-            raise ValueError("fOverlap out of range (1..8)")
+        # network-API safety caps -> clean 400 (shared with init's persisted
+        # restore and set_user_settings so a poisoned settings.json can
+        # never smuggle in a value this entry would reject)
+        spec_setting.validated()
         if defer is None:
             defer = os.environ.get("THESIA_DEFER_SETTINGS", "1") != "0"
         with self._spec_switch_lock:

@@ -290,18 +290,22 @@ class TrackList:
 
     def _normalize_tracks_limiter_batched(self, tracks, target, mode) -> None:
         plan: list[tuple[AudioTrack, float, np.ndarray]] = []
-        rest: list[tuple[AudioTrack, float]] = []
         for track in tracks:
             gain = calc_normalize_gain(target, track.original.stats)
             if not np.isfinite(gain) or gain == 1.0:
-                rest.append((track, gain))
+                track.apply_gain(gain, mode)
                 continue
             gained = (np.float32(gain) * track.original.wavs).astype(np.float32)
             peak = float(np.abs(gained).max()) if gained.size else 0.0
             if peak > 1.0:
                 plan.append((track, gain, gained))
             else:
-                rest.append((track, gain))
+                # non-clipping (the common case): reuse the peak-test
+                # product instead of rebuilding it inside apply_gain, and
+                # apply NOW so only one track's f32 copy is alive at a time
+                # (review finding — GB-scale sessions)
+                track.apply_gain(gain, mode, gained=gained)
+                del gained
         gains = None
         if plan:
             from ..dynamics import stats_device
@@ -328,8 +332,6 @@ class TrackList:
                         plan,
                     )
                 )
-        for track, gain in rest:
-            track.apply_gain(gain, mode)
 
     # -- queries -----------------------------------------------------------
     def all_ids(self) -> list[int]:

@@ -573,7 +573,7 @@ function finishRowDrag() {
   }
   dragRow = null;
   dragHiddenTids = [];
-  state.trackIds = [...new Set([...rowsEl.children].map((r) => Number(r.dataset.trackId)))];
+  state.trackIds = displayOrder();
   redraw();
 }
 
@@ -1667,13 +1667,15 @@ async function setupControls() {
     const lo = parseFloat(rangeEl.min), hi = parseFloat(rangeEl.max);
     const fmt = (v) => v.toFixed(opts.precision);
     let prev = parseFloat(rangeEl.value);
-    const onRange = (e) => {
+    const onRange = (handler) => (e) => {
       const v = parseFloat(e.target.value);
       textEl.value = fmt(v);
-      opts.onChange(v);
+      handler(v);
     };
-    rangeEl.oninput = onRange;
-    rangeEl.onchange = onRange; // browsers fire change at drag end
+    // onInput (when provided) handles the live drag stream; onChange fires
+    // once at drag end / text commit / double-click reset
+    rangeEl.oninput = onRange(opts.onInput ?? opts.onChange);
+    rangeEl.onchange = onRange(opts.onChange); // change fires at drag end
     rangeEl.onclick = (e) => {
       if (opts.doubleClickValue === null) return;
       if (!L.floatRangeResetClick(e.button ?? 0, e.detail ?? 0, !!e.altKey)) return;
@@ -1775,10 +1777,38 @@ async function setupControls() {
   $("#freq-scale").onchange = applySpec;
 
   // dB range: step-1 slider + text with detents; double-click resets to
-  // 100 (DB_RANGE_DETENTS[len-2], Control.tsx:293-303); applies live
-  // during the drag at most once per frame
+  // 100 (DB_RANGE_DETENTS[len-2], Control.tsx:293-303).  The reference
+  // throttles ONLY setdBRange during the drag (Control.tsx:95); mirroring
+  // that, the live path sends the throttled setDbRange + the light
+  // metadata/colorbar refresh (serialized, latest value wins — overlapping
+  // full refreshAll chains at 70 Hz flooded the engine, review finding);
+  // the persist + full refresh land once at drag end.
+  let dbLiveChain = null, dbLiveNext = null;
+  const dbRangeLive = (v) => {
+    dbLiveNext = v;
+    if (dbLiveChain) return;
+    dbLiveChain = (async () => {
+      try {
+        while (dbLiveNext !== null) {
+          const next = dbLiveNext;
+          dbLiveNext = null;
+          await api.setDbRange(next);
+          // quantize re-dispatch bumped revisions: viewports need the new
+          // metadata to fetch re-ranged tiles; the colorbar shows the range
+          await Promise.all(
+            [...state.viewports.values()].map((vp) => vp.refreshMetadata())
+          );
+          await updateColorbar();
+          state.needsRedraw = true;
+        }
+      } finally {
+        dbLiveChain = null;
+      }
+    })();
+  };
   const applyDbRange = async (v) => {
-    await api.setDbRange(v);
+    dbRangeLive(v);
+    await dbLiveChain; // drain the drag chain before the full refresh
     await persistSettings();
     await refreshAll();
     redraw();
@@ -1786,7 +1816,8 @@ async function setupControls() {
   setupFloatRangeInput($("#db-range"), $("#db-range-val"), {
     precision: 0,
     doubleClickValue: L.DB_RANGE_DBLCLICK,
-    onChange: throttled(1000 / 70, applyDbRange),
+    onInput: throttled(1000 / 70, dbRangeLive),
+    onChange: applyDbRange,
   });
 
   let blendPersist = null;

@@ -850,6 +850,10 @@ export function colorbarColorIndex(y, height, colormapLength) {
 // control panel — reference FloatRangeInput.tsx + Control.tsx
 
 export const MIN_WIN_MILLISEC = 1.0; // constants/tracks.ts:205
+// the engine's network-entry cap (session.set_spec_setting): committing
+// above it would 400 and strand the panel with a value every later
+// applySpec() re-sends — clamp client-side like the MIN bound
+export const MAX_WIN_MILLISEC = 2000.0;
 export const MIN_COMMON_NORMALIZE_DB = -40.0; // constants/tracks.ts:196
 // DB_RANGE_DETENTS[len-2] is the double-click reset (Control.tsx:302)
 export const DB_RANGE_DBLCLICK = 100.0;
@@ -893,6 +897,9 @@ export function winMillisecCommit(text, currentWinMillisec) {
   if (!Number.isFinite(winMillisec)) return restore;
   if (winMillisec < 1) {
     return { set: MIN_WIN_MILLISEC, display: MIN_WIN_MILLISEC.toFixed(1) };
+  }
+  if (winMillisec > MAX_WIN_MILLISEC) {
+    return { set: MAX_WIN_MILLISEC, display: MAX_WIN_MILLISEC.toFixed(1) };
   }
   return { set: winMillisec, display: winMillisec.toFixed(1) };
 }

@@ -901,6 +901,7 @@ def _js_parse_float(v):
 # control panel — reference FloatRangeInput.tsx + Control.tsx
 
 MIN_WIN_MILLISEC = 1.0  # constants/tracks.ts:205
+MAX_WIN_MILLISEC = 2000.0  # engine network-entry cap (session.set_spec_setting)
 MIN_COMMON_NORMALIZE_DB = -40.0  # constants/tracks.ts:196
 DB_RANGE_DBLCLICK = 100.0  # DB_RANGE_DETENTS[len-2] (Control.tsx:302)
 NORMALIZE_PEAK_DEFAULT_DB = 0.0  # Control.tsx:63-65
@@ -933,6 +934,8 @@ def win_millisec_commit(text, current_win_millisec):
         return restore
     if win_millisec < 1:
         return {"set": MIN_WIN_MILLISEC, "display": _js_to_fixed(MIN_WIN_MILLISEC, 1)}
+    if win_millisec > MAX_WIN_MILLISEC:
+        return {"set": MAX_WIN_MILLISEC, "display": _js_to_fixed(MAX_WIN_MILLISEC, 1)}
     return {"set": win_millisec, "display": _js_to_fixed(win_millisec, 1)}
 
 
@@ -1104,6 +1107,7 @@ TWINNED = {
     "calcLimiterGainEnvelopes": calc_limiter_gain_envelopes,
     "colorbarColorIndex": colorbar_color_index,
     "MIN_WIN_MILLISEC": MIN_WIN_MILLISEC,
+    "MAX_WIN_MILLISEC": MAX_WIN_MILLISEC,
     "MIN_COMMON_NORMALIZE_DB": MIN_COMMON_NORMALIZE_DB,
     "DB_RANGE_DBLCLICK": DB_RANGE_DBLCLICK,
     "NORMALIZE_PEAK_DEFAULT_DB": NORMALIZE_PEAK_DEFAULT_DB,
