@@ -454,7 +454,11 @@ class FakeBrowser:
                 return resp(False, 400, {"error": "expected multipart field 'file'"})
             updir = pathlib.Path(tempfile.gettempdir()) / "thesia_tpu_uploads"
             updir.mkdir(exist_ok=True)
-            dest = updir / pathlib.Path(f["name"]).name
+            # unique per-upload subdir, mirroring service.handle_upload
+            dest = (
+                pathlib.Path(tempfile.mkdtemp(dir=updir))
+                / pathlib.Path(f["name"]).name
+            )
             dest.write_bytes(f.get("bytes", b""))
             return resp(True, 200, {"result": str(dest)})
         if url == "/debug/metrics":

@@ -225,6 +225,16 @@ async def _malformed_requests(tmp_path, samples_dir):
             ("get_spectrogram_tile", {"idChStr": "1_2_3", "levelX": 0, "levelY": 0, "tileX": 0, "tileY": 0}),
             ("set_dB_range", {"dBRange": "abc"}),
             ("set_dB_range", {"dBRange": -5}),
+            # json.loads accepts the bare Infinity literal; an inf range
+            # turns the quantize span into NaN -> blank images, and the
+            # next init would persist it (review finding)
+            ("set_dB_range", {"dBRange": float("inf")}),
+            ("set_dB_range", {"dBRange": float("nan")}),
+            # persisting what the entry points reject would poison init
+            ("set_user_settings", {"userSettings": {"dBRange": float("inf")}}),
+            ("set_user_settings", {"userSettings": {"specSetting": {
+                "winMillisec": 1e9, "tOverlap": 4, "fOverlap": 1,
+                "freqScale": "Mel"}}}),
             ("set_track_player", {"trackId": [1], "sec": 0}),
             ("set_user_settings", {"userSettings": 5}),
             ("add_tracks", {"trackIds": [0, 1], "paths": ["/x"]}),
@@ -263,6 +273,37 @@ async def _malformed_requests(tmp_path, samples_dir):
         # the session still works after all of that
         r = await client.post("/api/get_audio_render_metadata", json={"idChStr": "0_0"})
         assert r.status == 200 and (await r.json())["result"]["sampleRate"] == 16000
+    finally:
+        await client.close()
+
+
+def test_same_named_uploads_do_not_collide(tmp_path):
+    """Two uploads with the same client filename must land on distinct
+    server paths — a shared fixed path let a later upload silently replace
+    a track's backing file mid-decode (review finding)."""
+    import asyncio
+
+    asyncio.run(_upload_collision(tmp_path))
+
+
+async def _upload_collision(tmp_path):
+    import aiohttp
+
+    service = EngineService(EngineSession(settings_dir=tmp_path))
+    server = TestServer(service.make_app())
+    client = TestClient(server)
+    await client.start_server()
+    try:
+        paths = []
+        for payload in (b"first-bytes", b"second-bytes"):
+            form = aiohttp.FormData()
+            form.add_field("file", payload, filename="song.wav")
+            r = await client.post("/upload", data=form)
+            assert r.status == 200
+            paths.append((await r.json())["result"])
+        assert paths[0] != paths[1]
+        assert open(paths[0], "rb").read() == b"first-bytes"
+        assert open(paths[1], "rb").read() == b"second-bytes"
     finally:
         await client.close()
 

@@ -9,6 +9,7 @@ import struct
 import numpy as np
 import pytest
 
+from thesia_tpu.dynamics.normalize import NormalizeTarget
 from thesia_tpu.engine.session import EngineSession, json_number, parse_id_ch_str
 from thesia_tpu.render import decode_spectrogram_tile, decode_waveform_tile, default_colormap_rgba8
 
@@ -203,6 +204,66 @@ def test_user_settings_validated_and_poison_proof(tmp_path):
     out = s2.init(default_colormap_rgba8())
     assert out["userSettings"]["specSetting"]["winMillisec"] == 40.0
     assert out["userSettings"]["dBRange"] == 90.0  # the sane key survives
+
+
+def test_failed_settings_switch_rolls_back_consistently(session, samples_dir, monkeypatch):
+    """A switch that dies mid-recompute (device OOM, transient XLA error)
+    must leave setting read-back AND the computed state on the proven-good
+    old setting — not tm.setting claiming a never-applied value (review
+    finding)."""
+    session.add_tracks([0], [str(samples_dir / "sample_8k.wav")])
+    session.apply_track_list_changes()
+    session.tm.images.drain()
+    old = session.get_spec_setting()
+    w0 = session.get_audio_render_metadata("0_0")["spectrogramWidth"]
+
+    orig = type(session.tm)._update_specs
+    calls = {"n": 0}
+
+    def boom(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:  # fail the switch, let the rollback recompute run
+            raise RuntimeError("injected device failure")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(type(session.tm), "_update_specs", boom)
+    with pytest.raises(RuntimeError):
+        session.set_spec_setting(
+            {"winMillisec": 80.0, "tOverlap": 4, "fOverlap": 1, "freqScale": "Mel"},
+            defer=False,
+        )
+    assert session.get_spec_setting() == old
+    assert session.tm.setting.to_json() == old
+    session.tm.images.drain()
+    assert session.get_audio_render_metadata("0_0")["spectrogramWidth"] == w0
+    # engine still fully operational on the old setting
+    assert len(session.get_spectrogram_tile("0_0", 0, 0, 0, 0)) > 44
+
+
+def test_failed_normalize_switch_restores_mode(session, samples_dir, monkeypatch):
+    """TrackList.set_common_normalize failing mid-apply restores the mode
+    attribute and re-applies the old target so no track is left half-gained
+    against a flipped mode (review finding)."""
+    session.add_tracks([1], [str(samples_dir / "sample_8k.wav")])
+    session.apply_track_list_changes()
+    before = session.tracklist.common_normalize.to_json()
+
+    orig = type(session.tracklist)._normalize_tracks
+    calls = {"n": 0}
+
+    def boom(self, tracks):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected")
+        return orig(self, tracks)
+
+    monkeypatch.setattr(type(session.tracklist), "_normalize_tracks", boom)
+    with pytest.raises(RuntimeError):
+        session.tracklist.set_common_normalize(
+            NormalizeTarget.from_json({"type": "LUFS", "target": -20.0})
+        )
+    assert session.tracklist.common_normalize.to_json() == before
+    assert calls["n"] == 2  # the rollback re-apply ran
 
 
 def test_open_files_dialog_path(tmp_path):

@@ -12,13 +12,13 @@ from __future__ import annotations
 import functools
 import math
 import os
+import logging
 import threading
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..common.freqscale import FreqScale
 from ..dsp.framing import SpecSetting
 from ..dsp.spectrogram import SpectrogramAnalyzer, frame_cap
 from ..obs import span
@@ -132,12 +132,14 @@ class TrackManager:
         self.add_tracks(tracklist, reloaded_ids)
 
     def remove_tracks(self, tracklist: TrackList, removed_id_ch: list[IdCh]) -> None:
-        for tup in removed_id_ch:
-            self.images.remove(tup[0])
-            self.specs.pop(tup[0], None)
-            self._spec_bounds.pop(tup[0], None)
-            self._spec_n_ch.pop(tup[0], None)
-            self.spec_analyzer.drop_wav(tup[0])
+        # per-TRACK cleanup (the tuples are per channel; running the ops
+        # once per channel was harmless only because they are idempotent)
+        for tid in dict.fromkeys(t for t, _ch in removed_id_ch):
+            self.images.remove(tid)
+            self.specs.pop(tid, None)
+            self._spec_bounds.pop(tid, None)
+            self._spec_n_ch.pop(tid, None)
+            self.spec_analyzer.drop_wav(tid)
         self.spec_analyzer.retain(
             tracklist.construct_all_sr_win_nfft_set(self.setting), self.setting.freq_scale
         )
@@ -151,12 +153,34 @@ class TrackManager:
         # interactive priority: the warmer's compile RPCs contend with the
         # inline recompute (measured 11 s for a cache-warm switch, VERDICT
         # r3 weak #1) — pause it for the duration of the user-visible call
+        old = self.setting
         with self.shape_warmer.interactive():
             params = tracklist.construct_sr_win_nfft_set(tracklist.all_ids(), setting)
             self.setting = setting
-            self.spec_analyzer.retain(params, setting.freq_scale)
-            self._update_specs(tracklist, tracklist.id_ch_tuples(), params)
-            self._update_spec_imgs(tracklist, force_update_all=True)
+            try:
+                self.spec_analyzer.retain(params, setting.freq_scale)
+                self._update_specs(tracklist, tracklist.id_ch_tuples(), params)
+                self._update_spec_imgs(tracklist, force_update_all=True)
+            except Exception:
+                # a failed switch (device OOM, transient XLA error) must not
+                # leave tm.setting claiming a never-applied setting while the
+                # specs/images hold the old shapes — read-back, persistence
+                # and later single-track recomputes would all diverge
+                # (review finding).  Restore the proven-good setting and
+                # best-effort recompute back to a consistent state.
+                self.setting = old
+                try:
+                    old_params = tracklist.construct_sr_win_nfft_set(
+                        tracklist.all_ids(), old
+                    )
+                    self.spec_analyzer.retain(old_params, old.freq_scale)
+                    self._update_specs(tracklist, tracklist.id_ch_tuples(), old_params)
+                    self._update_spec_imgs(tracklist, force_update_all=True)
+                except Exception:
+                    logging.getLogger(__name__).exception(
+                        "rollback recompute after failed settings switch"
+                    )
+                raise
         self._warm_neighbor_shapes(tracklist)
 
     def warm_for_pending_add(self, existing_items, probed_items, max_sr) -> None:

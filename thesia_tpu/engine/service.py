@@ -258,7 +258,11 @@ class EngineService:
         filename = Path(field.filename or "upload.bin").name
         updir = Path(tempfile.gettempdir()) / "thesia_tpu_uploads"
         updir.mkdir(exist_ok=True)
-        dest = updir / filename
+        # unique per-upload subdirectory: same-named uploads must not
+        # overwrite each other (a track decoding the first file could read
+        # half-overwritten bytes — review finding); the original basename
+        # is preserved because the UI displays it
+        dest = Path(tempfile.mkdtemp(dir=updir)) / filename
         with open(dest, "wb") as f:
             while True:
                 chunk = await field.read_chunk()

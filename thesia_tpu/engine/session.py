@@ -22,7 +22,6 @@ from pathlib import Path
 
 import numpy as np
 
-from ..common.freqscale import FreqScale
 from ..obs import RwLock, span
 from ..dsp.framing import SpecSetting
 from ..dynamics.guard import GuardClippingMode
@@ -263,40 +262,58 @@ class EngineSession:
             if not self.tracklist.is_empty:
                 self.tracklist = TrackList()
                 self.tm.images.shutdown()
+                # supersede the old warmer's queued compiles too: its
+                # multi-second tunnel RPCs would otherwise keep contending
+                # with the fresh session's interactive ops (review finding)
+                self.tm.shape_warmer.submit([])
                 self.tm = TrackManager()
             self.tm.set_colormap_length(self.tracklist, len(colormap_rgba) // 4)
             if spec is not None:
                 self.tm.set_setting(self.tracklist, spec)
-            if db_range is not None and db_range > 0.0:
+            if db_range is not None and db_range > 0.0 and math.isfinite(db_range):
                 self.tm.set_db_range(self.tracklist, db_range)
             if guard is not None:
                 self.tracklist.set_common_guard_clipping(guard)
             if normalize is not None:
                 self.tracklist.set_common_normalize(normalize)
-            user_settings = {
-                "specSetting": self.tm.setting.to_json(),
-                "blend": blend if blend is not None else 0.5,
-                "dBRange": self.tm.db_range,
-                "commonGuardClipping": self.tracklist.common_guard_clipping.value,
-                "commonNormalize": self.tracklist.common_normalize.to_json(),
-            }
-            # the store read-modify-write serializes with concurrent
-            # set_user_settings calls via the store lock
+            # read-modify-write entirely under the store lock: a
+            # set_user_settings landing between init's dispatch-time load
+            # and this save must not be clobbered (review finding) — keys
+            # init did not itself restore (blend) pass through fresh
             with self._store_lock:
+                fresh = self._load_store("settings.json")
+                fresh_blend = fresh.get("blend") if isinstance(fresh, dict) else None
+                user_settings = {
+                    "specSetting": self.tm.setting.to_json(),
+                    "blend": (
+                        fresh_blend if isinstance(fresh_blend, (int, float))
+                        else blend if blend is not None else 0.5
+                    ),
+                    "dBRange": self.tm.db_range,
+                    "commonGuardClipping": self.tracklist.common_guard_clipping.value,
+                    "commonNormalize": self.tracklist.common_normalize.to_json(),
+                }
                 self._save_store("settings.json", user_settings)
             return user_settings
 
         # init supersedes any in-flight deferred settings switch: a stale
         # pre-init target must not re-apply over the freshly-restored state
         with self._spec_switch_cond:
+            init_gens = {}
             for kind in self._switch_gen:
                 self._switch_gen[kind] += 1
                 self._switch_applied[kind] = self._switch_gen[kind]
+                init_gens[kind] = self._switch_gen[kind]
             self._spec_switch_cond.notify_all()
         user_settings = self._write(work)
         with self._spec_switch_lock:
-            self._guard_target = self.tracklist.common_guard_clipping
-            self._normalize_target = self.tracklist.common_normalize
+            # reset the reported targets ONLY if no newer switch dispatched
+            # while init ran — a concurrent set_common_* owns the target and
+            # its (un-superseded) worker will apply it (review finding)
+            if self._switch_gen["guard"] == init_gens["guard"]:
+                self._guard_target = self.tracklist.common_guard_clipping
+            if self._switch_gen["normalize"] == init_gens["normalize"]:
+                self._normalize_target = self.tracklist.common_normalize
         self.tile_cache.invalidate_all()
         self.tile_cache.set_colormap(colormap_rgba.reshape(-1, 4))
         self.spec_setting = SpecSetting.from_json(user_settings["specSetting"])
@@ -524,9 +541,11 @@ class EngineSession:
         return self.tm.db_range
 
     def set_db_range(self, db_range: float) -> None:
-        if not db_range > 0.0:
-            raise ValueError(f"dB range must be positive (got {db_range})")
-        self._write(lambda: self.tm.set_db_range(self.tracklist, float(db_range)))
+        # finite required: json.loads accepts the Infinity literal, and an
+        # inf range makes the quantize span inf -> NaN -> blank images
+        # (review finding)
+        db_range = _require_positive_finite(db_range, "dBRange")
+        self._write(lambda: self.tm.set_db_range(self.tracklist, db_range))
         self.tile_cache.invalidate_spectrogram()
 
     def get_spec_setting(self) -> dict:

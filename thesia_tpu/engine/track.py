@@ -234,12 +234,33 @@ class TrackList:
         return removed_id_ch
 
     def set_common_normalize(self, target: NormalizeTarget) -> None:
+        old = self.common_normalize
         self.common_normalize = target
-        self._apply_normalize_guard_clipping()
+        self._apply_or_rollback(lambda: setattr(self, "common_normalize", old))
 
     def set_common_guard_clipping(self, mode: GuardClippingMode) -> None:
+        old = self.common_guard_clipping
         self.common_guard_clipping = mode
-        self._apply_normalize_guard_clipping()
+        self._apply_or_rollback(lambda: setattr(self, "common_guard_clipping", old))
+
+    def _apply_or_rollback(self, restore) -> None:
+        """A failure mid-apply (some tracks re-gained, others not) must not
+        leave the mode attribute claiming the new state — restore it and
+        best-effort re-apply the old so every track lands consistent
+        (review finding)."""
+        try:
+            self._apply_normalize_guard_clipping()
+        except Exception:
+            restore()
+            try:
+                self._apply_normalize_guard_clipping()
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "rollback re-apply after failed normalize/guard switch"
+                )
+            raise
 
     def _apply_normalize_guard_clipping(self) -> None:
         self._normalize_tracks(list(self._tracks.values()))
