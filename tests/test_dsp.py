@@ -131,6 +131,62 @@ def test_calc_spec_sine_peak():
     assert abs(int(np.argmax(mid)) - expected_bin) <= 1
 
 
+def test_hop_length_floor_keeps_engine_defined():
+    """UI-reachable 1 ms window + t_overlap 32 at 8 kHz rounds hop to 0 in
+    the reference's own math (spectrogram.rs:62-64 would then divide by
+    zero); the rebuild floors hop at 1 so every validated setting computes
+    (review finding)."""
+    s = SpecSetting(win_ms=1.0, t_overlap=32)
+    s.validated()  # the combination passes entry validation
+    hop, win, n_fft = s.calc_framing_params(8000)
+    assert hop == 1 and win == 32 and n_fft >= win
+    wav = np.random.default_rng(0).uniform(-0.5, 0.5, 4000).astype(np.float32)
+    spec = np.asarray(SpectrogramAnalyzer().calc_spec(wav, 8000, s))
+    assert spec.shape[0] == stft_frame_count(4000, win, hop)
+    assert np.isfinite(spec).any()
+
+
+def test_db_scalar_negative_zero_is_nan():
+    """-0.0 is sign-negative (Rust f64::is_sign_negative) -> NaN, for both
+    the input and the reference value; the array path's signbit check
+    already agreed (decibel.rs:66-91, review finding)."""
+    from thesia_tpu.dsp.decibel import (
+        db_from_amp, db_from_amp_scalar, db_from_power_scalar,
+    )
+
+    assert math.isnan(db_from_amp_scalar(-0.0))
+    assert math.isnan(db_from_power_scalar(-0.0))
+    assert math.isnan(db_from_amp_scalar(1.0, ref_value=-0.0))
+    assert math.isnan(db_from_power_scalar(1.0, ref_value=-0.0))
+    arr = np.asarray(db_from_amp(np.float32([1.0]), ref_value=-0.0))
+    assert np.isnan(arr).all()
+    # positive zero still maps to exactly -inf with amin=0
+    assert db_from_amp_scalar(0.0) == -math.inf
+
+
+def test_quantize_warm_shape_matches_dispatch_for_tight_bucket():
+    """A track whose padded extent exactly fills its wav bucket gives a
+    spec T axis SMALLER than frame_cap(n_frames); the quantize warm job
+    must mirror that exact (C, T, F) or the real dispatch compiles cold
+    inside the interactive call (review finding)."""
+    from thesia_tpu.dsp import precompile
+    from thesia_tpu.dsp.spectrogram import wav_size_bucket
+
+    sr = 8000
+    s = SpecSetting()
+    hop, win, n_fft = s.calc_framing_params(sr)
+    pad = win // 2
+    n = wav_size_bucket(10**5) - 2 * pad  # padded extent == the bucket
+    an = SpectrogramAnalyzer()
+    job = precompile.quantize_jobs(an, [(0, (1, n), sr)], s, sr, 258)[0]
+    key, _lower = job()
+    warm_shape = key[1]
+    wav = np.zeros((1, n), np.float32)
+    wav[0, ::997] = 0.5
+    res = an.calc_spec_multi(wav, sr, s)
+    assert tuple(warm_shape) == tuple(res.db_padded.shape)
+
+
 def test_rfft_fallback_parity_and_trigger(monkeypatch):
     """Huge-window guard: when the folded-DFT (win, n_freq) matrices would
     exceed THESIA_DFT_MAT_MAX_BYTES, the fused programs compute the

@@ -63,6 +63,32 @@ def test_waveform_tile_large_bin():
     np.testing.assert_allclose(d["bins"][0], [-32.0, 31.0, -0.5])
 
 
+def test_waveform_all_nan_bin_matches_native_semantics():
+    """NaN samples are skipped with inf/-inf inits (native std::min/max and
+    the reference's f32::min/max both ignore NaN) — np.nanmin returned NaN
+    for an all-NaN bin, so tile bytes differed between the native and
+    fallback paths (review finding)."""
+    from thesia_tpu.render.tiles import waveform_bin_stats
+
+    wav = np.array(
+        [0.5, -0.25, np.nan, 0.125] + [np.nan] * 4 + [np.nan, 1.0, -1.0, 0.0],
+        np.float32,
+    )
+    mins, maxs, means = waveform_bin_stats(wav, 0, len(wav), 4)
+    np.testing.assert_array_equal(mins, [-0.25, np.inf, -1.0])
+    np.testing.assert_array_equal(maxs, [0.5, -np.inf, 1.0])
+    assert np.isnan(means[:2]).all()  # the sum still propagates NaN
+    try:
+        from thesia_tpu import native
+
+        nat = native.waveform_bin_stats(wav, 0, len(wav), 4, 3).reshape(3, 3)
+        np.testing.assert_array_equal(nat[:, 0], mins)
+        np.testing.assert_array_equal(nat[:, 1], maxs)
+        np.testing.assert_array_equal(np.isnan(nat[:, 2]), np.isnan(means))
+    except Exception:
+        pass  # native build unavailable: the fallback semantics are pinned
+
+
 def test_waveform_tile_out_of_range():
     data = encode_waveform_tile(np.zeros(10, np.float32), 1, 0, 5)
     assert struct.unpack_from("<I", data, 8)[0] == 0

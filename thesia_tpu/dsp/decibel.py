@@ -25,7 +25,7 @@ def _log_for_db(x, ref_value: float, amin: float):
     assert amin >= 0.0
     if math.isnan(ref_value):
         return x
-    if ref_value < 0.0:
+    if math.copysign(1.0, ref_value) < 0.0:  # is_sign_negative: incl. -0.0
         return jnp.full_like(x, jnp.nan)
     log_amin = math.log10(amin) if amin > 0 else -math.inf
     log_ref = math.log10(ref_value) if ref_value > amin else log_amin
@@ -57,14 +57,20 @@ def power_from_db(x, ref_value: float = 1.0):
     return ref_value * jnp.power(10.0, 0.1 * x)
 
 
+def _is_sign_negative(v: float) -> bool:
+    """Rust f64::is_sign_negative: true for -0.0 too (x < 0.0 is not)."""
+    return math.copysign(1.0, v) < 0.0
+
+
 def db_from_amp_scalar(x: float, ref_value: float = 1.0, amin: float = AMIN_AMP_DEFAULT) -> float:
     """Pure-python scalar version (host-side stats paths).
-    reference: decibel.rs:66-91."""
-    if math.isnan(ref_value) or ref_value < 0.0:
+    reference: decibel.rs:66-91 (-0.0 is sign-negative -> NaN, like the
+    array path's signbit check)."""
+    if math.isnan(ref_value) or _is_sign_negative(ref_value):
         return math.nan
     log_amin = math.log10(amin) if amin > 0 else -math.inf
     log_ref = math.log10(ref_value) if ref_value > amin else log_amin
-    if math.isnan(x) or x < 0.0:
+    if math.isnan(x) or _is_sign_negative(x):
         return math.nan
     if x > amin:
         return 20.0 * (math.log10(x) - log_ref)
@@ -72,11 +78,11 @@ def db_from_amp_scalar(x: float, ref_value: float = 1.0, amin: float = AMIN_AMP_
 
 
 def db_from_power_scalar(x: float, ref_value: float = 1.0, amin: float = AMIN_POWER_DEFAULT) -> float:
-    if math.isnan(ref_value) or ref_value < 0.0:
+    if math.isnan(ref_value) or _is_sign_negative(ref_value):
         return math.nan
     log_amin = math.log10(amin) if amin > 0 else -math.inf
     log_ref = math.log10(ref_value) if ref_value > amin else log_amin
-    if math.isnan(x) or x < 0.0:
+    if math.isnan(x) or _is_sign_negative(x):
         return math.nan
     if x > amin:
         return 10.0 * (math.log10(x) - log_ref)

@@ -35,11 +35,14 @@ class SpecSetting:
     freq_scale: FreqScale = FreqScale.Mel
 
     def calc_hop_length(self, sr: int) -> int:
-        # rust f64::round = round-half-away-from-zero
+        # rust f64::round = round-half-away-from-zero.  Floor at 1: a
+        # UI-reachable combination (1 ms window, t_overlap 32, 8 kHz) rounds
+        # to hop 0, where the reference's own math divides by zero — the
+        # engine must stay well-defined instead (review finding)
         x = self.win_ms * sr / 1000.0 / self.t_overlap
         import math
 
-        return int(math.floor(x + 0.5))
+        return max(int(math.floor(x + 0.5)), 1)
 
     def calc_win_length(self, sr: int) -> int:
         return self.calc_hop_length(sr) * self.t_overlap

@@ -273,14 +273,30 @@ def quantize_jobs(analyzer, items, setting: SpecSetting, max_sr: int, colormap_l
     from ..render.visualize import quantize_min_value
 
     min_value = quantize_min_value(colormap_length or None)
+    single = sum(len(m) for m in groups.values()) == 1
     for (sr, hop, win, n_fft, bucket), members in groups.items():
         group_t_cap = frame_cap(
             max(stft_frame_count(n, win, hop) for _c, n in members)
         )
+        if single:
+            # a lone track dispatches _spec_full, whose bucket is the wav
+            # cache's wav_size_bucket(n), grown only when the pads overflow
+            # (calc_spec_multi) — NOT the batched n+2*pad bucket
+            pad = win // 2
+            _c1, n1 = members[0]
+            bucket = wav_size_bucket(n1)
+            if pad + n1 + pad > bucket:
+                bucket = wav_size_bucket(n1 + 2 * pad)
+        # the spec result's T axis is bounded by BOTH the bucket extent and
+        # the frame cap (_spec_full/_spec_multi_impl: t_max = min((bucket -
+        # win)//hop + 1, t_cap)); warming the bare t_cap shape missed tracks
+        # that exactly fill their bucket, leaving the real quantize to
+        # compile cold inside the interactive call (review finding)
+        t_dim = min((bucket - win) // hop + 1, group_t_cap)
         for c, n in members:
             n_frames = stft_frame_count(n, win, hop)
 
-            def make(c=c, n_frames=n_frames, group_t_cap=group_t_cap,
+            def make(c=c, n_frames=n_frames, t_dim=t_dim,
                      sr=sr, n_fft=n_fft, min_value=min_value):
                 # ALL analyzer work (mel filterbank build + its device
                 # upload, ~27 ms/dispatch on the tunnel) happens here on the
@@ -304,11 +320,11 @@ def quantize_jobs(analyzer, items, setting: SpecSetting, max_sr: int, colormap_l
                     mip_levels=tuple(mip_plan(n_frames)),
                     t_valid_static=frame_cap(n_frames),
                 )
-                key = ("quantize", (c, group_t_cap, n_freq), tuple(sorted(statics.items())))
+                key = ("quantize", (c, t_dim, n_freq), tuple(sorted(statics.items())))
 
                 def lower():
                     _quantize_and_mips.lower(
-                        sds((c, group_t_cap, n_freq), jnp.float32),
+                        sds((c, t_dim, n_freq), jnp.float32),
                         sds((), jnp.float32),
                         sds((), jnp.float32),
                         sds((), jnp.int32),

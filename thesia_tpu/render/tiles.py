@@ -47,15 +47,19 @@ def waveform_bin_stats(wav: np.ndarray, start: int, end: int, spb: int):
     means = np.empty(n_bins, np.float64)
     if full:
         m = seg[: full * spb].reshape(full, spb)
-        with np.errstate(invalid="ignore"):
-            mins[:full] = np.nanmin(m, axis=1)
-            maxs[:full] = np.nanmax(m, axis=1)
+        # NaN samples are SKIPPED with inf/-inf inits (native std::min/max
+        # and the reference's f32::min/max both ignore NaN), so an all-NaN
+        # bin yields (inf, -inf) — np.nanmin would yield NaN and make the
+        # tile bytes differ between the native and fallback paths
+        nan = np.isnan(m)
+        mins[:full] = np.min(np.where(nan, np.float32(np.inf), m), axis=1)
+        maxs[:full] = np.max(np.where(nan, np.float32(-np.inf), m), axis=1)
         means[:full] = m.sum(axis=1, dtype=np.float64) / spb
     if n_bins > full:
         tail = seg[full * spb :]
-        with np.errstate(invalid="ignore"):
-            mins[full] = np.nanmin(tail)
-            maxs[full] = np.nanmax(tail)
+        nan = np.isnan(tail)
+        mins[full] = np.min(np.where(nan, np.float32(np.inf), tail))
+        maxs[full] = np.max(np.where(nan, np.float32(-np.inf), tail))
         means[full] = tail.sum(dtype=np.float64) / tail.shape[0]
     return mins, maxs, means
 
