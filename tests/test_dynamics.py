@@ -168,6 +168,37 @@ def test_guard_clipping_modes():
     assert res.kind == "gain_sequence" and (res.gain_seq == 1.0).all()
 
 
+def test_guard_engages_despite_nan_samples():
+    """One NaN sample must not disable the guard: the reference's
+    f32::max fold (and the native path's `if (av > abs_max)`) skip NaN,
+    while a plain .max() propagated it and let >1.0 samples through
+    unlimited (review finding)."""
+    wav = np.array([[0.0, np.nan, 1.5, -2.0, 0.5]], np.float32)
+    out, res = guard_clipping(wav, 48000, GuardClippingMode.ReduceGlobalLevel)
+    assert res.kind == "global_gain" and abs(res.global_gain - 0.5) < 1e-7
+    out, res = guard_clipping(wav, 48000, GuardClippingMode.Limiter)
+    assert res.kind == "gain_sequence" and res.gain_seq.min() < 1.0
+    # clip-mode stats still report the reduction
+    stats = GuardClippingStats.from_wav_before_clip(wav[0])
+    assert stats.reduction_cnt == 2 and stats.max_reduction_gain_db < 0.0
+    # nan_safe_abs_max semantics pinned: NaN skipped, 0 floor, empty -> 0
+    from thesia_tpu.dynamics.stats import nan_safe_abs_max
+
+    assert nan_safe_abs_max(np.float32([np.nan, np.nan])) == 0.0
+    assert nan_safe_abs_max(np.zeros(0, np.float32)) == 0.0
+    assert nan_safe_abs_max(np.float32([np.nan, -3.0])) == 3.0
+
+
+def test_peak_hold_zero_length_window():
+    """A hold window rounding to 0 samples passes values through instead
+    of crashing max([]) (review finding)."""
+    from thesia_tpu.dynamics.envelope import PeakHold
+
+    ph = PeakHold(8000, 0.05)  # 0.4 samples -> rounds to 0 -> floored to 1
+    assert ph.step(0.5) == 0.5
+    assert ph.step(0.25) == 0.25
+
+
 def test_guard_clipping_stats_goldens():
     # reference: stats.rs:224-241
     clipped = np.array([-1.5, -1.0, 0.5, 2.0], np.float32)

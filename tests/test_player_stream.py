@@ -219,6 +219,83 @@ def test_select_output_config_nearest_with_at_least_tiebreak():
     assert select_output_config(dev, 192000).sample_rate == 96000
 
 
+def test_select_output_config_fallback_tiers():
+    """reference device.rs:69-81: default channels+format first, then
+    format-only, then any range — a device without the default layout must
+    still serve the nearest supported rate (review finding)."""
+    dflt = StreamConfig(2, 48000, 512, "f32")
+    # tier 2: no 2ch f32 range, but a 6ch f32 one
+    dev = FakeDevice([SupportedConfigRange(6, 8000, 96000, "f32")], dflt)
+    cfg = select_output_config(dev, 44100)
+    assert (cfg.sample_rate, cfg.channels, cfg.sample_format) == (44100, 6, "f32")
+    # tier 3: nothing in the default format at all
+    dev = FakeDevice([SupportedConfigRange(2, 8000, 96000, "i16")], dflt)
+    cfg = select_output_config(dev, 44100)
+    assert (cfg.sample_rate, cfg.sample_format) == (44100, "i16")
+    # no ranges: the default passes through
+    assert select_output_config(FakeDevice([], dflt), 44100) == dflt
+
+
+def test_fill_resampled_plays_full_tail_before_end():
+    """The resampler out-queue holds the real track tail when the display
+    position hits the end; ending there truncated it audibly.  End must
+    fire only once the queue cannot fill the buffer anymore (reference
+    drains rubato before mark_track_end; review finding)."""
+    sr_in, sr_out, n = 44100, 48000, 44100 // 5  # 200 ms tone
+    t = np.arange(n) / sr_in
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = make_playback(wav, 1, sr_in)
+    src = PlaybackStreamSource(p, threading.Lock())
+    frames, out_frames, ended_at = 256, 0, None
+    for i in range(200):
+        out = src.fill(frames, 2, sr_out)
+        out_frames += int((np.abs(out).max(axis=1) > 0).sum())
+        if src.reached_end:
+            ended_at = i
+            break
+    assert ended_at is not None
+    expected = int(n * sr_out / sr_in)
+    # the full resampled tail made it out (allow the sinc edge fade)
+    assert out_frames >= expected - 64
+    assert not p.is_playing
+
+
+def test_resume_at_end_reemits_ended():
+    """Pressing play at the track end must emit a fresh 'ended' state
+    (reference fires mark_track_end every reached_end && is_playing pass,
+    stream.rs:433-439) — resume re-arms the end latch (review finding)."""
+    import time
+
+    from thesia_tpu.player.player import Player
+
+    sr = 100000
+    samples = np.zeros(sr // 100, np.float32)  # 10 ms track
+    store = {0: (samples, 1, sr, 0.01)}
+    events = []
+    p = Player(lambda tid: store.get(tid), lambda e: events.append(dict(e)))
+    p.max_sec = 0.01
+    p.set_track(0, 0.0)
+    p.resume()
+    deadline = time.monotonic() + 2.0
+    while time.monotonic() < deadline:
+        p.tick()
+        if not p.playback.is_playing:
+            break
+        time.sleep(0.02)
+    assert not p.playback.is_playing  # first end reached
+    events.clear()
+    p.resume()  # play again AT the end, without seeking
+    ended = False
+    deadline = time.monotonic() + 2.0
+    while time.monotonic() < deadline:
+        p.tick()
+        if any(not e["isPlaying"] for e in events):
+            ended = True
+            break
+        time.sleep(0.02)
+    assert ended, "no second 'ended' state event after resume-at-end"
+
+
 def test_output_engine_rebuilds_on_error_and_device_loss():
     p = make_playback(np.ones(100, np.float32), 1, 8000)
     dev = FakeDevice(

@@ -182,6 +182,41 @@ def test_probe_shape_wav_and_flac(tmp_path):
     assert probe_shape(tmp_path / "missing.wav") is None
 
 
+def test_probe_m4a_skips_video_trak():
+    """An mp4 whose FIRST trak is video (the common 90 kHz timescale) must
+    not be probed as 90 kHz audio — the warmer would AOT-compile never-used
+    shapes (review finding).  The hdlr handler_type gates trak selection."""
+    from thesia_tpu.io.probe import _probe_m4a
+
+    def box(name, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + name + payload
+
+    def hdlr(kind):
+        # ver/flags + pre_defined + handler_type + reserved[3] + name
+        return box(b"hdlr", b"\x00" * 8 + kind + b"\x00" * 13)
+
+    def mdhd(timescale, duration):
+        return box(
+            b"mdhd",
+            b"\x00" * 12
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + b"\x00" * 4,
+        )
+
+    def trak(kind, timescale, duration):
+        return box(b"trak", box(b"mdia", hdlr(kind) + mdhd(timescale, duration)))
+
+    video_first = box(
+        b"moov",
+        trak(b"vide", 90000, 90000 * 7) + trak(b"soun", 44100, 44100 * 7),
+    )
+    n_ch, duration, sr = _probe_m4a(video_first)
+    assert (sr, duration) == (44100, 44100 * 7)
+    # a file with ONLY a video trak probes as nothing, not as 90 kHz audio
+    assert _probe_m4a(box(b"moov", trak(b"vide", 90000, 90000))) is None
+
+
 def test_probe_shape_compressed_containers():
     """Header-only probes for every accepted compressed format: channel
     count and sample rate EXACT (the warm shape's row count and framing

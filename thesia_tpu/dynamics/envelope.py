@@ -157,7 +157,10 @@ class PeakHold:
     """
 
     def __init__(self, sr: int, hold_ms: float):
-        self.hold_length = int(np.floor(sr * hold_ms / 1000.0 + 0.5))
+        # floor at 1: a hold window that rounds to 0 (tiny hold_ms at low
+        # sr) must degrade to "pass the current value through", not crash
+        # max([]) (review finding; the reference handles zero-length holds)
+        self.hold_length = max(int(np.floor(sr * hold_ms / 1000.0 + 0.5)), 1)
         self.reset(-np.inf)
 
     def reset(self, fill: float) -> None:

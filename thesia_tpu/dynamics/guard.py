@@ -12,7 +12,7 @@ import enum
 import numpy as np
 
 from .limiter import LimiterManager
-from .stats import GuardClippingStats
+from .stats import GuardClippingStats, nan_safe_abs_max
 
 
 class GuardClippingMode(str, enum.Enum):
@@ -74,7 +74,9 @@ def guard_clipping(
         out = np.clip(wavs, -1.0, 1.0)
         return out, GuardClippingResult(kind="wav_before_clip", wav_before_clip=before)
     if mode is GuardClippingMode.ReduceGlobalLevel:
-        peak = float(np.abs(wavs).max()) if wavs.size else 0.0
+        # NaN-skipping peak (native/reference f32::max semantics): a single
+        # NaN sample must not disable the guard (review finding)
+        peak = nan_safe_abs_max(wavs)
         if peak > 1.0:
             gain = 1.0 / peak
             out = np.clip((wavs.astype(np.float64) * gain), -1.0, 1.0).astype(np.float32)
@@ -83,7 +85,7 @@ def guard_clipping(
             )
         return wavs, GuardClippingResult(kind="global_gain", global_gain=1.0, shape=wavs.shape)
     # Limiter
-    peak = float(np.abs(wavs).max()) if wavs.size else 0.0
+    peak = nan_safe_abs_max(wavs)
     if peak > 1.0:
         if gain_seq is not None:
             out = np.clip(

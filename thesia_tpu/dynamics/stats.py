@@ -24,6 +24,17 @@ class AudioStats:
     max_peak_db: float
 
 
+def nan_safe_abs_max(wavs: np.ndarray) -> float:
+    """Abs peak skipping NaN samples with a 0 floor — the exact fold the
+    native path (thesia_native.cpp audio_stats: abs_max=0, `if (av >
+    abs_max)` is false for NaN) and the reference's f32::max use.  Plain
+    .max() propagates NaN, which silently disabled the guard-clipping
+    engagement gates for NaN-containing float WAVs (review finding)."""
+    if not wavs.size:
+        return 0.0
+    return float(np.fmax.reduce(np.abs(wavs), axis=None, initial=np.float32(0.0)))
+
+
 def calc_stats(wavs: np.ndarray, sr: int) -> AudioStats:
     """reference: stats.rs:56-86 (LUFS ‖ mean-square, then peak).
 
@@ -54,7 +65,7 @@ def calc_stats(wavs: np.ndarray, sr: int) -> AudioStats:
         mean_squared = float(
             np.float32(sum(float(np.dot(ch, ch)) for ch in wavs) / n_elem)
         ) if n_elem else 0.0  # wavs already float32 (coerced at entry)
-        max_peak = float(np.abs(wavs).max()) if n_elem else 0.0
+        max_peak = nan_safe_abs_max(wavs)
     rms_db = np.float32(db_from_power_scalar(mean_squared))
     max_peak_db = np.float32(db_from_amp_scalar(max_peak))
     return AudioStats(
@@ -81,7 +92,7 @@ class GuardClippingStats:
 
     @classmethod
     def from_wav_before_clip(cls, wav_before_clip: np.ndarray) -> "GuardClippingStats":
-        max_peak = float(np.abs(wav_before_clip).max()) if wav_before_clip.size else 0.0
+        max_peak = nan_safe_abs_max(wav_before_clip)
         if max_peak > 1.0:
             recip = np.float32(1.0 / np.float32(max_peak))
             return cls(

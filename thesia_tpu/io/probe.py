@@ -172,6 +172,13 @@ def _probe_m4a(data: bytes) -> tuple[int, int, int] | None:
         mdia = find(b"mdia", ts, te)
         if mdia is None:
             continue
+        # only SOUND tracks: a leading video trak's 90 kHz timescale passes
+        # the plausibility floor below and would warm never-used 90 kHz
+        # spectrogram shapes (review finding) — the hdlr handler_type at
+        # offset +8 (after ver/flags + pre_defined) says what the trak is
+        hdlr = find(b"hdlr", *mdia)
+        if hdlr is not None and data[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+            continue
         mdhd = find(b"mdhd", *mdia)
         if mdhd is None:
             continue

@@ -220,6 +220,12 @@ class Player:
             if self.playback.track_id is not None and len(self.playback.samples) > 0:
                 self.playback.is_playing = True
                 self._anchor = time.monotonic()
+        # re-arm the end detection: resuming AT the track end must emit a
+        # fresh 'ended' (the reference fires mark_track_end every time
+        # reached_end && is_playing, stream.rs:433-439) — without this the
+        # UI stays 'playing' forever (review finding)
+        self._clear_reached_end()
+        self._end_seen = False
         self._emit_state()
 
     def tick(self) -> None:
@@ -232,6 +238,11 @@ class Player:
                 self.error = self._engine.error
                 self._emit_state()
             if self._engine.is_active():
+                # keep the wall-clock anchor fresh while the callback owns
+                # the position: if the stream dies between ticks, the
+                # fallback must count only the time SINCE the stream died,
+                # not re-add the whole played interval (review finding)
+                self._anchor = time.monotonic()
                 ended = self._engine.source.reached_end
                 if ended and not self._end_seen:
                     self._end_seen = True

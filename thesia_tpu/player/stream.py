@@ -274,23 +274,32 @@ def select_output_config(device: OutputDevice, requested_sr: int) -> StreamConfi
     default = device.default_config()
     if requested_sr <= 0:
         return default
+    ranges = list(device.supported_configs())
+    # the reference relaxes the filter in tiers before giving up
+    # (device.rs:69-81): default channels+format, then format-only, then
+    # any range — a device whose ranges don't include the default layout
+    # must still serve the nearest supported rate (review finding)
     candidates = [
-        r
-        for r in device.supported_configs()
+        r for r in ranges
         if r.channels == default.channels and r.sample_format == default.sample_format
     ]
     if not candidates:
+        candidates = [r for r in ranges if r.sample_format == default.sample_format]
+    if not candidates:
+        candidates = ranges
+    if not candidates:
         return default
     best: tuple[int, int] | None = None  # (distance, -is_at_least) for min()
-    best_rate = default.sample_rate
+    chosen = None
     for r in candidates:
         rate = r.clamp(requested_sr)
         key = (abs(rate - requested_sr), 0 if rate >= requested_sr else 1)
         if best is None or key < best:
             best = key
-            best_rate = rate
+            chosen = (r, rate)
+    r, best_rate = chosen
     return StreamConfig(
-        default.channels, best_rate, default.buffer_frames, default.sample_format
+        r.channels, best_rate, default.buffer_frames, r.sample_format
     )
 
 
@@ -353,6 +362,7 @@ class PlaybackStreamSource:
             return np.zeros((n_frames, out_channels), np.float32)
 
         total = len(samples) // in_ch
+        tail_drained = True  # equal-rate path has no queued tail
         if sr == out_sr:
             src = slice_frames(samples, in_ch, int(pos), n_frames)
             consumed = float(n_frames)
@@ -361,6 +371,11 @@ class PlaybackStreamSource:
             if self._feed_pos is None:
                 self._feed_pos = int(pos)
             while self._out_queue.shape[0] < n_frames:
+                if self._feed_pos >= total + RESAMPLER_CHUNK * 4:
+                    break  # drained past the end incl. filter tail — the
+                    # check must gate the FEED, or every later callback
+                    # tops the queue back up with silence and the
+                    # end-of-track drain never completes (review finding)
                 chunk = slice_frames(samples, in_ch, self._feed_pos, RESAMPLER_CHUNK)
                 produced = rs.process(chunk.T).T  # resampler is planar (ch, n)
                 self._feed_pos += RESAMPLER_CHUNK
@@ -370,8 +385,6 @@ class PlaybackStreamSource:
                         if self._out_queue.shape[0] == 0
                         else np.concatenate([self._out_queue, produced.astype(np.float32)])
                     )
-                if self._feed_pos >= total + RESAMPLER_CHUNK * 4:
-                    break  # drained past the end incl. filter tail
             take = min(n_frames, self._out_queue.shape[0])
             src = np.zeros((n_frames, in_ch), np.float32)
             src[:take] = self._out_queue[:take]
@@ -379,6 +392,12 @@ class PlaybackStreamSource:
             # display position advances at the exact rate ratio; the feed
             # cursor runs ahead by the queue depth (bounded by one chunk)
             consumed = n_frames * sr / out_sr
+            # the end is reached only when the resampler could not fill the
+            # buffer anymore — the display position hits `total` while the
+            # out-queue still holds the real track tail (sinc latency +
+            # queued frames), and ending there truncated it audibly
+            # (reference drains rubato before mark_track_end; review finding)
+            tail_drained = take < n_frames
 
         out = mix_frames(src, out_channels)
         out = np.clip(out * vol, -1.0, 1.0).astype(np.float32, copy=False)
@@ -388,7 +407,7 @@ class PlaybackStreamSource:
             if p.cursor_version == version and p.is_playing:
                 new_pos = min(pos + consumed, float(total))
                 p.position_frame = new_pos
-                if new_pos >= total:
+                if new_pos >= total and tail_drained:
                     p.is_playing = False
                     self.reached_end = True
         return out
