@@ -70,6 +70,41 @@ def test_native_waveform_bins():
     np.testing.assert_allclose(out[0], [-32.0, 31.0, -0.5])
 
 
+def test_pcm_s32_s24_native_matches_numpy_bitexact():
+    """Cross-path byte identity: the native s32 conversion must cast to f32
+    BEFORE the divide like the numpy fallback (a correctly-rounded double
+    divide differed in the last ulp for >24-significant-bit samples, e.g.
+    INT32_MAX -> 0.99999994 vs 1.0; review finding).  s24 negatives cover
+    the sign-extension path."""
+    if not native.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        np.int32([2147483647, -2147483648, -1, 0, 1, 16777217, -16777217]),
+        rng.integers(-2**31, 2**31 - 1, 500, dtype=np.int64).astype(np.int32),
+    ])
+    payload = vals.astype("<i4").tobytes()
+    got = native.pcm_to_f32_planar(payload, 1, "s32")[0]
+    exp = np.frombuffer(payload, "<i4").astype(np.float32) / 2147483648.0
+    np.testing.assert_array_equal(got, exp)
+
+    from thesia_tpu.io.wav import s24_bytes_to_f32
+
+    s24 = np.concatenate([
+        np.int32([0x7FFFFF, -0x800000, -1, 0, 1]),
+        rng.integers(-2**23, 2**23 - 1, 500, dtype=np.int64).astype(np.int32),
+    ])
+    raw = np.zeros((len(s24), 3), np.uint8)
+    u = s24.astype(np.int64) & 0xFFFFFF
+    raw[:, 0] = u & 0xFF
+    raw[:, 1] = (u >> 8) & 0xFF
+    raw[:, 2] = (u >> 16) & 0xFF
+    payload24 = raw.tobytes()
+    got24 = native.pcm_to_f32_planar(payload24, 1, "s24")[0]
+    exp24 = s24_bytes_to_f32(np.frombuffer(payload24, np.uint8))
+    np.testing.assert_array_equal(got24, exp24)
+
+
 def test_flac_malformed_inputs_never_crash():
     """Adversarial FLAC bytes (review findings): the heap-overflow shape
     (LPC order 32 with block_size 1), a huge 36-bit streaminfo sample count

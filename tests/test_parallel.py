@@ -39,6 +39,27 @@ def _items(seed=0, n_tracks=3, n=4096, sr=8000):
 
 
 @needs_mesh
+def test_active_mesh_forwards_freq_parallel_opt_in():
+    """A mesh constructed with freq_parallel>1 is an explicit opt-in: the
+    engine's active sharding must partition the DFT/mel operands over the
+    freq axis (previously replicated — half the chips redid identical
+    work; review finding).  The default tracks-only mesh stays rows-DP
+    (mat None), preserving bit-exactness."""
+    set_active_mesh(make_mesh(8, freq_parallel=2))
+    try:
+        sh = active_spec_sharding()
+        assert sh is not None and sh.mat is not None and sh.n_freq == 2
+    finally:
+        set_active_mesh(None)
+    set_active_mesh(make_mesh(8))
+    try:
+        sh = active_spec_sharding()
+        assert sh is not None and sh.mat is None
+    finally:
+        set_active_mesh(None)
+
+
+@needs_mesh
 def test_engine_batched_sharded_bitexact_vs_single_device():
     """calc_specs_batched with the mesh active must reproduce the unsharded
     result bit-for-bit (rows-only data parallelism preserves per-row math)."""

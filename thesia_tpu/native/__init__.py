@@ -94,6 +94,7 @@ def _load():
             c.POINTER(c.c_uint8), c.c_int64, c.c_int64, c.c_int,
             c.POINTER(c.c_float),
         ]
+        lib.pcm_to_f32_planar.restype = c.c_int
         lib.audio_stats.argtypes = [
             c.POINTER(c.c_float), c.c_int64, c.c_int64, c.c_uint32,
             c.POINTER(c.c_double), c.POINTER(c.c_double),
@@ -251,9 +252,14 @@ def pcm_to_f32_planar(payload: bytes | np.ndarray, n_ch: int, fmt: str) -> np.nd
     bpp = _PCM_BYTES[fmt]
     n = len(src) // (bpp * n_ch)
     out = np.empty((n_ch, n), np.float32)
-    lib.pcm_to_f32_planar(
+    rc = lib.pcm_to_f32_planar(
         _ptr(src, ctypes.c_uint8), n, n_ch, _PCM_FMT[fmt], _ptr(out, ctypes.c_float)
     )
+    if rc != 0:
+        # temp-buffer allocation failed: raising matches the numpy
+        # fallback's MemoryError — returning zeros decoded a GB-scale
+        # track as valid silence (review finding)
+        raise MemoryError("pcm_to_f32_planar: temp buffer allocation failed")
     return out
 
 
@@ -297,14 +303,17 @@ def flac_decode(data: bytes):
     """-> (planar f32 (n_ch, n), sr, bits). Raises ValueError on failure."""
     lib = _load()
     assert lib is not None
-    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    # zero-copy view: the C side takes const uint8_t*, so the read-only
+    # bytes buffer can be handed over directly (copying doubled the memory
+    # of a large FLAC per decode; review finding)
+    buf = np.frombuffer(data, np.uint8)
     out = ctypes.POINTER(ctypes.c_float)()
     sr = ctypes.c_uint32()
     n_ch = ctypes.c_uint32()
     n = ctypes.c_uint64()
     bps = ctypes.c_uint32()
     rc = lib.flac_decode(
-        ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)), len(data),
+        _ptr(buf, ctypes.c_uint8), len(data),
         ctypes.byref(out), ctypes.byref(sr), ctypes.byref(n_ch),
         ctypes.byref(n), ctypes.byref(bps),
     )

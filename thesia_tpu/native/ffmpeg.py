@@ -36,7 +36,13 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        need = not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        # a deployment may ship the prebuilt .so without src/ — treat a
+        # missing source as "not stale" instead of crashing available()
+        # (same guard as native/__init__.py; review finding)
+        need = not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        )
         if need and not _build():
             return None
         try:

@@ -671,21 +671,29 @@ static void pcm_to_f32_seq(const uint8_t *src, int64_t count, int fmt,
         const uint8_t *p = src + 3 * i;
         int32_t v = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8) |
                               ((uint32_t)p[2] << 16));
-        v = (v << 8) >> 8;  // sign-extend 24 -> 32
+        // sign-extend 24 -> 32 via unsigned shift (a signed left shift
+        // of a value with bit 23 set is UB; same pattern as the FLAC
+        // decoder's shifts)
+        v = (int32_t)((uint32_t)v << 8) >> 8;
         out[i] = (float)v / 8388608.0f;
       }
       break;
     case 5: {
+      // cast to f32 FIRST, then divide by the exact power of two — the
+      // numpy fallback (io/wav.py) and the reference both do int32->f32
+      // before the divide, and the double-divide rounding differs in the
+      // last ulp for >24-significant-bit samples (cross-path byte
+      // identity; review finding)
       const int32_t *s = (const int32_t *)src;
       for (int64_t i = 0; i < count; ++i)
-        out[i] = (float)((double)s[i] / 2147483648.0);
+        out[i] = (float)s[i] / 2147483648.0f;
       break;
     }
   }
 }
 
-void pcm_to_f32_planar(const uint8_t *src, int64_t n, int64_t n_ch, int fmt,
-                       float *out /* n_ch * n */) {
+int pcm_to_f32_planar(const uint8_t *src, int64_t n, int64_t n_ch, int fmt,
+                      float *out /* n_ch * n */) {
   // two memory-speed passes: fmt -> interleaved f32, then deinterleave with
   // alias-free local cursors (an earlier pointer-array formulation defeated
   // the optimizer: 73 ns/elem vs ~3 ns here)
@@ -695,10 +703,10 @@ void pcm_to_f32_planar(const uint8_t *src, int64_t n, int64_t n_ch, int fmt,
     inter = (const float *)src;
   } else {
     tmp = (float *)std::malloc((size_t)n * n_ch * 4);
-    if (!tmp) {  // GB-scale payloads under memory pressure
-      for (int64_t i = 0; i < n * n_ch; ++i) out[i] = 0.0f;
-      return;
-    }
+    if (!tmp) return -1;  // GB-scale payloads under memory pressure: the
+                          // caller raises MemoryError — silently returning
+                          // zeros decoded as a valid silent track (review
+                          // finding)
     pcm_to_f32_seq(src, n * n_ch, fmt, tmp);
     inter = tmp;
   }
@@ -719,6 +727,7 @@ void pcm_to_f32_planar(const uint8_t *src, int64_t n, int64_t n_ch, int fmt,
     }
   }
   std::free(tmp);
+  return 0;
 }
 
 // Streaming per-track statistics in one pass (reference:
@@ -727,9 +736,8 @@ void pcm_to_f32_planar(const uint8_t *src, int64_t n, int64_t n_ch, int fmt,
 // per-100ms-segment energies (the caller assembles 400 ms gating blocks and
 // applies BS.1770 gating), plus sum of squares and abs peak of the RAW
 // samples.  seg_energies must hold n / s100 doubles where
-// s100 = (sr + 5) / 10; channels beyond 2 carry weight handled by caller
-// via per-channel calls? No: all channels accumulated here with BS.1770
-// weights (>=3 -> 1.41).
+// s100 = (sr + 5) / 10.  All channels accumulate HERE with BS.1770
+// weights: ch 0-2 weight 1.0, ch >= 3 weight 1.41 (matches loudness.py).
 void audio_stats(const float *wavs, int64_t n_ch, int64_t n, uint32_t sr,
                  const double *b1, const double *a1, const double *b2,
                  const double *a2, double *seg_energies, int64_t n_segs,

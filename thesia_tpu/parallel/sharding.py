@@ -96,11 +96,14 @@ def spec_sharding(mesh: Mesh, freq_parallel: bool = False) -> SpecSharding:
 
 def active_spec_sharding() -> SpecSharding | None:
     """The sharding bundle the engine applies to batched recomputes, or None
-    when no multi-device mesh is active."""
+    when no multi-device mesh is active.  A mesh built with
+    make_mesh(freq_parallel=k>1) opts its "freq" axis in here — without
+    this, a freq-parallel mesh replicated the DFT/mel operands and half the
+    chips redid identical work (review finding)."""
     mesh = _active_mesh
     if mesh is None or mesh.size < 2:
         return None
-    return spec_sharding(mesh)
+    return spec_sharding(mesh, freq_parallel=mesh.shape["freq"] > 1)
 
 
 def pad_rows_for(shardings: SpecSharding | None, rows: int) -> int:
