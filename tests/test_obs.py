@@ -104,6 +104,63 @@ def test_rwlock_writer_priority_over_new_readers():
     assert order.index("w") < order.index("r2")
 
 
+def test_rwlock_aborted_writer_wakes_parked_readers():
+    """A writer interrupted while waiting (KeyboardInterrupt/shutdown) must
+    wake readers parked on the writer-priority gate — with no holder left,
+    nothing else would ever notify them (review finding)."""
+    import threading
+
+    from thesia_tpu.obs import RwLock
+
+    rw = RwLock()
+    orig_wait = rw._cond.wait
+    reader_parked = threading.Event()
+
+    def flaky_wait(timeout=None):
+        t = threading.current_thread().name
+        if t == "parked-reader":
+            # the event is set while the reader still HOLDS the cond lock;
+            # the writer can only observe it after this orig_wait releases
+            # the lock — i.e. once the reader is genuinely parked
+            reader_parked.set()
+            return orig_wait(timeout)
+        if t == "doomed-writer":
+            while not reader_parked.is_set():
+                orig_wait(0.01)  # releases the lock so the reader can park
+            raise RuntimeError("simulated interrupt inside cond.wait")
+        return orig_wait(timeout)
+
+    rw._cond.wait = flaky_wait
+    got_read = threading.Event()
+    writer_raised = threading.Event()
+
+    def doomed_writer():
+        try:
+            with rw.write():
+                pass
+        except RuntimeError:
+            writer_raised.set()
+
+    def parked_reader():
+        # parks behind _writers_waiting while the main read is held
+        with rw.read():
+            got_read.set()
+
+    with rw.read():
+        w = threading.Thread(target=doomed_writer, name="doomed-writer")
+        w.start()
+        r = threading.Thread(target=parked_reader, name="parked-reader")
+        r.start()
+        w.join(timeout=10)
+        assert writer_raised.is_set()
+        # STILL holding the original read: the parked reader must get in
+        # (read locks are shared) because the aborting writer notified
+        assert got_read.wait(timeout=5), "reader stayed parked after writer abort"
+        r.join(timeout=5)
+    rw._cond.wait = orig_wait
+    assert rw._writers_waiting == 0
+
+
 def test_session_write_takes_exclusive_lock(tmp_path):
     """EngineSession mutations run under rw.write(); a held read blocks them."""
     from thesia_tpu.engine.session import EngineSession

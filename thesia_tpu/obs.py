@@ -130,11 +130,16 @@ class RwLock:
             try:
                 while self._writer or self._readers:
                     self._cond.wait()
-            finally:
+            except BaseException:
                 # an exception while blocked (KeyboardInterrupt, shutdown)
                 # must not leak the counter — readers would spin on
-                # _writers_waiting forever
+                # _writers_waiting forever — AND must wake readers already
+                # parked on the writer-priority gate: with no holder left,
+                # nothing else would ever notify them (review finding)
                 self._writers_waiting -= 1
+                self._cond.notify_all()
+                raise
+            self._writers_waiting -= 1
             self._writer = True
         try:
             yield
