@@ -382,6 +382,30 @@ def test_row_height_is_css_variable():
     assert "--row-h" in _js_sources()["app.js"]
 
 
+def test_left_offset_matches_css_row_columns():
+    """app.js LEFT_FIXED_PX and style.css --left-off must equal the sum of
+    the fixed row columns left of the viewport (splitter slot + ch-label +
+    amp axis + freq axis).  Omitting the ch-label misaligned the time
+    axis, overview, zoom anchor and fit width by 14 px (review finding)."""
+    css = (VIEWER / "style.css").read_text()
+    widths = {}
+    for cls in ("info-splitter-slot", "ch-label", "amp-axis", "freq-axis"):
+        m = re.search(rf"\.{cls}\s*{{[^}}]*?width:\s*(\d+)px", css)
+        assert m, f"cannot find width of .{cls}"
+        widths[cls] = int(m.group(1))
+    total = sum(widths.values())
+    m = re.search(r"--left-off:\s*calc\(var\(--info-w\)\s*\+\s*(\d+)px\)", css)
+    assert m and int(m.group(1)) == total, (
+        f"--left-off {m and m.group(1)} != column sum {total} ({widths})"
+    )
+    js = _js_sources()["app.js"]
+    m = re.search(r"const LEFT_FIXED_PX = ([\d\s+]+);", js)
+    assert m, "LEFT_FIXED_PX missing from app.js"
+    assert eval(m.group(1)) == total, (
+        f"app.js LEFT_FIXED_PX {m.group(1)} != column sum {total}"
+    )
+
+
 def test_app_inline_math_budget():
     """Ratchet: app.js/overview.js may keep their existing trivial inline
     Math plumbing (hit-test abs, DOM clamp min/max, one display round), but

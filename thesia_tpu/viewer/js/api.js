@@ -9,7 +9,16 @@ async function call(command, args = {}) {
     headers: { "Content-Type": "application/json" },
     body: JSON.stringify(args),
   });
-  if (!r.ok) throw new Error(`${command}: ${(await r.json()).error || r.status}`);
+  if (!r.ok) {
+    // error bodies are JSON from the service, but a proxy 502 / mid-restart
+    // page is HTML — parse defensively so the surfaced error names the
+    // command + status instead of a JSON SyntaxError (review finding)
+    let detail = r.status;
+    try {
+      detail = (await r.json()).error || r.status;
+    } catch (_e) { /* non-JSON body */ }
+    throw new Error(`${command}: ${detail}`);
+  }
   return (await r.json()).result;
 }
 
@@ -86,6 +95,13 @@ export const api = {
   getLengthSec: (trackId) => call("get_length_sec", { trackId }),
   getSampleRate: (trackId) => call("get_sample_rate", { trackId }),
   getFormatInfo: (trackId) => call("get_format_info", { trackId }),
+  getMinDb: () => call("get_min_dB").then(jsonNumber),
+  getMaxDb: () => call("get_max_dB").then(jsonNumber),
+  getCommonGuardClipping: () => call("get_common_guard_clipping"),
+  getCommonNormalize: () => call("get_common_normalize"),
+  calcDbAxisMarkers: (maxNumTicks, maxNumLabels, dBRangeMin, dBRangeMax) =>
+    call("calc_dB_axis_markers", { maxNumTicks, maxNumLabels, dBRangeMin, dBRangeMax }),
+  freqLabelToHz: (label) => call("freq_label_to_hz", { label }),
   getGlobalLufs: (trackId) => call("get_global_lufs", { trackId }).then(jsonNumber),
   getRmsDb: (trackId) => call("get_rms_dB", { trackId }).then(jsonNumber),
   getMaxPeakDb: (trackId) => call("get_max_peak_dB", { trackId }).then(jsonNumber),

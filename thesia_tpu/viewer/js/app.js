@@ -55,11 +55,18 @@ window.addEventListener("resize", () => { state.needsRedraw = true; });
 let overview = null;
 let colormapRgba = null;
 
+// width of everything left of a row's viewport: info pane + splitter
+// slot (8) + ch-label (14) + amp axis (45) + freq axis (45).  MUST match
+// style.css --left-off and the .ch-label/.amp-axis/.freq-axis widths —
+// omitting the ch-label misaligned the time axis, overview, zoom anchor
+// and fit width by 14px (review finding)
+const LEFT_FIXED_PX = 8 + 14 + 45 + 45;
+
 function leftOffset() {
   const infoW = parseFloat(
     getComputedStyle(document.documentElement).getPropertyValue("--info-w")
   ) || 200;
-  return infoW + 45 + 45 + 8; // info + amp axis + freq axis + splitter
+  return infoW + LEFT_FIXED_PX;
 }
 
 function viewWidth() {
@@ -245,12 +252,7 @@ async function refreshAll() {
 
 async function updateColorbar() {
   if (!colormapRgba) return;
-  const [minDb, maxDb] = await Promise.all([
-    fetch("/api/get_min_dB", { method: "POST" }).then((r) => r.json())
-      .then((j) => jsonNumber(j.result)),
-    fetch("/api/get_max_dB", { method: "POST" }).then((r) => r.json())
-      .then((j) => jsonNumber(j.result)),
-  ]);
+  const [minDb, maxDb] = await Promise.all([api.getMinDb(), api.getMaxDb()]);
   state.dbRange = [minDb, maxDb]; // colorbar hover tooltip reads these
   drawColorbar($("#colorbar"), colormapRgba, minDb, maxDb);
 }
@@ -319,6 +321,11 @@ async function buildRow(trackId) {
     });
     vpc.addEventListener("mouseleave", hideTooltip);
     vpc.addEventListener("mousedown", (e) => {
+      // a click is always preceded by a mousedown on this element, so a
+      // suppress flag left over from a drag released OUTSIDE the viewport
+      // (no click ever fired) must not swallow this fresh interaction
+      // (review finding); the locator-drag up() re-sets it afterwards
+      state.suppressNextViewportClick = false;
       // drag a locator: playing -> scrub-seek the playhead; paused -> drag
       // the select cursor (reference MainViewer.tsx:491-513,635-667)
       const kind = grabbedLocator(e);
@@ -670,14 +677,9 @@ function closeFloatingInput() {
 
 async function parseHzLabel(text) {
   // exact reference parser (axis.rs freqLabelToHz: "12345", "12.3k", "1k5")
-  // served by the backend axis API
+  // served by the backend axis API; any failure means "not parseable"
   try {
-    const r = await fetch("/api/freq_label_to_hz", {
-      method: "POST", headers: { "Content-Type": "application/json" },
-      body: JSON.stringify({ label: text }),
-    });
-    if (!r.ok) return null;
-    const v = (await r.json()).result;
+    const v = await api.freqLabelToHz(text);
     return typeof v === "number" && isFinite(v) ? v : null;
   } catch {
     return null;
@@ -1330,7 +1332,7 @@ function setupSplitter() {
     document.documentElement.style.setProperty("--info-w", `${saved}px`);
   }
   splitter.addEventListener("mousedown", (e) => {
-    const start = { x: e.clientX, w: leftOffset() - 98 };
+    const start = { x: e.clientX, w: leftOffset() - LEFT_FIXED_PX };
     axisDrag = {
       move(ev) {
         const w = L.splitterWidth(start.w, ev.clientX - start.x);
@@ -1620,16 +1622,13 @@ async function setupControls() {
   const persistSettings = async () => {
     const [spec, dbRange, guard, norm] = await Promise.all([
       api.getSpecSetting(), api.getDbRange(),
-      call_get("get_common_guard_clipping"), call_get("get_common_normalize"),
+      api.getCommonGuardClipping(), api.getCommonNormalize(),
     ]);
     await api.setUserSettings({
       specSetting: spec, dBRange: dbRange, blend: state.blend,
       commonGuardClipping: guard, commonNormalize: norm,
     });
   };
-  const call_get = (name) =>
-    fetch(`/api/${name}`, { method: "POST" }).then((r) => r.json())
-      .then((j) => j.result);
 
   // rate shaping (reference Control.tsx:95,146-178: dB range throttled to
   // one set per frame, normalize/guard selects debounced 250 ms)

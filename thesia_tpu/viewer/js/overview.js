@@ -155,18 +155,48 @@ export class Overview {
     const trackWidth = Math.min(this.metadata.trackSec * pxPerSec, w);
     const nCh = this.bins.length;
     const hasGain = !!(this.gain && this.gain.length > 1);
-    const lanes = L.overviewLaneLayout(nCh, h, hasGain);
-    const ampRange = L.ampRangeFromBins(this.bins);
     const isClipped = !!this.metadata.isClipped;
-    for (let ch = 0; ch < nCh; ch++) {
-      const lane = lanes[ch];
-      if (hasGain && lane.gainHeight > 0) this._drawGainBands(trackWidth, lane);
-      if (isClipped) {
-        // unclamped pass in the clipping color peeks out wherever the
-        // clamped waveform saturates (OverviewWaveformViewport.tsx:453-463)
-        this._fillWave(this.bins[ch], lane, trackWidth, ampRange, CLIP_COLOR, false);
+    // geometry cache: draw() runs every animation frame while playing, but
+    // only the LENS changes between frames — recomputing the limiter-gain
+    // envelopes (O(n_samples): the gain sequence is per-sample) and the
+    // wave polygons each frame stuttered playback on Limiter-mode tracks
+    // (review finding; the reference retains its drawn layer).  Keyed on
+    // geometry + the data arrays' identity (setTrack replaces them).
+    const key = `${w}:${h}:${trackWidth}:${nCh}:${hasGain}:${isClipped}`;
+    let sc = this._scene;
+    if (!sc || sc.key !== key || sc.bins !== this.bins || sc.gain !== this.gain) {
+      const lanes = L.overviewLaneLayout(nCh, h, hasGain);
+      const ampRange = L.ampRangeFromBins(this.bins);
+      const waves = [];
+      for (let ch = 0; ch < nCh; ch++) {
+        const lane = lanes[ch];
+        waves.push({
+          lane,
+          // unclamped pass in the clipping color peeks out wherever the
+          // clamped waveform saturates (OverviewWaveformViewport.tsx:453-463)
+          clipPts: isClipped
+            ? L.overviewWavePoints(this.bins[ch], lane, trackWidth, ampRange, false)
+            : null,
+          pts: L.overviewWavePoints(
+            this.bins[ch], lane, trackWidth, ampRange, isClipped
+          ),
+          gainEnvs: hasGain && lane.gainHeight > 0
+            ? L.calcLimiterGainEnvelopes(
+                this.gain, trackWidth, lane.gainHeight, [0.5, 1]
+              )
+            : null,
+        });
       }
-      this._fillWave(this.bins[ch], lane, trackWidth, ampRange, WAVE_COLOR, isClipped);
+      sc = this._scene = { key, bins: this.bins, gain: this.gain, waves };
+    }
+    for (const wv of sc.waves) {
+      if (wv.gainEnvs) this._drawGainBands(wv.lane, wv.gainEnvs);
+      if (wv.clipPts) {
+        ctx.fillStyle = CLIP_COLOR;
+        this._fillPath(wv.clipPts);
+      }
+      ctx.fillStyle = WAVE_COLOR;
+      this._fillPath(wv.pts);
     }
     if (trackWidth < w) {
       ctx.fillStyle = OUT_TRACK_FILL;
@@ -182,22 +212,12 @@ export class Overview {
     ctx.strokeRect(x0 + 0.5, 0.5, Math.max(x1 - x0, 2) - 1, h - 1);
   }
 
-  _fillWave(bins, lane, trackWidth, ampRange, color, clampValues) {
-    this.ctx.fillStyle = color;
-    this._fillPath(
-      L.overviewWavePoints(bins, lane, trackWidth, ampRange, clampValues)
-    );
-  }
-
-  _drawGainBands(trackWidth, lane) {
+  _drawGainBands(lane, envelopes) {
     // reference: OverviewWaveformViewport.tsx:123-143 drawLimiterGain —
     // each sub-unity envelope painted hanging from the lane's top band
     // and mirrored rising from the bottom band, over gainRange [0.5, 1]
     const { ctx } = this;
     ctx.fillStyle = GAIN_COLOR;
-    const envelopes = L.calcLimiterGainEnvelopes(
-      this.gain, trackWidth, lane.gainHeight, [0.5, 1]
-    );
     const yAbove = lane.y - lane.gainHeight;
     const yBelow = lane.y + lane.height;
     for (const env of envelopes) {
@@ -239,14 +259,7 @@ export async function drawColorbar(canvas, colormap, minDb, maxDb) {
   if (isFinite(minDb) && isFinite(maxDb) && maxDb > minDb) {
     const { DB_TICK_NUM, tickScale } = await import("./axes.js");
     const scale = tickScale(DB_TICK_NUM, h) || [4, 4];
-    const markers = await fetch("/api/calc_dB_axis_markers", {
-      method: "POST",
-      headers: { "Content-Type": "application/json" },
-      body: JSON.stringify({
-        maxNumTicks: scale[0], maxNumLabels: scale[1],
-        dBRangeMin: minDb, dBRangeMax: maxDb,
-      }),
-    }).then((r) => r.json()).then((j) => j.result);
+    const markers = await api.calcDbAxisMarkers(scale[0], scale[1], minDb, maxDb);
     setLastAxisMarkers(canvas, markers); // dB tooltip reads the drawn ticks
     ctx.fillStyle = "#9aa0ac";
     ctx.font = "9px system-ui";
