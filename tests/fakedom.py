@@ -194,6 +194,13 @@ def make_element(doc, tag, attrs=None):
         c["dataset"] = dict(el["dataset"])
         c["textContent"] = el["textContent"]
         c["value"] = el["value"]
+        # template inputs carry clamping/visibility attributes the cloned
+        # rows must keep (parseFloat(rangeEl.min) silently NaN'd without
+        # them — review finding)
+        for attr in ("min", "max", "step", "hidden", "disabled", "type",
+                     "title", "placeholder"):
+            if attr in el:
+                c[attr] = el[attr]
         if deep:
             for ch in el["children"]:
                 append = c["appendChild"]
@@ -209,6 +216,11 @@ def make_element(doc, tag, attrs=None):
         docdict = getattr(doc, "doc", None)
         if isinstance(docdict, dict):
             docdict["activeElement"] = el
+        # fire the onfocus PROPERTY too, like blur() fires onblur — app.js
+        # assigns textEl.onfocus to capture pre-edit values (review finding)
+        onfocus = el.get("onfocus")
+        if callable(onfocus):
+            onfocus({"target": el})
         for fn in el["_handlers"].get("focus", []):
             fn({"target": el})
 

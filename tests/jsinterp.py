@@ -98,7 +98,11 @@ def tokenize(src: str) -> list[Tok]:
             raise SyntaxError(f"tokenize error at {i}: {src[i:i+30]!r}")
         if (
             m.lastgroup == "punct" and m.group() == "/"
-            and (not toks or toks[-1].val in _REGEX_PREV)
+            and (not toks
+                 # template-literal tokens carry unhashable (lists) vals —
+                 # a value position, so / after one is division, not regex
+                 or (isinstance(toks[-1].val, str)
+                     and toks[-1].val in _REGEX_PREV))
         ):
             # regex literal position (JS grammar is context-sensitive here)
             j = i + 1
@@ -134,7 +138,12 @@ def tokenize(src: str) -> list[Tok]:
             while j < len(src):
                 c = src[j]
                 if c == "\\":
-                    buf.append(src[j + 1])
+                    # real JS escape semantics: `\n` is a newline, not 'n'
+                    nxt = src[j + 1]
+                    buf.append({
+                        "n": "\n", "t": "\t", "r": "\r", "0": "\0",
+                        "b": "\b", "f": "\f", "v": "\v",
+                    }.get(nxt, nxt))
                     j += 2
                     continue
                 if c == "`":
@@ -875,6 +884,13 @@ class JSSet:
         return self.m.size
 
 
+class InterpGap(Exception):
+    """An INTERPRETER limitation (unimplemented builtin/method), not a JS
+    runtime error: it must escape JS try/catch and fail the test — a real
+    browser would have executed the code (review finding: the missing
+    Object builtin hid an entire app.js path behind a catch)."""
+
+
 class JSThrow(Exception):
     def __init__(self, value):
         self.value = value
@@ -1028,6 +1044,35 @@ def js_to_fixed(x: float, digits: int) -> str:
     return f"{sign}{s[:-digits]}.{s[-digits:]}" if digits else f"{sign}{s}"
 
 
+def js_to_precision(x: float, p: int) -> str:
+    """Number.prototype.toPrecision: KEEPS trailing zeros, unlike Python's
+    '%g' ((50).toPrecision(3) is '50.0', (0.05).toPrecision(3) is
+    '0.0500'); scientific form outside [1e-7, 1e21) exponent rules."""
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "-Infinity" if x < 0 else "Infinity"
+    if x == 0:
+        return f"{0:.{p - 1}f}" if p > 1 else "0"
+    e = math.floor(math.log10(abs(x)))
+    # decimal-rounded mantissa can bump the exponent (9.99 -> 10.0)
+    from decimal import ROUND_HALF_UP
+
+    d = Decimal(x).scaleb(-e).quantize(
+        Decimal(1).scaleb(-(p - 1)), rounding=ROUND_HALF_UP
+    )
+    if abs(d) >= 10:
+        d = d.scaleb(-1)
+        e += 1
+    if e < -6 or e >= p:
+        mant = str(d)
+        return f"{mant}e{'+' if e >= 0 else '-'}{abs(e)}"
+    # fixed notation with exactly p significant digits
+    frac = p - 1 - e
+    v = d.scaleb(e)
+    return f"{v:.{max(frac, 0)}f}"
+
+
 _MATH = {
     "floor": lambda x: float(math.floor(x)),
     "ceil": lambda x: float(math.ceil(x)),
@@ -1106,6 +1151,70 @@ class Interp:
             "error": lambda *a: UNDEF,
         })
 
+        def _obj_pairs(o):
+            if isinstance(o, JSMap):
+                return [[k, v] for k, v in o.items()]
+            if isinstance(o, dict):
+                return [[k, v] for k, v in o.items()]
+            if isinstance(o, list):
+                return [[str(i) for i in (idx,)][0:1] + [v]
+                        for idx, v in enumerate(o)]
+            return []
+
+        def _obj_assign(target=UNDEF, *sources):
+            for s in sources:
+                if isinstance(s, dict):
+                    target.update(s)
+            return target
+
+        def _json_stringify(v=UNDEF, _r=UNDEF, _s=UNDEF):
+            import json as _json
+
+            def conv(x):
+                if x is UNDEF or callable(x):
+                    return None
+                if isinstance(x, float):
+                    return int(x) if x == int(x) and math.isfinite(x) else x
+                if isinstance(x, dict):
+                    return {k: conv(val) for k, val in x.items()
+                            if val is not UNDEF and not callable(val)}
+                if isinstance(x, list):
+                    return [conv(i) for i in x]
+                return x
+
+            if v is UNDEF:
+                return UNDEF
+            return _json.dumps(conv(v), separators=(",", ":"))
+
+        def _json_parse(s=UNDEF):
+            import json as _json
+
+            def conv(x):
+                if isinstance(x, bool):
+                    return x
+                if isinstance(x, (int, float)):
+                    return float(x)
+                if isinstance(x, dict):
+                    return {k: conv(v) for k, v in x.items()}
+                if isinstance(x, list):
+                    return [conv(i) for i in x]
+                return x
+
+            return conv(_json.loads(js_to_string(s)))
+
+        g.declare("JSON", {
+            "stringify": _json_stringify,
+            "parse": _json_parse,
+        })
+        g.declare("Object", {
+            "entries": lambda o=UNDEF: _obj_pairs(o),
+            "keys": lambda o=UNDEF: [p[0] for p in _obj_pairs(o)],
+            "values": lambda o=UNDEF: [p[1] for p in _obj_pairs(o)],
+            "assign": _obj_assign,
+            "fromEntries": lambda pairs=UNDEF: {p[0]: p[1] for p in pairs},
+            "freeze": lambda o=UNDEF: o,
+        })
+
     def load(self, source: str):
         """Parse + execute top-level declarations of a module source.
         Statements execute directly in the global env (the generic block
@@ -1142,15 +1251,24 @@ class Interp:
         elif kind == "switch":
             subject = self.eval(node[1], env)
             sw_env = Env(env)
-            matched = False
+            # JS matches cases FIRST; default only runs (with fallthrough)
+            # when no case matched, even if it appears before a matching
+            # case in source order
+            start = None
+            for idx, (test, _body) in enumerate(node[2]):
+                if test is not None and js_strict_eq(
+                    subject, self.eval(test, sw_env)
+                ):
+                    start = idx
+                    break
+            if start is None:
+                for idx, (test, _body) in enumerate(node[2]):
+                    if test is None:
+                        start = idx
+                        break
             try:
-                for test, body in node[2]:
-                    if not matched:
-                        if test is None:
-                            matched = True  # default: falls through like JS
-                        elif js_strict_eq(subject, self.eval(test, sw_env)):
-                            matched = True
-                    if matched:
+                if start is not None:
+                    for _test, body in node[2][start:]:
                         for s in body:
                             self.exec(s, sw_env)
             except BreakEx:
@@ -1181,12 +1299,20 @@ class Interp:
             loop_env = Env(env)
             self.exec(node[1], loop_env)
             while js_truthy(self.eval(node[2], loop_env)):
+                # per-iteration let bindings (JS spec CopyDeclarativeBindings):
+                # closures created in the body capture THIS iteration's
+                # counter value, not the final one
+                iter_env = Env(env)
+                iter_env.vars = dict(loop_env.vars)
                 try:
-                    self.exec(node[4], loop_env)
+                    self.exec(node[4], iter_env)
                 except BreakEx:
                     break
                 except ContinueEx:
                     pass
+                # body mutations of the loop vars carry into the next copy
+                for k in loop_env.vars:
+                    loop_env.vars[k] = iter_env.vars[k]
                 if node[3] is not None:
                     self.eval(node[3], loop_env)
         elif kind == "forof":
@@ -1529,7 +1655,7 @@ class Interp:
                 return lambda v: isinstance(v, float) and math.isnan(v)
             if name == "POSITIVE_INFINITY":
                 return math.inf
-            raise AttributeError(f"Number.{name}")
+            raise InterpGap(f"Number.{name}")
         if isinstance(obj, dict):
             return obj.get(name, UNDEF)
         if isinstance(obj, (list, str)) and name == "length":
@@ -1542,14 +1668,15 @@ class Interp:
                       "toLowerCase", "toUpperCase", "trim"},
                 list: {"indexOf", "includes", "slice", "concat", "filter",
                        "map", "every", "some", "reverse", "push", "join",
-                       "reduce", "pop", "shift", "find", "findIndex", "flat"},
+                       "reduce", "pop", "shift", "find", "findIndex", "flat",
+                       "forEach", "fill", "set", "subarray", "unshift"},
             }[type(obj) if type(obj) in (float, str) else list]
             if name in known:
                 return ("__method__", obj, name)
             return UNDEF  # unknown property on a primitive (JS: undefined)
         if obj is None or obj is UNDEF:
             raise TypeError(f"cannot read {name!r} of {obj!r}")
-        raise AttributeError(f"{type(obj)}.{name}")
+        raise InterpGap(f"{type(obj)}.{name}")
 
     def _call_method(self, obj, name, args):
         if isinstance(name, tuple) and name[0] == "__method__":
@@ -1579,7 +1706,7 @@ class Interp:
         if isinstance(obj, (JSMap, JSSet, JSDataView, JSArrayBuffer)):
             m = getattr(obj, name, None)
             if m is None:
-                raise AttributeError(f"{type(obj).__name__}.{name}")
+                raise InterpGap(f"{type(obj).__name__}.{name}")
             out = m(*args)
             return out
         if obj == ("__math__",):
@@ -1592,10 +1719,10 @@ class Interp:
             if name == "toPrecision":
                 if not args:
                     return js_number_to_string(obj)
-                return f"{obj:.{int(args[0])}g}"
+                return js_to_precision(obj, int(args[0]))
             if name == "toString":
                 return js_number_to_string(obj)
-            raise AttributeError(f"number.{name}")
+            raise InterpGap(f"number.{name}")
         if isinstance(obj, str):
             if name == "padStart":
                 width = int(args[0])
@@ -1614,14 +1741,20 @@ class Interp:
             if name == "indexOf":
                 return float(obj.find(args[0]))
             if name == "toFixed":
-                raise AttributeError("string.toFixed")
+                raise InterpGap("string.toFixed")
             if name == "split":
                 return obj.split(args[0])
             if name == "repeat":
                 return obj * int(args[0])
             if name == "charCodeAt":
                 return float(ord(obj[int(args[0]) if args else 0]))
-            raise AttributeError(f"string.{name}")
+            if name == "toLowerCase":
+                return obj.lower()
+            if name == "toUpperCase":
+                return obj.upper()
+            if name == "trim":
+                return obj.strip()
+            raise InterpGap(f"string.{name}")
         if isinstance(obj, list):
             if name == "indexOf":
                 for i, x in enumerate(obj):
@@ -1706,8 +1839,8 @@ class Interp:
                     args[0](x, float(i))
                 return UNDEF
             if name == "sort":
-                raise AttributeError("array.sort unsupported")
-            raise AttributeError(f"array.{name}")
+                raise InterpGap("array.sort unsupported")
+            raise InterpGap(f"array.{name}")
         if isinstance(obj, dict):
             fn = obj.get(name, UNDEF)
             if callable(fn):

@@ -876,7 +876,14 @@ def test_fit_follow_volume_and_metrics_panel(booted):
     panel = browser.doc["querySelector"]("#metrics-panel")
     browser.dispatch_event(toggle, "click", {"target": toggle})
     assert panel["hidden"] is False
-    assert panel["textContent"]  # rendered stage metrics (or placeholder)
+    # the REAL /debug/metrics render (Object.entries + template newlines +
+    # JSON.stringify all execute): the missing Object builtin previously
+    # dropped this whole path into the catch's placeholder and the test
+    # passed vacuously (harness review finding)
+    text = panel["textContent"]
+    assert text and text != "(metrics unavailable)"
+    assert "shape_warmer" in text and "compiled" in text
+    assert "\n" in text  # template `\n` is a real newline
     browser.dispatch_event(toggle, "click", {"target": toggle})
     assert panel["hidden"] is True
 
