@@ -827,7 +827,13 @@ class JSMap:
                 self.set(pair[0], pair[1])
 
     def _k(self, key):
-        return key if isinstance(key, (str, float, bool)) else id(key)
+        # tag by type: Python hashes True == 1.0 == 1, but JS Map keys
+        # distinguish true from 1
+        if isinstance(key, bool):
+            return ("b", key)
+        if isinstance(key, (str, float)):
+            return (type(key).__name__, key)
+        return ("id", id(key))
 
     def get(self, key):
         return self.d.get(self._k(key), (None, UNDEF))[1]
@@ -1016,7 +1022,20 @@ def js_number_to_string(x: float) -> str:
         return "-Infinity"
     if x == int(x) and abs(x) < 1e21:
         return str(int(x))
-    return repr(x)
+    s = repr(x)
+    if "e" not in s:
+        return s
+    # JS exponent rules differ from Python repr: positional down to 1e-7
+    # ("0.000001", not "1e-06"), no zero-padded exponents ("1e-7"/"1e+21")
+    mant, exp = s.split("e")
+    e = int(exp)
+    if -7 < e < 21:
+        from decimal import Decimal as _D
+
+        return format(_D(s), "f")
+    neg = mant.startswith("-")
+    mant = mant.lstrip("-").rstrip("0").rstrip(".")
+    return f"{'-' if neg else ''}{mant}e{'+' if e >= 0 else '-'}{abs(e)}"
 
 
 def js_to_string(v) -> str:
@@ -1039,7 +1058,9 @@ def js_to_fixed(x: float, digits: int) -> str:
     d = Decimal(x)
     scaled = d * (10 ** digits)
     n = int((scaled + Decimal("0.5")).to_integral_value(rounding="ROUND_FLOOR"))
-    sign = "-" if n < 0 else ""
+    # JS keeps the sign when a negative rounds to zero: (-0.04).toFixed(1)
+    # is "-0.0" (but (-0).toFixed(1) is "0.0")
+    sign = "-" if (n < 0 or (n == 0 and x < 0)) else ""
     s = str(abs(n)).rjust(digits + 1, "0")
     return f"{sign}{s[:-digits]}.{s[-digits:]}" if digits else f"{sign}{s}"
 
