@@ -44,7 +44,7 @@ def test_session_random_ops_soak(tmp_path, seed):
         return int(rng.integers(0, next_id + 2))
 
     for step in range(OPS):
-        op = rng.integers(0, 12)
+        op = rng.integers(0, 15)
         try:
             if op == 0 or not live:  # add
                 tid = next_id
@@ -97,6 +97,30 @@ def test_session_random_ops_soak(tmp_path, seed):
                 s.set_track_player(tid, float(rng.uniform(0, 3)))
                 s.seek_player(float(rng.uniform(-1, 10)))
                 s.pause_player() if rng.random() < 0.5 else s.resume_player()
+            elif op == 11:
+                # extreme-but-valid settings: the hop>=1 floor and the
+                # huge-window rfft fallback paths must survive the churn
+                s.set_spec_setting({
+                    "winMillisec": float(rng.choice([1.0, 2000.0])),
+                    "tOverlap": int(rng.choice([1, 32])),
+                    "fOverlap": 1,
+                    "freqScale": str(rng.choice(["Mel", "Linear"])),
+                })
+                # restore a production-ish setting so later steps stay fast
+                s.set_spec_setting({
+                    "winMillisec": 40.0, "tOverlap": 4, "fOverlap": 1,
+                    "freqScale": "Mel",
+                })
+            elif op == 12:
+                # hostile knobs -> documented ValueError only (inf parses
+                # from JSON's bare Infinity literal)
+                s.set_db_range(float(rng.choice([np.inf, np.nan, -5.0, 0.0])))
+            elif op == 13:
+                # poisoned persists are rejected at entry, never stored
+                s.set_user_settings({"specSetting": {
+                    "winMillisec": float(rng.choice([1e9, np.nan])),
+                    "tOverlap": 4, "fOverlap": 1, "freqScale": "Mel",
+                }})
             else:
                 s.get_max_db() if hasattr(s, "get_max_db") else None
                 s.apply_track_list_changes()
