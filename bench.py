@@ -392,10 +392,42 @@ def bench_knob_change_after_add():
             os.environ["THESIA_PRECOMPILE"] = prev
 
 
+def _require_backend(timeout_s: float = 1500.0) -> None:
+    """Fail FAST (exit 1) when the device backend is unavailable instead of
+    hanging the whole bench run: the axon tunnel was observed down for
+    hours (backend init blocked indefinitely or errored UNAVAILABLE), and
+    a hung bench is worse than a failed one.  The timeout covers the
+    documented worst-case first-touch warmup (~20 min in bad weather)."""
+    import threading
+
+    out: list = []
+
+    def probe():
+        try:
+            import jax
+
+            out.append(jax.devices())
+        except Exception as e:  # backend setup error
+            out.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    _progress(f"probing device backend (timeout {timeout_s:.0f}s)")
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        print("[bench] device backend probe timed out — aborting", file=sys.stderr)
+        raise SystemExit(1)
+    if isinstance(out[0], Exception):
+        print(f"[bench] device backend unavailable: {out[0]}", file=sys.stderr)
+        raise SystemExit(1)
+    _progress(f"backend ready: {out[0]}")
+
+
 def main():
     import os
 
     os.environ.setdefault("THESIA_PRECOMPILE", "0")  # clean timings
+    _require_backend()
     realtime_factor, frames_per_sec, spec = bench_spec_throughput()
     spec_tile_p50, wav_tile_p50 = bench_tile_latency(spec)
     multi_rt = bench_multitrack()
