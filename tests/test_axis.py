@@ -225,6 +225,34 @@ def test_axis_inputs_from_http_never_crash():
     assert degenerate[-1][1] == "ss"  # the format sentinel
     with pytest.raises(ValueError):
         calc_time_axis_markers(1.0, 0.999, 0.5, 2, 10.0)  # reversed
+    # label converters mirror Rust saturating casts / field parsing
+    # (axis.rs:325-360): inf and negatives must not 500 or go negative
+    from thesia_tpu.axis.markers import sec_to_label, time_label_to_sec
+
+    assert sec_to_label(-0.5) == "00:00:00.000"  # saturating u32 casts
+    assert sec_to_label(float("nan")) == "00:00:00.000"
+    assert ":" in sec_to_label(float("inf"))  # huge but well-formed, no 500
+    assert time_label_to_sec("-30") == -30.0  # Rust f64 seconds field
+    for bad in ("-1:30", "1: 30", "1_0:30", "+-1:30", "1:30:00:00"):
+        with pytest.raises(ValueError):
+            time_label_to_sec(bad)  # Rust u32 fields reject all of these
+    # the API boundary maps non-finite parses to null (bare Infinity is
+    # not valid JSON for the browser)
+    from thesia_tpu.engine.axis_api import AxisApi
+
+    api = AxisApi()
+    assert api.time_label_to_seconds("inf") is None
+    assert api.freq_label_to_hz("inf") is None
+    assert api.time_label_to_seconds("90") == 90.0
+    # freq position converters: ValueError (not assert/ZeroDivision) on
+    # hostile input
+    from thesia_tpu.axis.markers import freq_pos_to_hz
+    from thesia_tpu.common.freqscale import FreqScale as FS
+
+    with pytest.raises(ValueError):
+        freq_pos_to_hz(FS.Mel, 10.0, 0, (0.0, 8000.0), 8000.0)
+    with pytest.raises(ValueError):
+        freq_pos_to_hz(FS.Mel, float("nan"), 100, (0.0, 8000.0), 8000.0)
     with pytest.raises(ValueError):
         calc_time_axis_markers(0.0, 1.0, 0.0, 2, 10.0)  # zero tick unit
     with pytest.raises(ValueError):

@@ -331,6 +331,48 @@ def test_stream_hint_pulls_region_forward(monkeypatch):
     store.shutdown()
 
 
+def test_stream_hint_skips_already_landed_columns(monkeypatch):
+    """A wider hint arriving after a region already landed must not
+    re-fetch the landed columns: the hint chunk is capped at the next
+    landed interval like the non-hint sweep (review finding — up to a
+    full chunk of duplicate slow-tunnel d2h per occurrence)."""
+    import jax.numpy as jnp
+
+    from thesia_tpu.engine import images as I
+
+    monkeypatch.setattr(I, "STREAM_CHUNK_BYTES", 1024 * 32)  # 4096-col chunks
+    h, n = 4, 16384
+    data = np.random.default_rng(5).integers(1, 65535, (1, h, n)).astype(np.uint16)
+    logger = _SliceLogger(jnp.asarray(data))
+    t = I.TrackImages(0, 1, n, h, logger, {})
+    t.stream_hint = (5120, 6144)
+    store = I.SpecImageStore()
+    gate = threading.Event()
+    entered = threading.Event()
+    first = [True]
+    orig_yield = I.SpecImageStore._yield_to_interactive
+
+    def gated_yield(self):
+        if first[0]:
+            first[0] = False
+            entered.set()
+            assert gate.wait(10)
+        orig_yield(self)
+
+    monkeypatch.setattr(I.SpecImageStore, "_yield_to_interactive", gated_yield)
+    store.set_images(0, t)
+    assert entered.wait(10)  # the hinted (5120, 6144) chunk is streaming
+    with store._lock:
+        # the viewer now wants a WIDER region spanning the landing hole
+        t.stream_hint = (4096, 12288)
+    gate.set()
+    assert store.drain(timeout=30)
+    assert t.complete
+    np.testing.assert_array_equal(np.asarray(store.host_image(0, 0)), data[0])
+    total = sum(b - a for a, b in logger.spans)
+    assert total == n, f"columns double-fetched: {logger.spans}"
+
+
 def test_tile_request_prioritizes_track_and_region(monkeypatch):
     """A tile request on a QUEUED (not yet streaming) track moves it to the
     stream-queue front and records its region hint; the blocked head track

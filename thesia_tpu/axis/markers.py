@@ -10,6 +10,7 @@ element is a sentinel (i32::MIN, format_display)).
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 
@@ -428,23 +429,53 @@ def calc_db_axis_markers(
 # Label/position converters & tooltips
 
 
+_U32_MAX = 2**32 - 1
+
+
+def _sat_u32(x: float) -> int:
+    """Rust `as u32` float cast: saturating, NaN -> 0."""
+    if math.isnan(x):
+        return 0
+    return int(min(max(x, 0.0), float(_U32_MAX)))
+
+
 def sec_to_label(sec: float) -> str:
-    """Floor-to-ms HH:MM:SS.mmm. reference: axis.rs:325-335."""
-    sec_floor = int(math.floor(sec))
-    milli = int(math.floor(sec * 1000.0 - sec_floor * 1000))
-    sec_u32 = sec_floor + milli // 1000
+    """Floor-to-ms HH:MM:SS.mmm. reference: axis.rs:325-335.  The Rust
+    float->u32 casts SATURATE (negative -> 0, inf -> u32::MAX, NaN -> 0);
+    math.floor(inf) would 500 and a negative produced nonsense labels
+    (review finding)."""
+    sec_floor = _sat_u32(math.floor(sec) if math.isfinite(sec) else sec)
+    milli = _sat_u32(
+        math.floor(sec * 1000.0 - sec_floor * 1000.0)
+        if math.isfinite(sec) else sec
+    )
+    sec_u32 = min(sec_floor + milli // 1000, _U32_MAX)
     milli = milli - milli // 1000 * 1000
     h, m, s = sec_u32 // 3600, sec_u32 // 60 % 60, sec_u32 % 60
     return f"{h:02}:{m:02}:{s:02}.{milli:03}"
 
 
+_U32_FIELD_RE = re.compile(r"^\+?\d+$")
+_F64_FIELD_RE = re.compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$|^[+-]?(inf|infinity|nan)$",
+    re.IGNORECASE,
+)
+
+
 def time_label_to_sec(label: str) -> float:
-    """[hh:][mm:]ss.fff. reference: axis.rs:342-360."""
+    """[hh:][mm:]ss.fff. reference: axis.rs:342-360.  Field parsing mirrors
+    Rust: hour/minute via u32 (digits only — '-1', ' 30' and '1_0' are
+    rejected, Python's int() accepted all three; review finding), the
+    seconds field via f64 FromStr (no interior whitespace/underscores)."""
     parts = label.strip().split(":")[::-1]
     if len(parts) > 3:
         raise ValueError(f"invalid time label: {label}")
+    if not _F64_FIELD_RE.match(parts[0]):
+        raise ValueError(f"invalid time label: {label}")
     total = float(parts[0])
     for i, p in enumerate(parts[1:], start=1):
+        if not _U32_FIELD_RE.match(p):
+            raise ValueError(f"invalid time label: {label}")
         total += int(p) * 60.0**i
     return total
 
@@ -453,7 +484,12 @@ def freq_pos_to_hz(
     freq_scale: FreqScale, y: float, height: int, hz_range: tuple[float, float],
     max_track_hz: float,
 ) -> float:
-    assert height >= 1
+    # ValueErrors, not bare asserts: HTTP-reachable and stripped under -O
+    _require(height >= 1, "height must be >= 1")
+    _require(
+        all(math.isfinite(v) for v in (y, hz_range[0], hz_range[1], max_track_hz)),
+        "non-finite freq position parameters",
+    )
     hz_range = (hz_range[0], min(hz_range[1], max_track_hz))
     rel = 1.0 - y / height
     return freq_scale.relative_freq_to_hz(rel, hz_range)
@@ -463,7 +499,11 @@ def freq_hz_to_pos(
     freq_scale: FreqScale, hz: float, height: int, hz_range: tuple[float, float],
     max_track_hz: float,
 ) -> float:
-    assert height >= 1
+    _require(height >= 1, "height must be >= 1")
+    _require(
+        all(math.isfinite(v) for v in (hz, hz_range[0], hz_range[1], max_track_hz)),
+        "non-finite freq position parameters",
+    )
     hz_range = (hz_range[0], min(hz_range[1], max_track_hz))
     rel = freq_scale.hz_to_relative_freq(hz, hz_range)
     return (1.0 - rel) * height

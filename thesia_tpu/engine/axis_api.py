@@ -8,6 +8,8 @@ static app.
 
 from __future__ import annotations
 
+import math
+
 from ..axis import markers as ax
 from ..common.freqscale import FreqScale
 
@@ -38,18 +40,24 @@ class AxisApi:
 
     def time_label_to_seconds(self, label):
         try:
-            return ax.time_label_to_sec(label)
+            out = ax.time_label_to_sec(label)
         except ValueError:
             return None
+        # Rust f64 parse accepts 'inf'/'nan' — but a non-finite float is not
+        # valid JSON (json.dumps emits the bare Infinity literal, which the
+        # browser's response.json() rejects); null already means
+        # "unparseable" to the viewer (review finding)
+        return out if math.isfinite(out) else None
 
     def hz_to_label(self, freq):
         return ax.hz_to_label(freq)
 
     def freq_label_to_hz(self, label):
         try:
-            return ax.freq_label_to_hz(label)
+            out = ax.freq_label_to_hz(label)
         except ValueError:
             return None
+        return out if math.isfinite(out) else None
 
     def freq_pos_to_hz(self, freq_scale, y, height, hz_range_min, hz_range_max, max_track_hz):
         return ax.freq_pos_to_hz(

@@ -496,7 +496,11 @@ class SpecImageStore:
                         return
                 track_id = self._queue[0]
                 t = self._tracks.get(track_id)
-            if t is None or t.dropped or t.complete:
+            # evicted: the budget freed the device copies while this entry
+            # was still queued behind a prioritized track — streaming it
+            # would allocate GB-scale buffers and crash on dev_img=None,
+            # burning retries (review finding); it requantizes on demand
+            if t is None or t.dropped or t.complete or t.evicted:
                 with self._lock:
                     if self._queue and self._queue[0] == track_id:
                         # same replace race as below: set_images may have
@@ -504,7 +508,7 @@ class SpecImageStore:
                         # between our capture and the dropped check — only
                         # pop when no live replacement is waiting
                         cur = self._tracks.get(track_id)
-                        if cur is None or cur is t or cur.complete:
+                        if cur is None or cur is t or cur.complete or cur.evicted:
                             self._queue.pop(0)
                 continue
             ok = True
@@ -591,7 +595,15 @@ class SpecImageStore:
                             if iv[0] <= pos < iv[1]:
                                 pos = iv[1]
                         if pos < min(h1, t.n_frames):
-                            nxt = (pos, min(min(h1, t.n_frames), pos + chunk_cols))
+                            end = min(h1, t.n_frames, pos + chunk_cols)
+                            # cap at the next landed interval: re-fetching
+                            # already-landed columns wasted up to a full
+                            # chunk of slow-tunnel d2h (review finding);
+                            # next_gap's non-hint path already does this
+                            for iv in t.landed:
+                                if pos < iv[0] < end:
+                                    end = iv[0]
+                            nxt = (pos, end)
                         else:
                             t.stream_hint = None
                     if nxt is None:

@@ -129,7 +129,8 @@ class AudioTrack:
         mutated.mutate(
             (lambda wavs: gained)
             if gained is not None
-            else (lambda wavs: (np.float32(gain) * original_wavs).astype(np.float32)),
+            else (lambda wavs: (np.float32(gain) * original_wavs)
+                  .astype(np.float32, copy=False)),  # f32*f32 is already f32
             guard_clipping_mode,
             gain_seq=gain_seq,
         )
@@ -316,7 +317,11 @@ class TrackList:
             if not np.isfinite(gain) or gain == 1.0:
                 track.apply_gain(gain, mode)
                 continue
-            gained = (np.float32(gain) * track.original.wavs).astype(np.float32)
+            # copy=False: the product is already f32; the default astype copied a
+            # second full-size array (GB-scale transient; review finding)
+            gained = (np.float32(gain) * track.original.wavs).astype(
+                np.float32, copy=False
+            )
             peak = float(np.abs(gained).max()) if gained.size else 0.0
             if peak > 1.0:
                 plan.append((track, gain, gained))
