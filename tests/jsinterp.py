@@ -1083,7 +1083,11 @@ def js_to_precision(x: float, p: int) -> str:
         Decimal(1).scaleb(-(p - 1)), rounding=ROUND_HALF_UP
     )
     if abs(d) >= 10:
-        d = d.scaleb(-1)
+        # re-quantize after the bump or the mantissa keeps a surplus digit
+        # ((999.95).toPrecision(3) is "1.00e+3", not "1.000e+3")
+        d = d.scaleb(-1).quantize(
+            Decimal(1).scaleb(-(p - 1)), rounding=ROUND_HALF_UP
+        )
         e += 1
     if e < -6 or e >= p:
         mant = str(d)

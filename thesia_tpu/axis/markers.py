@@ -476,7 +476,10 @@ def time_label_to_sec(label: str) -> float:
     for i, p in enumerate(parts[1:], start=1):
         if not _U32_FIELD_RE.match(p):
             raise ValueError(f"invalid time label: {label}")
-        total += int(p) * 60.0**i
+        field = int(p)
+        if field > _U32_MAX:  # Rust u32 parse overflows -> Err
+            raise ValueError(f"invalid time label: {label}")
+        total += field * 60.0**i
     return total
 
 

@@ -267,7 +267,7 @@ def quantize_jobs(analyzer, items, setting: SpecSetting, max_sr: int, colormap_l
         if n <= pad + 1 or n < win:
             continue
         bucket = wav_size_bucket(n + 2 * pad)
-        groups.setdefault((sr, hop, win, n_fft, bucket), []).append((c, n))
+        groups.setdefault((sr, hop, win, n_fft, bucket), []).append((key, c, n))
     use_mel = setting.freq_scale is FreqScale.Mel
     jobs = []
     from ..render.visualize import quantize_min_value
@@ -276,24 +276,21 @@ def quantize_jobs(analyzer, items, setting: SpecSetting, max_sr: int, colormap_l
     single = sum(len(m) for m in groups.values()) == 1
     for (sr, hop, win, n_fft, bucket), members in groups.items():
         group_t_cap = frame_cap(
-            max(stft_frame_count(n, win, hop) for _c, n in members)
+            max(stft_frame_count(n, win, hop) for _k, _c, n in members)
         )
         if single:
-            # a lone track dispatches _spec_full, whose bucket is the wav
-            # cache's wav_size_bucket(n), grown only when the pads overflow
-            # (calc_spec_multi) — NOT the batched n+2*pad bucket
-            pad = win // 2
-            _c1, n1 = members[0]
-            bucket = wav_size_bucket(n1)
-            if pad + n1 + pad > bucket:
-                bucket = wav_size_bucket(n1 + 2 * pad)
+            # a lone track dispatches _spec_full, whose bucket comes from
+            # the wav cache's CURRENT allocation (possibly grown by an
+            # earlier larger-window switch) — NOT the batched n+2*pad bucket
+            k1, _c1, n1 = members[0]
+            bucket = _single_track_bucket(analyzer, k1, n1, win // 2)
         # the spec result's T axis is bounded by BOTH the bucket extent and
         # the frame cap (_spec_full/_spec_multi_impl: t_max = min((bucket -
         # win)//hop + 1, t_cap)); warming the bare t_cap shape missed tracks
         # that exactly fill their bucket, leaving the real quantize to
         # compile cold inside the interactive call (review finding)
         t_dim = min((bucket - win) // hop + 1, group_t_cap)
-        for c, n in members:
+        for _key, c, n in members:
             n_frames = stft_frame_count(n, win, hop)
 
             def make(c=c, n_frames=n_frames, t_dim=t_dim,
@@ -337,12 +334,31 @@ def quantize_jobs(analyzer, items, setting: SpecSetting, max_sr: int, colormap_l
     return jobs
 
 
-def spec_full_job(analyzer, shape, sr, setting: SpecSetting):
+def _single_track_bucket(analyzer, key, n: int, pad: int) -> int:
+    """calc_spec_multi's bucket for a lone track: the wav cache's CURRENT
+    allocation when one exists (a larger-window switch may have grown it
+    and stored the grown array back — warming from the recomputed ungrown
+    bucket then mismatches; review finding), else wav_size_bucket(n),
+    grown only when the padding overflows."""
+    bucket = None
+    if key is not None:
+        hit = analyzer._wav_cache.get(key)
+        if hit is not None:
+            bucket = int(hit[0].shape[-1])
+    if bucket is None:
+        bucket = wav_size_bucket(n)
+    if pad + n + pad > bucket:
+        bucket = wav_size_bucket(n + 2 * pad)
+    return bucket
+
+
+def spec_full_job(analyzer, shape, sr, setting: SpecSetting, key=None):
     """Job callable warming the SINGLE-track fused program (_spec_full) —
     the executable the engine dispatches when exactly one track updates
     (manager's len(track_ids) > 1 gate routes singles through
     calc_spec_multi, a different jitted program with its own persistent
     cache entry than _spec_groups; review finding)."""
+    wav_cache_key = key  # make() rebinds `key` for its dedup tuple
 
     def make():
         from .spectrogram import _spec_full
@@ -352,11 +368,7 @@ def spec_full_job(analyzer, shape, sr, setting: SpecSetting):
         pad = win // 2
         if n <= pad + 1 or n < win:
             raise ValueError("short-track path runs on host")
-        # mirror calc_spec_multi's bucket choice: the device wav cache
-        # allocates wav_size_bucket(n), grown only when padding overflows
-        bucket = wav_size_bucket(n)
-        if pad + n + pad > bucket:
-            bucket = wav_size_bucket(n + 2 * pad)
+        bucket = _single_track_bucket(analyzer, wav_cache_key, n, pad)
         use_mel = setting.freq_scale is FreqScale.Mel
         cw, _sw, rfft_n_fft = analyzer._spec_operands(win, n_fft)
         mel_shape = (
@@ -392,8 +404,8 @@ def spec_jobs_for(analyzer, items, setting: SpecSetting, shardings=None):
     for `items` under `setting`: the batched _spec_groups program when more
     than one track updates, the single-track _spec_full program otherwise."""
     if len(items) == 1:
-        _key, shape, sr = items[0]
-        return [spec_full_job(analyzer, shape, sr, setting)]
+        key, shape, sr = items[0]
+        return [spec_full_job(analyzer, shape, sr, setting, key=key)]
     return [spec_groups_job(analyzer, items, setting, shardings)]
 
 

@@ -246,6 +246,31 @@ class EngineService:
             return web.json_response({"error": str(e)}, status=500)
         return web.json_response({"result": path})
 
+    def _prune_stale_uploads(self, updir, max_age_s: float = 24 * 3600.0) -> None:
+        """Per-upload directories would otherwise accumulate without bound
+        (review finding).  Prune old ones, but NEVER a directory whose file
+        backs a live track — reload_tracks re-reads from the path."""
+        import shutil
+        import time as _time
+
+        live = set()
+        try:
+            for tid in self.session.tracklist.all_ids():
+                track = self.session.tracklist.get(tid)
+                if track is not None:
+                    live.add(track.path.parent)
+        except Exception:
+            return  # never let cleanup break an upload
+        now = _time.time()
+        try:
+            for sub in updir.iterdir():
+                if not sub.is_dir() or sub in live:
+                    continue
+                if now - sub.stat().st_mtime > max_age_s:
+                    shutil.rmtree(sub, ignore_errors=True)
+        except OSError:
+            pass
+
     async def handle_upload(self, request: web.Request) -> web.Response:
         """Accept an uploaded audio file, store it, return its server path."""
         import tempfile
@@ -258,6 +283,7 @@ class EngineService:
         filename = Path(field.filename or "upload.bin").name
         updir = Path(tempfile.gettempdir()) / "thesia_tpu_uploads"
         updir.mkdir(exist_ok=True)
+        self._prune_stale_uploads(updir)
         # unique per-upload subdirectory: same-named uploads must not
         # overwrite each other (a track decoding the first file could read
         # half-overwritten bytes — review finding); the original basename

@@ -256,7 +256,10 @@ class EngineSession:
         db_range = _parse("dBRange", float)
         guard = _parse("commonGuardClipping", GuardClippingMode)
         normalize = _parse("commonNormalize", NormalizeTarget.from_json)
-        blend = _parse("blend", float)
+        # blend must be a FINITE number (bool is not one): an Infinity that
+        # reached the file would be re-persisted and serialized as the bare
+        # JSON Infinity literal the browser rejects, bricking every boot
+        blend = _parse("blend", lambda v: _as_finite(v, "blend"))
 
         def work():
             if not self.tracklist.is_empty:
@@ -283,10 +286,15 @@ class EngineSession:
             with self._store_lock:
                 fresh = self._load_store("settings.json")
                 fresh_blend = fresh.get("blend") if isinstance(fresh, dict) else None
+                fresh_blend_ok = (
+                    isinstance(fresh_blend, (int, float))
+                    and not isinstance(fresh_blend, bool)
+                    and math.isfinite(fresh_blend)
+                )
                 user_settings = {
                     "specSetting": self.tm.setting.to_json(),
                     "blend": (
-                        fresh_blend if isinstance(fresh_blend, (int, float))
+                        float(fresh_blend) if fresh_blend_ok
                         else blend if blend is not None else 0.5
                     ),
                     "dBRange": self.tm.db_range,

@@ -1791,13 +1791,21 @@ async function setupControls() {
         while (dbLiveNext !== null) {
           const next = dbLiveNext;
           dbLiveNext = null;
-          await api.setDbRange(next);
-          // quantize re-dispatch bumped revisions: viewports need the new
-          // metadata to fetch re-ranged tiles; the colorbar shows the range
-          await Promise.all(
-            [...state.viewports.values()].map((vp) => vp.refreshMetadata())
-          );
-          await updateColorbar();
+          try {
+            await api.setDbRange(next);
+            // quantize re-dispatch bumped revisions: viewports need the
+            // new metadata to fetch re-ranged tiles; the colorbar shows
+            // the range
+            await Promise.all(
+              [...state.viewports.values()].map((vp) => vp.refreshMetadata())
+            );
+            await updateColorbar();
+          } catch (err) {
+            // a transient failure mid-drag must not strand the pending
+            // value as an unhandled rejection — surface it and keep
+            // draining so the final value still applies
+            showError(`dB range: ${err.message ?? err}`);
+          }
           state.needsRedraw = true;
         }
       } finally {
