@@ -1329,6 +1329,59 @@ def test_overview_short_track_level_spans_track_share(booted):
     assert n_bins == math.ceil(md["sampleCount"] / spb)
 
 
+def test_overview_refetch_only_when_waveform_revision_bumps(booted):
+    """refreshAll force-refreshes the overview after EVERY settings change,
+    but the waveform bins + per-sample limiter gain only change when the
+    waveform revision bumps (normalize/guard/reload) — a spec-setting
+    change must not re-download them (review finding: the gain JSON is the
+    overview's biggest wire cost)."""
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    # select a row so the overview is active
+    info = rows_el["children"][0]["querySelector"](".track-info")
+    browser.dispatch_event(info, "mousedown", {
+        "target": info, "metaKey": False, "ctrlKey": False, "shiftKey": False,
+    })
+    for _ in range(4):
+        browser.advance(500)
+    settle(session)
+    ov = g(interp)["overview"]
+    assert ov["bins"] is not None and ov["bins"] is not UNDEF
+
+    def set_ui(sel_id, value):
+        el = browser.doc["querySelector"](sel_id)
+        el["value"] = value
+        browser.dispatch_event(el, "change")
+        browser.advance(300)
+
+    # spec change: overview must NOT refetch waveform tiles or gain
+    browser.fetch_log.clear()
+    tov = browser.doc["querySelector"]("#t-overlap")
+    tov["value"] = "2"
+    browser.dispatch_event(tov, "change")
+    for _ in range(4):
+        browser.advance(500)
+    settle(session)
+    spec_log = list(browser.fetch_log)
+    assert not any(u.startswith("/api/get_waveform_tile") for u in spec_log)
+    assert "/api/get_limiter_gain" not in spec_log
+    tov["value"] = "4"
+    browser.dispatch_event(tov, "change")
+    settle(session)
+    # normalize change: the waveform revision bumps -> a real refetch
+    browser.fetch_log.clear()
+    set_ui("#norm-type", "LUFS")
+    for _ in range(6):
+        browser.advance(500)
+    settle(session)
+    for _ in range(6):
+        browser.advance(500)
+    norm_log = list(browser.fetch_log)
+    assert any(u.startswith("/api/get_waveform_tile") for u in norm_log), norm_log
+    set_ui("#norm-type", "Off")
+    settle(session)
+
+
 def test_hotkeys_select_all_freq_zoom_and_escape(booted):
     """The remaining hotkey branches: ctrl+A select-all, ]/[ freq zoom
     around the range center (menu.rs freq-zoom events), shift+arrow big

@@ -108,6 +108,19 @@ export class Overview {
       1, width * (this.metadata.trackSec / this._timelineSec())
     );
     const level = L.overviewWaveLevel(this.metadata.sampleCount, trackWidth);
+    if (
+      force && this.bins && this._binsKey
+      && this._binsKey.trackId === trackId
+      && this._binsKey.revision === metadata.waveformRevision
+      && this._binsKey.level === level
+    ) {
+      // forced refresh (refreshAll after a spec/dB change) but the
+      // waveform data is unchanged — the revision only bumps on
+      // normalize/guard/reload.  Re-downloading the bins AND the
+      // per-sample limiter gain JSON on every settings change was the
+      // overview's biggest wire cost (review finding).
+      return;
+    }
     const spb = 1 << level;
     const tileSamples = 1024 * spb;
     const nTiles = Math.ceil(this.metadata.sampleCount / tileSamples);
@@ -132,6 +145,9 @@ export class Overview {
     if (gen !== this._gen) return;
     this.bins = bins;
     this.gain = gain;
+    this._binsKey = {
+      trackId, revision: this.metadata.waveformRevision, level,
+    };
   }
 
   draw(viewStartSec, viewWidthSec, maxSec) {
