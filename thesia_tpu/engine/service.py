@@ -264,7 +264,14 @@ class EngineService:
         now = _time.time()
         try:
             for sub in updir.iterdir():
-                if not sub.is_dir() or sub in live:
+                # RESOLVE before the live check: track paths are resolved
+                # (symlinked tmpdirs would defeat the protection and a live
+                # track's backing file could be deleted — review finding)
+                try:
+                    resolved = sub.resolve()
+                except OSError:
+                    continue
+                if not sub.is_dir() or resolved in live:
                     continue
                 if now - sub.stat().st_mtime > max_age_s:
                     shutil.rmtree(sub, ignore_errors=True)
@@ -283,7 +290,11 @@ class EngineService:
         filename = Path(field.filename or "upload.bin").name
         updir = Path(tempfile.gettempdir()) / "thesia_tpu_uploads"
         updir.mkdir(exist_ok=True)
-        self._prune_stale_uploads(updir)
+        # off the event loop: rmtree of a stale multi-GB upload would stall
+        # every concurrent request (review finding)
+        await asyncio.get_event_loop().run_in_executor(
+            None, self._prune_stale_uploads, updir
+        )
         # unique per-upload subdirectory: same-named uploads must not
         # overwrite each other (a track decoding the first file could read
         # half-overwritten bytes — review finding); the original basename

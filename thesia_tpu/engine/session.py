@@ -322,9 +322,15 @@ class EngineSession:
                 self._guard_target = self.tracklist.common_guard_clipping
             if self._switch_gen["normalize"] == init_gens["normalize"]:
                 self._normalize_target = self.tracklist.common_normalize
+            if self._switch_gen["spec"] == init_gens["spec"]:
+                # same gen guard for the SPEC target: a set_spec_setting
+                # dispatched while init ran owns the target and its worker
+                # applies it (review finding)
+                self.spec_setting = SpecSetting.from_json(
+                    user_settings["specSetting"]
+                )
         self.tile_cache.invalidate_all()
         self.tile_cache.set_colormap(colormap_rgba.reshape(-1, 4))
-        self.spec_setting = SpecSetting.from_json(user_settings["specSetting"])
         self.blend = user_settings["blend"]
         return {
             "constants": {

@@ -276,7 +276,15 @@ async function buildRow(trackId) {
     // the row blank (not even the computing placeholder) and blocked the
     // rest of the add flow
     state.viewports.set(idChStr, vp);
-    vp.refreshMetadata().then(() => { state.needsRedraw = true; });
+    vp.refreshMetadata().then(() => { state.needsRedraw = true; })
+      .catch(() => {
+        // one transient failure must not leave the row permanently blank
+        // (review finding): retry once shortly; refreshAll also heals it
+        setTimeout(() => {
+          vp.refreshMetadata().then(() => { state.needsRedraw = true; })
+            .catch((err) => showError(`metadata ${idChStr}: ${err.message ?? err}`));
+        }, 1000);
+      });
     row.querySelector(".track-remove").onclick = (e) => {
       e.stopPropagation();
       removeTracks([trackId]);
