@@ -308,6 +308,50 @@ async def _upload_collision(tmp_path):
         await client.close()
 
 
+def test_prune_stale_uploads_spares_live_tracks(tmp_path, samples_dir):
+    """Old upload dirs are pruned, but NEVER one whose file backs a live
+    track (reload re-reads from the path) — compared via RESOLVED paths,
+    since track paths are resolved and a symlinked tmpdir would otherwise
+    defeat the protection (review finding)."""
+    import os
+    import shutil
+    import time
+
+    if not (samples_dir / "sample_8k.wav").exists():
+        pytest.skip("sample corpus incomplete")
+    session = EngineSession(settings_dir=tmp_path)
+    session.init(default_colormap_rgba8())
+    service = EngineService(session)
+    updir = tmp_path / "uploads"
+    updir.mkdir()
+    # a stale upload (mtime 2 days old)
+    stale = updir / "tmp_stale"
+    stale.mkdir()
+    (stale / "old.wav").write_bytes(b"x")
+    old = time.time() - 2 * 24 * 3600
+    os.utime(stale, (old, old))
+    # an equally old upload that backs a LIVE track
+    live = updir / "tmp_live"
+    live.mkdir()
+    shutil.copyfile(samples_dir / "sample_8k.wav", live / "song.wav")
+    os.utime(live, (old, old))
+    session.add_tracks([0], [str(live / "song.wav")])
+    session.apply_track_list_changes()
+    # a fresh upload (kept by age)
+    fresh = updir / "tmp_fresh"
+    fresh.mkdir()
+    (fresh / "new.wav").write_bytes(b"y")
+
+    service._prune_stale_uploads(updir)
+    assert not stale.exists()
+    assert live.exists() and (live / "song.wav").exists()
+    assert fresh.exists()
+    # the spared file still reloads
+    reloaded, no_err = session.tracklist.reload_tracks([0])
+    assert 0 in no_err
+    session.tm.images.shutdown()
+
+
 def test_poisoned_settings_store_degrades_to_defaults(tmp_path):
     """A corrupt settings.json must not brick init (review finding: the old
     path parsed mid-teardown and 500'd forever)."""
