@@ -359,6 +359,7 @@ class FakeBrowser:
         self.doc = self._build_document(index_html)
         self.local_storage = {}
         self.fetch_log = []  # every fetched URL, in order (tests inspect)
+        self.audio_contexts = []  # fake AudioContexts (clock-synced dicts)
 
     # -- DOM ----------------------------------------------------------------
     def _build_document(self, index_html):
@@ -421,8 +422,80 @@ class FakeBrowser:
             t0, handle, fn, args = due[0]
             self.timers = [t for t in self.timers if t[1] != handle]
             self.now_ms = max(self.now_ms, t0)
+            self._sync_audio_clocks()
             fn(*args)
         self.now_ms = target
+        self._sync_audio_clocks()
+
+    # -- fake Web Audio -------------------------------------------------------
+    def _sync_audio_clocks(self):
+        for ctx in self.audio_contexts:
+            ctx["currentTime"] = max(0.0, (self.now_ms - ctx["_created_ms"]) / 1000.0)
+
+    def make_audio_context(self, sample_rate=48000.0):
+        """Fake AudioContext: manual-clock currentTime, createBuffer /
+        createBufferSource recording every scheduled (startTime, lanes)
+        chunk in ctx["_scheduled"] for byte-level assertions."""
+        ctx = {
+            "sampleRate": float(sample_rate),
+            "currentTime": 0.0,
+            "_created_ms": self.now_ms,
+            "state": "running",
+            "destination": {"_sink": True},
+            "_scheduled": [],  # dicts: startTime, lanes, stoppedAt
+        }
+
+        def create_buffer(channels, frames, sr):
+            return {
+                "numberOfChannels": float(channels),
+                "length": float(frames),
+                "sampleRate": float(sr),
+                "_lanes": {},
+                "copyToChannel": UNDEF,  # bound below (needs the dict)
+            }
+
+        def make_source():
+            src = {"buffer": None, "onended": None, "_connected": None}
+
+            def connect(dest):
+                src["_connected"] = dest
+
+            def start(when=0.0):
+                ctx["_scheduled"].append(
+                    {
+                        "startTime": float(when),
+                        "lanes": dict(src["buffer"]["_lanes"]),
+                        "frames": src["buffer"]["length"],
+                        "stoppedAt": None,
+                        "_src": src,
+                    }
+                )
+
+            def stop():
+                for rec in ctx["_scheduled"]:
+                    if rec["_src"] is src and rec["stoppedAt"] is None:
+                        rec["stoppedAt"] = ctx["currentTime"]
+
+            src["connect"] = connect
+            src["start"] = start
+            src["stop"] = stop
+            return src
+
+        def create_buffer_bound(channels, frames, sr):
+            buf = create_buffer(channels, frames, sr)
+
+            def copy_to_channel(lane, ch):
+                buf["_lanes"][int(ch)] = [float(v) for v in lane]
+
+            buf["copyToChannel"] = copy_to_channel
+            return buf
+
+        ctx["createBuffer"] = create_buffer_bound
+        ctx["createBufferSource"] = make_source
+        ctx["resume"] = lambda: None
+        ctx["close"] = lambda: None
+        self.audio_contexts.append(ctx)
+        return ctx
 
     # -- fetch bridge ---------------------------------------------------------
     def fetch(self, url, opts=UNDEF):
@@ -450,6 +523,23 @@ class FakeBrowser:
         if url == "/player/state":
             self.session.player.tick()
             return resp(True, 200, {"result": self._jsonable(self.session.player.state())})
+        if url == "/player/attach_pcm":
+            try:
+                cfg = self.session.player.attach_remote_audio(
+                    int(body.get("sampleRate", 48000)), int(body.get("channels", 2))
+                )
+            except (ValueError, TypeError) as e:
+                return resp(False, 400, {"error": str(e)})
+            return resp(True, 200, {"result": self._jsonable(cfg)})
+        if url == "/player/detach_pcm":
+            self.session.player.detach_remote_audio()
+            return resp(True, 200, {"result": None})
+        if url == "/player/pcm":
+            try:
+                chunk = self.session.player.pull_pcm(int(body.get("frames", 4096)))
+            except (ValueError, TypeError) as e:
+                return resp(False, 400, {"error": str(e)})
+            return resp(True, 200, raw=chunk)
         if url == "/media":
             return resp(True, 200, {"result": list(self.media_paths)})
         if url == "/pending_open_paths":
@@ -532,6 +622,8 @@ class FakeBrowser:
             "addEventListener": lambda n, f, o=UNDEF: doc["addEventListener"](n, f),
             "removeEventListener": lambda n, f, o=UNDEF: None,
             "devicePixelRatio": 1.0,
+            # Web Audio: audioplayer.js constructs `new window.AudioContext()`
+            "AudioContext": ("__ctor__", lambda *a: self.make_audio_context()),
         })
         g.declare("navigator", {"platform": "Linux x86_64"})
         g.declare("location", {"host": "test", "href": "http://test/"})

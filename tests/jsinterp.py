@@ -193,9 +193,10 @@ _KEYWORDS = {
 
 _BINARY_PREC = {
     "??": 1, "||": 2, "&&": 3,
+    "|": 4, "^": 5, "&": 6,
     "===": 7, "!==": 7, "<": 8, ">": 8, "<=": 8, ">=": 8,
     "+": 10, "-": 10, "*": 11, "/": 11, "%": 11, "**": 12,
-    "<<": 9, ">>": 9,
+    "<<": 9, ">>": 9, ">>>": 9,
 }
 
 
@@ -1628,6 +1629,14 @@ class Interp:
             return float(_to_int32(x) << (int(y) & 31))
         if op == ">>":
             return float(_to_int32(x) >> (int(y) & 31))
+        if op == ">>>":
+            return float((_to_int32(x) & 0xFFFFFFFF) >> (int(y) & 31))
+        if op == "&":
+            return float(_to_int32(_to_int32(x) & _to_int32(y)))
+        if op == "|":
+            return float(_to_int32(_to_int32(x) | _to_int32(y)))
+        if op == "^":
+            return float(_to_int32(_to_int32(x) ^ _to_int32(y)))
         raise RuntimeError(f"unknown op {op}")
 
     def _assign_to(self, target, value, env):

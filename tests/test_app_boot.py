@@ -51,7 +51,8 @@ def booted(request, tmp_path_factory):
     interp = Interp()
     browser.install(interp)
     for name in ("api.js", "freqscale.js", "caches.js", "axes.js",
-                 "viewport.js", "applogic.js", "overview.js", "app.js"):
+                 "viewport.js", "applogic.js", "audioplayer.js", "overview.js",
+                 "app.js"):
         interp.load((VIEWER / "js" / name).read_text())
     yield interp, browser, session, str(media)
     session.tm.images.shutdown()
@@ -1078,7 +1079,8 @@ def test_streaming_track_serves_tiles_through_the_app(tmp_path, monkeypatch):
     browser.install(interp)
     try:
         for name in ("api.js", "freqscale.js", "caches.js", "axes.js",
-                     "viewport.js", "applogic.js", "overview.js", "app.js"):
+                     "viewport.js", "applogic.js", "audioplayer.js", "overview.js",
+                     "app.js"):
             interp.load((VIEWER / "js" / name).read_text())
         sel = browser.doc["querySelector"]("#media-list")
         sel["value"] = str(media)

@@ -477,6 +477,37 @@ CASES = {
         (0.0,), (3725.678,), (3725.5,), (59.9999,), (-5.0,), (float("nan"),),
         (86399.999,),
     ],
+    # remote-audio Web Audio scheduling (audioplayer.js wiring)
+    "audioChunkStartTime": [
+        (0.0, 0.0, 0.06),       # cold start: frontier at ctx+lead
+        (1.5, 1.0, 0.06),       # healthy: frontier ahead, keep it
+        (1.0, 1.5, 0.06),       # underrun: restart at ctx+lead
+        (2.06, 2.0, 0.06),      # exactly at the lead boundary
+        (0.0, 10.0, 0.0),
+    ],
+    "audioPullCount": [
+        (0.0, 0.0, 0.35, 4096.0 / 48000.0, 4.0),   # cold: ceil -> capped
+        (0.5, 0.2, 0.35, 4096.0 / 48000.0, 4.0),   # ahead of target: 0
+        (0.4, 0.2, 0.35, 4096.0 / 48000.0, 4.0),   # small deficit: >=1
+        (0.2, 0.2, 0.35, 4096.0 / 48000.0, 4.0),
+        (0.55, 0.2, 0.35, 4096.0 / 48000.0, 4.0),  # exactly at target: 0
+        (0.0, 5.0, 0.35, 4096.0 / 48000.0, 2.0),   # long stall: cap wins
+        (0.0, 0.0, 0.35, 0.0, 4.0),                # degenerate chunk: 0
+        (0.0, 0.0, 0.35, 4096.0 / 8000.0, 4.0),    # big chunks: 1
+    ],
+    "audioCursorReset": [
+        (3.0, None),            # first chunk: never a reset
+        (3.0, 3.0),
+        (4.0, 3.0),             # seek bumped the version
+        (0.0, 0.0),
+        (0.0, 1.0),
+    ],
+    "deinterleavePcm": [
+        ([1.0, -1.0, 0.5, -0.5, 0.25, -0.25], 2.0, 3.0, 0.0),
+        ([1.0, -1.0, 0.5, -0.5, 0.25, -0.25], 2.0, 3.0, 1.0),
+        ([0.1, 0.2, 0.3], 1.0, 3.0, 0.0),
+        ([], 2.0, 0.0, 1.0),
+    ],
 }
 
 _CONSTANTS = [

@@ -214,6 +214,50 @@ class EngineService:
         self.session.player.tick()
         return web.json_response({"result": self.session.player.state()})
 
+    # -- remote audio (browser playback) ------------------------------------
+    # The reference plays sound through an in-process cpal stream on the
+    # user's machine (src-tauri/src/player/stream.rs:501-639); here the
+    # user's machine is the browser, so the viewer attaches its AudioContext
+    # as the player's output device and pulls the PCM chunks it schedules
+    # via Web Audio.  Single listener, latest attach wins (the reference has
+    # exactly one output stream too).
+    async def handle_player_attach_pcm(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json() if request.can_read_body else {}
+        except json.JSONDecodeError:
+            body = {}
+        try:
+            cfg = await asyncio.get_event_loop().run_in_executor(
+                None,
+                lambda: self.session.player.attach_remote_audio(
+                    int(body.get("sampleRate", 48000)),
+                    int(body.get("channels", 2)),
+                ),
+            )
+        except (ValueError, TypeError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response({"result": cfg})
+
+    async def handle_player_detach_pcm(self, _request: web.Request) -> web.Response:
+        await asyncio.get_event_loop().run_in_executor(
+            None, self.session.player.detach_remote_audio
+        )
+        return web.json_response({"result": None})
+
+    async def handle_player_pcm(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json() if request.can_read_body else {}
+        except json.JSONDecodeError:
+            body = {}
+        try:
+            chunk = await asyncio.get_event_loop().run_in_executor(
+                None,
+                lambda: self.session.player.pull_pcm(int(body.get("frames", 4096))),
+            )
+        except (ValueError, TypeError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.Response(body=chunk, content_type="application/octet-stream")
+
     async def handle_pending_open_paths(self, _request: web.Request) -> web.Response:
         """One-shot: argv/file-association paths the viewer should open."""
         paths, self.open_paths = self.open_paths, []
@@ -329,6 +373,9 @@ class EngineService:
         app.router.add_post("/api/{command}", self.handle_command)
         app.router.add_get("/events", self.handle_events_ws)
         app.router.add_get("/player/state", self.handle_player_tick)
+        app.router.add_post("/player/attach_pcm", self.handle_player_attach_pcm)
+        app.router.add_post("/player/detach_pcm", self.handle_player_detach_pcm)
+        app.router.add_post("/player/pcm", self.handle_player_pcm)
         app.router.add_get("/debug/metrics", self.handle_metrics)
         app.router.add_post("/debug/profile", self.handle_profile)
         app.router.add_get("/pending_open_paths", self.handle_pending_open_paths)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import struct
 import threading
 import time
 from typing import Callable, Optional
@@ -21,6 +22,35 @@ from ..dsp.decibel import amp_from_db
 
 PLAY_JUMP_SEC = 1.0
 PLAY_BIG_JUMP_SEC = 5.0
+
+# a remote (browser) audio client that stops pulling while the track plays
+# is gone (tab closed, network drop): fall back to the local output path so
+# the position keeps advancing like the reference's always-on device stream
+REMOTE_STALE_SEC = 10.0
+MAX_PULL_FRAMES = 65536  # bounds one /player/pcm response to 512 KiB stereo
+
+_PCM_HEADER = struct.Struct("<IIIIdII")  # nFrames ch sr flags posSec version pad
+
+
+def encode_pcm_chunk(
+    data: np.ndarray,
+    sample_rate: int,
+    position_sec: float,
+    cursor_version: int,
+    is_playing: bool,
+    ended: bool,
+) -> bytes:
+    """Binary wire chunk for the viewer's Web Audio scheduler: 32 B header
+    (u32 nFrames, u32 channels, u32 sampleRate, u32 flags[bit0 playing,
+    bit1 ended], f64 positionSec, u32 cursorVersion, u32 pad) + interleaved
+    f32le frames.  Decoded by viewer/js/api.js decodePcmChunk."""
+    n, ch = data.shape
+    flags = (1 if is_playing else 0) | (2 if ended else 0)
+    header = _PCM_HEADER.pack(
+        n, ch, int(sample_rate), flags, float(position_sec),
+        int(cursor_version) & 0xFFFFFFFF, 0,
+    )
+    return header + np.ascontiguousarray(data, np.float32).tobytes()
 
 
 @dataclasses.dataclass
@@ -136,6 +166,86 @@ class Player:
         self._last_event = event
         self._emit(event)
 
+    # -- remote (browser) audio ---------------------------------------------
+    # The deployable last hop the reference gets from its in-process cpal
+    # stream (stream.rs:501-639): a viewer attaches its AudioContext as the
+    # output device and pulls PCM chunks it schedules via Web Audio.  The
+    # local device path stays the default for desktop deployments.
+    def attach_remote_audio(self, sample_rate: int, channels: int) -> dict:
+        from .stream import OutputEngine, RemoteOutputDevice
+
+        device = RemoteOutputDevice(sample_rate, channels)
+        if self._engine is None:
+            # output mode "off": create the engine on demand for the client
+            self._engine = OutputEngine(self.playback, self.lock, device=device)
+            self._engine.ensure_stream(self.requested_sr)
+        else:
+            self._engine.set_device(device)
+        cfg = self._engine.config
+        if cfg is None:
+            raise ValueError(f"remote audio stream build failed: {self._engine.error}")
+        return {
+            "sampleRate": cfg.sample_rate,
+            "channels": cfg.channels,
+            "sampleFormat": cfg.sample_format,
+        }
+
+    def detach_remote_audio(self) -> None:
+        from .stream import RemoteOutputDevice, default_output_device
+
+        engine = self._engine
+        if engine is not None and isinstance(engine.device, RemoteOutputDevice):
+            engine.set_device(default_output_device())
+
+    def remote_attached(self) -> bool:
+        from .stream import RemoteOutputDevice
+
+        return self._engine is not None and isinstance(
+            self._engine.device, RemoteOutputDevice
+        )
+
+    def pull_pcm(self, n_frames: int) -> bytes:
+        """One client-paced chunk: runs the device-callback fill (mix ->
+        volume -> clamp -> position advance) and returns the encoded wire
+        chunk.  ValueError when no remote stream is attached (a detach or
+        staleness fallback raced the client's pull loop)."""
+        from .stream import RemoteStreamHandle
+
+        n = int(n_frames)
+        if not (1 <= n <= MAX_PULL_FRAMES):
+            raise ValueError(f"frames must be in [1, {MAX_PULL_FRAMES}]")
+        engine = self._engine
+        handle = engine.handle if engine is not None else None
+        if not isinstance(handle, RemoteStreamHandle):
+            raise ValueError("no remote audio stream attached")
+        data = handle.pull(n)
+        with self.lock:
+            position_sec = self.playback.position_sec()
+            version = self.playback.cursor_version
+            playing = self.playback.is_playing
+        cfg = engine.config
+        return encode_pcm_chunk(
+            data, cfg.sample_rate, position_sec, version, playing,
+            engine.source.reached_end,
+        )
+
+    def _check_remote_staleness(self) -> None:
+        from .stream import RemoteStreamHandle
+
+        engine = self._engine
+        if engine is None or not self.remote_attached():
+            return
+        handle = engine.handle
+        if not isinstance(handle, RemoteStreamHandle):
+            return
+        with self.lock:
+            playing = self.playback.is_playing
+        if (
+            playing
+            and time.monotonic() - handle.last_pull_monotonic > REMOTE_STALE_SEC
+        ):
+            self.detach_remote_audio()
+
     # -- commands (reference: player.rs:68-120) ----------------------------
     def set_volume_db(self, volume_db: float) -> None:
         with self.lock:
@@ -232,6 +342,7 @@ class Player:
         """Periodic poll (reference main loop, 20 ms): advances position,
         polls the output device (500 ms cadence inside), surfaces stream
         errors, emits on track end.  reference: player.rs:130-173."""
+        self._check_remote_staleness()
         if self._engine is not None:
             self._engine.poll()
             if self._engine.error != self.error:

@@ -175,6 +175,78 @@ class NullOutputDevice(OutputDevice):
         return _PacedStreamHandle(config, callback, consume=lambda data: None)
 
 
+class RemoteStreamHandle(StreamHandle):
+    """Client-paced pull stream for browser playback.
+
+    The reference's player delivers sound through a cpal callback on the
+    user's machine (reference: src-tauri/src/player/stream.rs:501-639); in
+    the service deployment the user's machine is a browser, so the "device
+    clock" is the viewer's AudioContext and each Web-Audio-scheduled chunk
+    arrives as a pull() over HTTP.  pull() runs the exact same fill()
+    callback a hardware stream would (mix -> volume -> clamp -> position
+    advance -> cursor-version resampler resets), so the bytes a browser
+    schedules are bit-identical to what a local device would play.
+    """
+
+    def __init__(self, config: StreamConfig, callback):
+        self._config = config
+        self._callback = callback
+        self._error: Optional[str] = None
+        self._pull_lock = threading.Lock()  # serialize pipelined pulls
+        self.last_pull_monotonic = time.monotonic()
+
+    @property
+    def error(self) -> Optional[str]:
+        return self._error
+
+    def pull(self, n_frames: int) -> np.ndarray:
+        """(n_frames, channels) in the device sample format (f32)."""
+        with self._pull_lock:
+            self.last_pull_monotonic = time.monotonic()
+            try:
+                block = self._callback(
+                    n_frames, self._config.channels, self._config.sample_rate
+                )
+                return convert_sample_format(block, self._config.sample_format)
+            except Exception as exc:  # surfaced via OutputEngine.poll
+                self._error = f"{type(exc).__name__}: {exc}"
+                raise
+
+    def close(self) -> None:
+        pass  # nothing to stop: the client paces, no thread exists
+
+
+class RemoteOutputDevice(OutputDevice):
+    """An attached browser audio context, seen as an output device.
+
+    The AudioContext's sample rate is fixed for its lifetime, so the device
+    advertises exactly one supported rate — select_output_config then
+    engages the StreamResampler for any track at a different rate, the same
+    tier logic a rate-locked hardware device goes through
+    (reference: device.rs:15-103, stream.rs:335-499)."""
+
+    name = "remote"
+
+    def __init__(self, sample_rate: int, channels: int):
+        sr = int(sample_rate)
+        ch = int(channels)
+        if not (8000 <= sr <= 384000):
+            raise ValueError(f"unsupported remote sample rate {sample_rate}")
+        if ch not in (1, 2):
+            raise ValueError(f"unsupported remote channel count {channels}")
+        self._sr = sr
+        self._ch = ch
+
+    def supported_configs(self) -> list[SupportedConfigRange]:
+        return [SupportedConfigRange(self._ch, self._sr, self._sr, "f32")]
+
+    def default_config(self) -> StreamConfig:
+        return StreamConfig(self._ch, self._sr, 1024, "f32")
+
+    def open_stream(self, config: StreamConfig, callback) -> StreamHandle:
+        return RemoteStreamHandle(config, callback)
+
+
 def _try_sounddevice() -> Optional[OutputDevice]:
     try:
         import sounddevice  # noqa: F401
@@ -435,6 +507,10 @@ class OutputEngine:
     @property
     def config(self) -> StreamConfig | None:
         return self._config
+
+    @property
+    def handle(self) -> StreamHandle | None:
+        return self._handle
 
     @property
     def device(self) -> OutputDevice:

@@ -58,6 +58,40 @@ export function decodeSpectrogramTile(buf) {
   };
 }
 
+export function decodePcmChunk(buf) {
+  // wire layout from thesia_tpu/player/player.py encode_pcm_chunk: 32 B
+  // header (u32 nFrames, u32 channels, u32 sampleRate, u32 flags, f64
+  // positionSec, u32 cursorVersion, u32 pad) + interleaved f32le frames
+  const dv = new DataView(buf);
+  const flags = dv.getUint32(12, true);
+  return {
+    nFrames: dv.getUint32(0, true),
+    channels: dv.getUint32(4, true),
+    sampleRate: dv.getUint32(8, true),
+    isPlaying: (flags & 1) !== 0,
+    ended: (flags & 2) !== 0,
+    positionSec: dv.getFloat64(16, true),
+    cursorVersion: dv.getUint32(24, true),
+    pcm: new Float32Array(buf, 32),
+  };
+}
+
+async function playerPost(path, args) {
+  const r = await fetch(path, {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify(args || {}),
+  });
+  if (!r.ok) {
+    let detail = r.status;
+    try {
+      detail = (await r.json()).error || r.status;
+    } catch (_e) { /* non-JSON body */ }
+    throw new Error(`${path}: ${detail}`);
+  }
+  return r;
+}
+
 export function jsonNumber(x) {
   if (!x || typeof x !== "object") return x;
   switch (x.type) {
@@ -113,6 +147,16 @@ export const api = {
   pausePlayer: () => call("pause_player"),
   resumePlayer: () => call("resume_player"),
   playerState: () => fetch("/player/state").then((r) => r.json()).then((j) => j.result),
+  // remote audio: the viewer's AudioContext attaches as the player's output
+  // device and pulls the PCM chunks it schedules (reference parity:
+  // src-tauri/src/player/stream.rs:501-639 — the cpal callback's last hop)
+  attachPcm: (sampleRate, channels) =>
+    playerPost("/player/attach_pcm", { sampleRate, channels })
+      .then((r) => r.json()).then((j) => j.result),
+  detachPcm: () => playerPost("/player/detach_pcm", {}).then(() => null),
+  pullPcm: (frames) =>
+    playerPost("/player/pcm", { frames })
+      .then((r) => r.arrayBuffer()).then(decodePcmChunk),
   calcTimeAxisMarkers: (startSec, endSec, tickUnit, labelInterval, maxSec) =>
     call("calc_time_axis_markers", { startSec, endSec, tickUnit, labelInterval, maxSec }),
   calcFreqAxisMarkers: (hzRangeMin, hzRangeMax, freqScale, maxNumTicks, maxNumLabels, maxTrackHz) =>

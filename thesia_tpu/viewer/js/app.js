@@ -6,6 +6,7 @@
 // src/hooks/useSelectedTracks.ts:5-126, SplitView src/modules/SplitView.tsx.
 
 import { api, jsonNumber } from "./api.js";
+import { createAudioPlayer } from "./audioplayer.js";
 import { Compositor, TrackViewport } from "./viewport.js";
 import {
   lastAxisMarkers, timeTickParams, updateAmpAxis, updateFreqAxis, updateTimeAxis,
@@ -1136,6 +1137,7 @@ async function pollPlayer() {
     };
     state.playing = st.isPlaying;
     $("#btn-play").textContent = st.isPlaying ? "❚❚" : "▶";
+    audio.setPlaying(st.isPlaying); // keep the Web Audio pump in step
     if (st.err && st.err !== state.lastPlayerErr) {
       state.lastPlayerErr = st.err;
       showError(`audio: ${st.err}`);
@@ -1164,6 +1166,7 @@ function connectEvents() {
         };
         state.playing = payload.isPlaying;
         $("#btn-play").textContent = payload.isPlaying ? "❚❚" : "▶";
+        audio.setPlaying(payload.isPlaying);
       }
     };
   } catch { /* polling fallback is always active */ }
@@ -2038,6 +2041,12 @@ async function rewindToFront() {
   redraw();
 }
 
+// remote audio: the AudioContext attaches as the player's output device and
+// schedules the engine's PCM pulls (audioplayer.js; reference parity:
+// src-tauri/src/player/stream.rs:501-639).  Created lazily inside the play
+// gesture — browsers only allow AudioContexts from user gestures.
+const audio = createAudioPlayer();
+
 async function togglePlay() {
   // reference: usePlayer.ts:112-118 — play always starts from the select
   // cursor; with nothing selected, select the first track (our convenience —
@@ -2056,7 +2065,12 @@ async function togglePlay() {
     ) {
       await syncPlayerToSelection(); // no-op when already on the track
       await trackedSeek(state.selectCursorSec ?? 0);
+      // attach/resume the AudioContext INSIDE the gesture, before resume —
+      // the first pulls race the resume harmlessly (a paused server returns
+      // silence without advancing position)
+      await audio.ensureStarted();
       await api.resumePlayer();
+      audio.setPlaying(true);
     }
   }
   pollPlayer();

@@ -980,6 +980,50 @@ export function lufsLabel(formatted) {
   return `${formatted} LUFS`;
 }
 
+// ---------------------------------------------------------------------------
+// remote audio scheduling (viewer/js/audioplayer.js Web Audio last hop).
+// The reference plays through an in-process cpal callback on the user's
+// machine (reference: src-tauri/src/player/stream.rs:501-639; cursor-version
+// resampler resets :110); the service deployment's user machine is the
+// browser, so the AudioContext clock paces PCM pulls from the engine.
+
+export const AUDIO_CHUNK_FRAMES = 4096; // ~85 ms at 48 kHz per pull
+export const AUDIO_BUFFER_AHEAD_SEC = 0.35; // scheduled-ahead target
+export const AUDIO_MIN_LEAD_SEC = 0.06; // safety lead on (re)start/underrun
+export const AUDIO_MAX_PULLS_PER_TICK = 4; // bounds one pump's burst
+export const AUDIO_PUMP_INTERVAL_MS = 120; // steady-state pump cadence
+
+export function audioChunkStartTime(nextStartTime, ctxTime, minLeadSec) {
+  // underrun policy: if the scheduled frontier fell behind the context
+  // clock (slow pull, tab throttled), restart with a small safety lead —
+  // an audible gap, never an overlap (matches the device-stream behavior:
+  // late callbacks drop time, they don't replay it)
+  return Math.max(nextStartTime, ctxTime + minLeadSec);
+}
+
+export function audioPullCount(nextStartTime, ctxTime, bufferAheadSec, chunkDurSec, maxPulls) {
+  // how many fixed-size chunks to pull NOW to restore the buffer-ahead
+  // target, bounded so one pump can't burst unboundedly after a stall
+  const deficit = bufferAheadSec - (nextStartTime - ctxTime);
+  if (deficit <= 0 || chunkDurSec <= 0) return 0;
+  return Math.min(maxPulls, Math.max(1, Math.ceil(deficit / chunkDurSec)));
+}
+
+export function audioCursorReset(version, seenVersion) {
+  // a server-side seek/track-switch bumped cursor_version: everything
+  // already scheduled is pre-seek audio and must be flushed
+  // (reference: stream.rs:110 reset_for_cursor)
+  return seenVersion !== null && version !== seenVersion;
+}
+
+export function deinterleavePcm(pcm, channels, nFrames, channel) {
+  // wire chunks are interleaved frames; AudioBuffer wants one lane per
+  // channel.  Values are already f32 so the copy is exact.
+  const lane = new Float32Array(nFrames);
+  for (let i = 0; i < nFrames; i++) lane[i] = pcm[i * channels + channel];
+  return lane;
+}
+
 export function fmtTime(sec) {
   // transport time display HH:MM:SS.mmm, floor-to-ms (axis.rs
   // seconds_to_label convention)

@@ -1024,6 +1024,38 @@ def fmt_time(sec):
     return f"{h:02d}:{m:02d}:{s:02d}.{ms:03d}"
 
 
+# remote-audio Web Audio scheduling (applogic.js; reference parity:
+# src-tauri/src/player/stream.rs:501-639 cpal callback pacing, :110
+# cursor-version resets)
+AUDIO_CHUNK_FRAMES = 4096
+AUDIO_BUFFER_AHEAD_SEC = 0.35
+AUDIO_MIN_LEAD_SEC = 0.06
+AUDIO_MAX_PULLS_PER_TICK = 4
+AUDIO_PUMP_INTERVAL_MS = 120
+
+
+def audio_chunk_start_time(next_start_time, ctx_time, min_lead_sec):
+    return max(next_start_time, ctx_time + min_lead_sec)
+
+
+def audio_pull_count(next_start_time, ctx_time, buffer_ahead_sec, chunk_dur_sec, max_pulls):
+    deficit = buffer_ahead_sec - (next_start_time - ctx_time)
+    if deficit <= 0 or chunk_dur_sec <= 0:
+        return 0.0
+    return float(min(max_pulls, max(1.0, math.ceil(deficit / chunk_dur_sec))))
+
+
+def audio_cursor_reset(version, seen_version):
+    return seen_version is not None and version != seen_version
+
+
+def deinterleave_pcm(pcm, channels, n_frames, channel):
+    n = int(n_frames)
+    ch = int(channels)
+    c = int(channel)
+    return [float(pcm[i * ch + c]) for i in range(n)]
+
+
 # applogic.js export -> twin mapping; test_viewer_consistency asserts this
 # covers the JS export list exactly (a new untwinned export fails the suite).
 TWINNED = {
@@ -1126,4 +1158,13 @@ TWINNED = {
     "nonFiniteNumberLabel": non_finite_number_label,
     "lufsLabel": lufs_label,
     "fmtTime": fmt_time,
+    "AUDIO_CHUNK_FRAMES": AUDIO_CHUNK_FRAMES,
+    "AUDIO_BUFFER_AHEAD_SEC": AUDIO_BUFFER_AHEAD_SEC,
+    "AUDIO_MIN_LEAD_SEC": AUDIO_MIN_LEAD_SEC,
+    "AUDIO_MAX_PULLS_PER_TICK": AUDIO_MAX_PULLS_PER_TICK,
+    "AUDIO_PUMP_INTERVAL_MS": AUDIO_PUMP_INTERVAL_MS,
+    "audioChunkStartTime": audio_chunk_start_time,
+    "audioPullCount": audio_pull_count,
+    "audioCursorReset": audio_cursor_reset,
+    "deinterleavePcm": deinterleave_pcm,
 }
