@@ -490,7 +490,8 @@ CASES = {
         (0.5, 0.2, 0.35, 4096.0 / 48000.0, 4.0),   # ahead of target: 0
         (0.4, 0.2, 0.35, 4096.0 / 48000.0, 4.0),   # small deficit: >=1
         (0.2, 0.2, 0.35, 4096.0 / 48000.0, 4.0),
-        (0.55, 0.2, 0.35, 4096.0 / 48000.0, 4.0),  # exactly at target: 0
+        (0.55, 0.2, 0.35, 4096.0 / 48000.0, 4.0),  # at target (fp dust): 0
+        (0.35, 0.0, 0.35, 4096.0 / 48000.0, 4.0),  # deficit EXACTLY 0: 0
         (0.0, 5.0, 0.35, 4096.0 / 48000.0, 2.0),   # long stall: cap wins
         (0.0, 0.0, 0.35, 0.0, 4.0),                # degenerate chunk: 0
         (0.0, 0.0, 0.35, 4096.0 / 8000.0, 4.0),    # big chunks: 1

@@ -243,6 +243,8 @@ def freq_label_to_hz(label: str) -> float:
 
 
 def _coarse_band(fine_band: float) -> float:
+    """Snap a raw tick spacing up to a human band: 100/200/500, then whole
+    kHz (the tick values the goldens pin: …, 500, 1k, 2k …)."""
     if fine_band <= 100.0:
         return 100.0
     if fine_band <= 200.0:
@@ -252,6 +254,38 @@ def _coarse_band(fine_band: float) -> float:
     return math.ceil(fine_band / 1000.0) * 1000.0
 
 
+def _arithmetic_candidates(band: float, above: float, below: float) -> list[float]:
+    """Multiples of `band` strictly inside (above, below) — the open
+    interval left once the endpoint labels' collision margins are carved
+    out.  band is always a float-exact integer (see _coarse_band), so
+    k*band carries no accumulation error."""
+    out = []
+    k = 1
+    while band * k < below:
+        if band * k > above:
+            out.append(band * k)
+        k += 1
+    return out
+
+
+def _mel_octave_candidates(
+    ratio_step: int, min_mel: float, max_mel: float, margin_mel: float
+) -> list[tuple[float, float]]:
+    """Geometric candidate series 1000*r^k Hz (k >= 1) with its mel
+    coordinate, kept strictly inside the margin-carved mel interval.  The
+    series is bounded above by the top margin, then filtered against the
+    bottom one (candidates below 1 kHz don't exist: the sub-1k region is
+    arithmetic)."""
+    out = []
+    freq = 1000.0
+    while True:
+        freq *= ratio_step
+        mel = float(hz_to_mel(np.float32(freq)))
+        if mel >= max_mel - margin_mel:
+            return [(f, m) for f, m in out if m > min_mel + margin_mel]
+        out.append((freq, mel))
+
+
 def calc_freq_axis_markers(
     hz_range: tuple[float, float],
     freq_scale: FreqScale,
@@ -259,10 +293,32 @@ def calc_freq_axis_markers(
     max_num_labels: int,
     max_track_hz: float | None = None,
 ) -> list[tuple[float, str]]:
-    """reference: axis.rs:132-218 — the RAW range is validated first,
-    THEN the upper bound clamps to max_track_hz (the reverse order turned
-    a low-sample-rate track with a retained high zoom into an assertion
-    failure instead of markers)."""
+    """Frequency-axis markers: endpoint labels plus tick candidates kept
+    clear of them by a 0.66-fine-band collision margin.
+
+    Behavioral spec (pinned by the golden tick tables in
+    tests/test_axis.py; reference behavior: src-wasm/src/axis.rs:132-218):
+
+    * the endpoints of the (possibly max_track_hz-clamped) range are always
+      labeled, low at position 1.0 (bottom), high at 0.0 (top);
+    * linear scale — or a mel view that never reaches above 1 kHz — places
+      arithmetic ticks at multiples of a human band (100/200/500/N·1000 Hz)
+      snapped up from the raw spacing range/(max_ticks-1);
+    * mel scale above 1 kHz splits at the 1 kHz scale knee: below it,
+      arithmetic ticks in Hz (only when they'd be readable: >= 4 ticks and
+      a fine band no wider than half the 0..1k mel span); above it, octave
+      ticks 1k·r^k where r doubles until consecutive ticks are at least a
+      fine band apart in mel;
+    * the 1 kHz knee itself is always labeled when visible — and when the
+      low endpoint sits within 0.66 fine bands below 1 kHz the knee label
+      REPLACES the endpoint label (two labels that close would collide; the
+      margin also guarantees no sub-1k tick survives in that case);
+    * every candidate must clear both endpoint labels by 0.66 fine bands
+      (in Hz for arithmetic ticks, in mel for octave ticks).
+
+    The RAW range is validated first, THEN the upper bound clamps to
+    max_track_hz (the reverse order turned a low-sample-rate track with a
+    retained high zoom into an assertion failure instead of markers)."""
     _require(
         all(math.isfinite(v) for v in (*hz_range, max_track_hz or 0.0)),
         "non-finite frequency axis parameters",
@@ -276,54 +332,66 @@ def calc_freq_axis_markers(
         # the clamp closed the range: serve the endpoint labels instead of
         # running the band loops on an inverted interval
         return [(1.0, hz_to_label(hz_range[0])), (0.0, hz_to_label(hz_range[1]))]
-    result: list[tuple[float, str]] = [(1.0, hz_to_label(hz_range[0]))]
+    lo, hi = hz_range
+    result: list[tuple[float, str]] = [(1.0, hz_to_label(lo))]
 
     if max_num_ticks >= 3:
-        if freq_scale is FreqScale.Mel and hz_range[1] > 1000.0:
-            min_mel = float(hz_to_mel(np.float32(hz_range[0])))
-            max_mel = float(hz_to_mel(np.float32(hz_range[1])))
+        if freq_scale is FreqScale.Mel and hi > 1000.0:
+            min_mel = float(hz_to_mel(np.float32(lo)))
+            max_mel = float(hz_to_mel(np.float32(hi)))
             mel_interval = max_mel - min_mel
-            mel_to_pos = lambda m: float(np.float32((max_mel - m) / mel_interval))
-            mel_1k = float(MIN_LOG_MEL)
+            mel_1k = float(MIN_LOG_MEL)  # the scale knee's exact mel coord
             fine_band_mel = mel_interval / (max_num_ticks - 1.0)
-            if hz_range[0] < 1000.0:
-                fine_band = float(mel_to_hz(np.float32(fine_band_mel)))
-                if max_num_ticks >= 4 and fine_band_mel <= mel_1k / 2.0:
-                    band = _coarse_band(fine_band)
-                    freq = band
-                    max_minus_band = 1000.0 - fine_band * 0.66
-                    while freq < max_minus_band:
-                        if freq > hz_range[0] + fine_band * 0.66:
-                            result.append(
-                                (mel_to_pos(float(hz_to_mel(np.float32(freq)))), hz_to_label(freq))
-                            )
-                        freq += band
-                if hz_range[0] > fine_band * 0.33 and 1000.0 <= hz_range[0] + fine_band * 0.66:
-                    result.pop()
-                result.append((mel_to_pos(mel_1k), hz_to_label(1000.0)))
-            if max_num_ticks - len(result) > 1:
-                ratio_step = 2 ** int(max(math.ceil(fine_band_mel / MEL_DIFF_2K_1K), 1.0))
-                freq = ratio_step * 1000.0
-                mel_f = float(hz_to_mel(np.float32(freq)))
-                max_mel_minus_band = max_mel - fine_band_mel * 0.66
-                while mel_f < max_mel_minus_band:
-                    if mel_f > min_mel + fine_band_mel * 0.66:
-                        result.append((mel_to_pos(mel_f), hz_to_label(freq)))
-                    freq *= ratio_step
-                    mel_f = float(hz_to_mel(np.float32(freq)))
-        else:
-            hz_interval = hz_range[1] - hz_range[0]
-            fine_band = hz_interval / (max_num_ticks - 1.0)
-            band = _coarse_band(fine_band)
-            freq = band
-            while freq < hz_range[1] - fine_band * 0.66:
-                if freq > hz_range[0] + fine_band * 0.66:
-                    result.append(
-                        (float(np.float32((hz_range[1] - freq) / hz_interval)), hz_to_label(freq))
-                    )
-                freq += band
 
-    result.append((0.0, hz_to_label(hz_range[1])))
+            def pos_of(mel: float) -> float:
+                return float(np.float32((max_mel - mel) / mel_interval))
+
+            # -- below the knee: arithmetic ticks in Hz + the 1 kHz anchor
+            if lo < 1000.0:
+                fine_band_hz = float(mel_to_hz(np.float32(fine_band_mel)))
+                margin_hz = fine_band_hz * 0.66
+                sub_1k: list[float] = []
+                if max_num_ticks >= 4 and fine_band_mel <= mel_1k / 2.0:
+                    sub_1k = _arithmetic_candidates(
+                        _coarse_band(fine_band_hz), lo + margin_hz, 1000.0 - margin_hz
+                    )
+                # knee-vs-endpoint collision: lo within the margin below
+                # 1 kHz (and not at the axis origin) -> the 1 kHz label
+                # replaces the low-endpoint label.  No sub-1k candidate can
+                # exist then (the interval (lo+margin, 1k-margin) is empty).
+                if lo > fine_band_hz * 0.33 and 1000.0 <= lo + margin_hz:
+                    assert not sub_1k
+                    result.pop()
+                result.extend(
+                    (pos_of(float(hz_to_mel(np.float32(f)))), hz_to_label(f))
+                    for f in sub_1k
+                )
+                result.append((pos_of(mel_1k), hz_to_label(1000.0)))
+
+            # -- above the knee: octave ticks, only if tick budget remains
+            if max_num_ticks - len(result) > 1:
+                # the smallest power of two whose consecutive ticks sit at
+                # least a fine band apart in mel (mel(2k)-mel(1k) is the
+                # per-doubling mel step near the knee)
+                ratio_step = 2 ** int(max(math.ceil(fine_band_mel / MEL_DIFF_2K_1K), 1.0))
+                result.extend(
+                    (pos_of(mel), hz_to_label(f))
+                    for f, mel in _mel_octave_candidates(
+                        ratio_step, min_mel, max_mel, fine_band_mel * 0.66
+                    )
+                )
+        else:
+            hz_interval = hi - lo
+            fine_band = hz_interval / (max_num_ticks - 1.0)
+            margin = fine_band * 0.66
+            result.extend(
+                (float(np.float32((hi - f) / hz_interval)), hz_to_label(f))
+                for f in _arithmetic_candidates(
+                    _coarse_band(fine_band), lo + margin, hi - margin
+                )
+            )
+
+    result.append((0.0, hz_to_label(hi)))
     return result
 
 
