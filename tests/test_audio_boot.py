@@ -162,6 +162,29 @@ def test_seek_flushes_scheduled_audio(booted_audio):
     browser.advance(200)
 
 
+def test_attach_failure_never_breaks_play(booted_audio, monkeypatch):
+    """A failing /player/attach_pcm (service mid-restart) must not break the
+    play command it piggybacks on — playback proceeds server-side and the
+    next play state change retries the attach."""
+    interp, browser, session, wav = booted_audio
+    from thesia_tpu.player.player import Player
+
+    def boom(self, sr, ch):
+        raise ValueError("synthetic attach outage")
+
+    monkeypatch.setattr(Player, "attach_remote_audio", boom)
+    session.player.detach_remote_audio()  # prior flows attached already
+    _space(browser)
+    assert session.player.state()["isPlaying"] is True  # play survived
+    assert not session.player.remote_attached()
+    monkeypatch.undo()
+    # next state change re-attaches without a new gesture (ctx exists)
+    browser.advance(300)  # pollPlayer fires -> setPlaying(true) -> retry
+    assert session.player.remote_attached()
+    _space(browser)
+    browser.advance(200)
+
+
 def test_audio_unsupported_context_is_graceful(tmp_path):
     """No AudioContext (old browser / non-secure context): play still works
     through the server-side path; the audio player flags unsupported and

@@ -195,6 +195,89 @@ def test_freq_tp_wins_when_rows_lt_devices():
 
 
 @needs_mesh
+def test_time_parallel_bit_exact_and_balanced():
+    """Sequence parallelism over the STFT frame axis: frames are mutually
+    independent GEMM rows, so a (2 tracks x 4 time) mesh splits each row's
+    frames 4 ways at the cost of the framing halo plus an exactly-
+    associative min/max tree — the result must be BIT-EXACT vs single
+    device (unlike freq-TP's mel-psum reorder), and compiled per-device
+    FLOPs must drop like the freq-TP case for the rows < devices shape."""
+    setting = SpecSetting()
+    sr = 8000
+    hop, win, n_fft = setting.calc_framing_params(sr)
+    an = SpectrogramAnalyzer()
+    cw, sw = an._dft_mats(win, n_fft)
+    mel = an.mel_fb(sr, n_fft)
+    pad = win // 2
+    n = 24000
+    bucket = wav_size_bucket(n + 2 * pad)
+    rng = np.random.default_rng(5)
+    kw = dict(hop_length=hop, t_overlap=win // hop, use_mel=True, bucket=bucket, pad=pad)
+    base = rng.uniform(-1, 1, (8, n)).astype(np.float32)
+
+    def compiled(n_rows, sh):
+        raw = np.zeros((n_rows, bucket), np.float32)
+        raw[:, :n] = base[:n_rows]
+        ns = np.full(n_rows, n, np.int32)
+        gains = jnp.ones(n_rows, jnp.float32)
+        args = (jnp.asarray(raw), jnp.asarray(ns), gains, cw, sw, mel)
+        return args, _spec_full_multi.lower(*args, shardings=sh, **kw).compile()
+
+    def flops(c):
+        ca = c.cost_analysis()
+        return (ca[0] if isinstance(ca, list) else ca)["flops"]
+
+    _, c_dp = compiled(8, spec_sharding(make_mesh(8)))
+    sh_sp = spec_sharding(make_mesh(8, time_parallel=4), time_parallel=True)
+    assert sh_sp.frames is not None and sh_sp.n_time == 4
+    args_sp, c_sp = compiled(2, sh_sp)
+    args_1, c_1 = compiled(2, None)
+    # per-device FLOPs: ~1/4 of the padded rows-DP program (halo overhead
+    # is a thin band of window overlap at each shard edge)
+    assert flops(c_sp) < 0.35 * flops(c_dp)
+    db_sp, mn_sp, mx_sp = c_sp(*args_sp)
+    db_1, mn_1, mx_1 = c_1(*args_1)
+    np.testing.assert_array_equal(np.asarray(db_sp), np.asarray(db_1))
+    np.testing.assert_array_equal(np.asarray(mn_sp), np.asarray(mn_1))
+    np.testing.assert_array_equal(np.asarray(mx_sp), np.asarray(mx_1))
+
+
+@needs_mesh
+def test_time_parallel_engine_sequence_bit_exact(tmp_path):
+    """The ENGINE path on a time-parallel mesh: every u16 image pixel must
+    match the single-device run (the axis is bit-exact by construction, so
+    it can be active for real sessions, not just opt-in experiments)."""
+    from thesia_tpu.engine.manager import TrackManager
+    from thesia_tpu.engine.track import TrackList
+
+    rng = np.random.default_rng(6)
+    paths = []
+    for i, (wsr, n_ch) in enumerate([(8000, 2), (16000, 1)]):
+        w = rng.uniform(-0.9, 0.9, (n_ch, wsr)).astype(np.float32)
+        p = tmp_path / f"tp{i}.wav"
+        p.write_bytes(encode_wav_f32(w, wsr))
+        paths.append(str(p))
+
+    def run(mesh):
+        set_active_mesh(mesh)
+        try:
+            tl = TrackList()
+            tm = TrackManager()
+            ids = tl.add_tracks([0, 1], paths)
+            tm.add_tracks(tl, ids)
+            tm.apply_track_list_changes(tl)
+            return dict(tm.spec_imgs)
+        finally:
+            set_active_mesh(None)
+
+    imgs_sp = run(make_mesh(8, time_parallel=4))
+    imgs_1 = run(None)
+    assert set(imgs_sp) == set(imgs_1) and imgs_sp
+    for k in imgs_1:
+        np.testing.assert_array_equal(np.asarray(imgs_sp[k]), np.asarray(imgs_1[k]))
+
+
+@needs_mesh
 def test_pad_rows_for_mesh_multiple():
     sh = spec_sharding(make_mesh(8))
     assert sh.n_rows == 8

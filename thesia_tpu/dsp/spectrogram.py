@@ -331,6 +331,13 @@ def _spec_multi_impl(raw, ns, gains, cw, sw, mel_fb, *, hop_length, t_overlap,
     frames = jnp.concatenate(
         [blocks[:, i : i + t_max] for i in range(t_overlap)], axis=2
     )
+    if shardings is not None and shardings.frames is not None:
+        # sequence parallelism: frames are mutually independent GEMM rows,
+        # so sharding T costs only the framing halo at shard edges and an
+        # exactly-associative min/max tree — BIT-EXACT vs single device.
+        # This is the load-balancing axis when rows < devices (one long
+        # stereo track = 2 rows).
+        frames = jax.lax.with_sharding_constraint(frames, shardings.frames)
     mag = _dft_magnitude(frames, cw, sw, rfft_n_fft)
     if use_mel:
         out = jnp.einsum("ctf,fm->ctm", mag, mel_fb, precision=_matmul_precision())

@@ -9,6 +9,13 @@ reference: src-tauri/src/core/mod.rs:152-163) are:
     `SpectrogramAnalyzer.calc_specs_batched` pads its row batch to a multiple
     of the mesh "tracks" size and constrains the batched program's inputs and
     outputs with `active_spec_sharding()`.
+  * "time": STFT frame blocks of each row — sequence parallelism.  Frames
+    are mutually independent (each DFT/mel GEMM row is one frame), so the
+    only cross-shard traffic is the halo of the strided framing (overlapping
+    windows at shard edges) and the masked min/max tree — and min/max are
+    exactly associative, so time-parallel results are BIT-EXACT vs
+    single-device.  This is the load-balancing axis for few-row sessions
+    (one long stereo track = 2 rows; rows-only DP would idle n-2 chips).
   * "freq": columns of the DFT matrices and rows of the mel filterbank —
     tensor-parallel GEMMs.  The mel GEMM contracts over the sharded freq
     axis, so GSPMD inserts a psum over the "freq" axis — riding ICI.
@@ -34,13 +41,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _active_mesh: Mesh | None = None
 
 
-def make_mesh(n_devices: int | None = None, freq_parallel: int = 1) -> Mesh:
+def make_mesh(
+    n_devices: int | None = None, freq_parallel: int = 1, time_parallel: int = 1
+) -> Mesh:
     devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)
-    assert n % freq_parallel == 0
+    assert n % (freq_parallel * time_parallel) == 0
     return Mesh(
-        np.array(devices).reshape(n // freq_parallel, freq_parallel),
-        axis_names=("tracks", "freq"),
+        np.array(devices).reshape(
+            n // (freq_parallel * time_parallel), time_parallel, freq_parallel
+        ),
+        axis_names=("tracks", "time", "freq"),
     )
 
 
@@ -65,7 +76,11 @@ class SpecSharding(NamedTuple):
     """Hashable bundle of shardings for the batched spectrogram program
     (passed as a static arg to the jitted pipeline).
 
-    rows1/rows2/rows3: (C,), (C, L), (C, T, F) arrays sharded over "tracks".
+    rows1/rows2/rows3: (C,), (C, L), (C, T, F) arrays sharded over "tracks"
+    (rows3 additionally over "time" when time_parallel > 1 — the frames
+    axis; sequence parallelism, bit-exact).
+    frames: (C, T, win) framing constraint for the time axis (None when
+    time-parallel is off; GSPMD materializes each shard's window halo).
     mat/fb: DFT matrices (win, F) / mel filterbank (F, M) sharded over
     "freq" when freq_parallel > 1, else None (replicated).
     """
@@ -73,37 +88,51 @@ class SpecSharding(NamedTuple):
     rows1: NamedSharding
     rows2: NamedSharding
     rows3: NamedSharding
+    frames: NamedSharding | None
     mat: NamedSharding | None
     fb: NamedSharding | None
     n_rows: int  # size of the "tracks" axis (row batches pad to a multiple)
     n_freq: int  # size of the "freq" axis
+    n_time: int  # size of the "time" axis
 
 
-def spec_sharding(mesh: Mesh, freq_parallel: bool = False) -> SpecSharding:
+def spec_sharding(
+    mesh: Mesh, freq_parallel: bool = False, time_parallel: bool = False
+) -> SpecSharding:
     n_rows = mesh.shape["tracks"]
     n_freq = mesh.shape["freq"]
+    n_time = mesh.shape["time"]
     use_freq = freq_parallel and n_freq > 1
+    use_time = time_parallel and n_time > 1
+    t_axis = "time" if use_time else None
     return SpecSharding(
         rows1=NamedSharding(mesh, P("tracks")),
         rows2=NamedSharding(mesh, P("tracks", None)),
-        rows3=NamedSharding(mesh, P("tracks", None, None)),
+        rows3=NamedSharding(mesh, P("tracks", t_axis, None)),
+        frames=NamedSharding(mesh, P("tracks", "time", None)) if use_time else None,
         mat=NamedSharding(mesh, P(None, "freq")) if use_freq else None,
         fb=NamedSharding(mesh, P("freq", None)) if use_freq else None,
         n_rows=n_rows,
         n_freq=n_freq,
+        n_time=n_time,
     )
 
 
 def active_spec_sharding() -> SpecSharding | None:
     """The sharding bundle the engine applies to batched recomputes, or None
     when no multi-device mesh is active.  A mesh built with
-    make_mesh(freq_parallel=k>1) opts its "freq" axis in here — without
-    this, a freq-parallel mesh replicated the DFT/mel operands and half the
-    chips redid identical work (review finding)."""
+    make_mesh(freq_parallel=k>1) or make_mesh(time_parallel=m>1) opts those
+    axes in here — without this, a freq-parallel mesh replicated the
+    DFT/mel operands and half the chips redid identical work (review
+    finding)."""
     mesh = _active_mesh
     if mesh is None or mesh.size < 2:
         return None
-    return spec_sharding(mesh, freq_parallel=mesh.shape["freq"] > 1)
+    return spec_sharding(
+        mesh,
+        freq_parallel=mesh.shape["freq"] > 1,
+        time_parallel=mesh.shape["time"] > 1,
+    )
 
 
 def pad_rows_for(shardings: SpecSharding | None, rows: int) -> int:

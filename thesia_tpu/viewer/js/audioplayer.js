@@ -116,34 +116,44 @@ export function createAudioPlayer(opts = {}) {
   }
 
   async function ensureStarted() {
+    // NEVER throws: remote audio is an enhancement over the server-side
+    // output path — an attach failure (service mid-restart, proxy hiccup)
+    // must not break the play command it piggybacks on.
     if (st.unsupported) return false;
-    if (!st.ctx) {
-      st.ctx = makeContext(); // needs a user gesture; callers are handlers
+    try {
       if (!st.ctx) {
-        st.unsupported = true;
-        return false;
+        st.ctx = makeContext(); // needs a user gesture; callers are handlers
+        if (!st.ctx) {
+          st.unsupported = true;
+          return false;
+        }
       }
+      if (st.ctx.resume) await st.ctx.resume();
+      if (!st.attached) {
+        await api.attachPcm(st.ctx.sampleRate, 2);
+        st.attached = true;
+        st.seenVersion = null;
+        st.nextStartTime = 0;
+      }
+      if (!st.running) {
+        st.running = true;
+        await pump();
+      }
+      return true;
+    } catch (_e) {
+      return false; // transient: the next play state change retries
     }
-    if (st.ctx.resume) await st.ctx.resume();
-    if (!st.attached) {
-      await api.attachPcm(st.ctx.sampleRate, 2);
-      st.attached = true;
-      st.seenVersion = null;
-      st.nextStartTime = 0;
-    }
-    if (!st.running) {
-      st.running = true;
-      await pump();
-    }
-    return true;
   }
 
   function setPlaying(isPlaying) {
     if (!st.ctx || st.unsupported) return;
     if (isPlaying) {
-      // restart the pump on play (ensureStarted already ran from the
-      // gesture handler; state events keep it live across seeks)
-      if (st.attached && !st.running) {
+      if (!st.attached) {
+        // a pump failure detached us (transient fetch error / server
+        // restart); re-attaching needs no user gesture — the context
+        // already exists from the original play gesture
+        ensureStarted();
+      } else if (!st.running) {
         st.running = true;
         pump();
       }
