@@ -499,6 +499,9 @@ def _require_backend() -> str | None:
     return f"backend unavailable after {attempt} probes ({errors[-1] if errors else 'no attempt fit the budget'})"
 
 
+_ABANDONED: list = []  # stages whose worker thread was abandoned mid-run
+
+
 def _run_stage(name: str, fn, budget_s: float):
     """Run one bench stage in a worker thread under a time budget.
 
@@ -508,6 +511,11 @@ def _run_stage(name: str, fn, budget_s: float):
     an exception, name:hang injects a wedge (exercises the timeout path)."""
     fault = os.environ.get("THESIA_BENCH_FAULT", "")
     box: dict = {}
+    # stages mutate process env (THESIA_PRECOMPILE et al.) and restore it in
+    # their finally blocks — an ABANDONED thread never ran its finally, so
+    # snapshot here and restore on timeout or later measurements run under
+    # the wedged stage's env (review finding)
+    env_before = dict(os.environ)
 
     def work():
         try:
@@ -525,7 +533,15 @@ def _run_stage(name: str, fn, budget_s: float):
     t.join(budget_s)
     if t.is_alive():
         _progress(f"stage {name} exceeded its {budget_s:.0f}s budget — abandoned")
-        return None, f"timeout>{budget_s:.0f}s"
+        for k, v in env_before.items():
+            if os.environ.get(k) != v:
+                os.environ[k] = v
+        for k in set(os.environ) - set(env_before):
+            os.environ.pop(k, None)
+        # the zombie thread still competes for the device — later numbers
+        # may be polluted; the artifact must say so, not present them clean
+        _ABANDONED.append(name)
+        return None, f"timeout>{budget_s:.0f}s (thread abandoned; later stages may contend with it)"
     if "error" in box:
         _progress(f"stage {name} failed: {box['error']}")
         return None, box["error"]
@@ -577,6 +593,10 @@ def main():
                 result["error"] = "; ".join(
                     f"{k}: {v}" for k, v in errors.items()
                 )
+            if _ABANDONED:
+                # every field measured after an abandoned stage shared the
+                # device with its zombie thread — flag, don't falsify
+                result["tainted_after_stage_timeout"] = list(_ABANDONED)
             print(json.dumps(result), flush=True)
 
     # global watchdog: if the whole run overruns (tunnel weather piling up

@@ -166,6 +166,9 @@ class _mutant_deadline:
         return False
 
 
+_PRISTINE_AST: dict[str, object] = {}  # unmutated module parse cache
+
+
 def battery_kills(overrides: dict[str, str], timeout_s: float = 10.0) -> str | None:
     """Run the full differential battery with mutated source(s).  Returns
     the first kill evidence ('name: reason') or None if the mutant SURVIVES
@@ -178,8 +181,22 @@ def battery_kills(overrides: dict[str, str], timeout_s: float = 10.0) -> str | N
             interp = Interp()
             try:
                 for name in _LOAD_ORDER:
-                    src = overrides.get(name) or (VIEWER_JS / name).read_text()
-                    interp.load(src)
+                    if name in overrides:
+                        interp.load(overrides[name])
+                    else:
+                        # pristine modules: parse once per battery process
+                        # (ASTs are pure data; only the mutated file differs
+                        # between mutants — re-parsing all six per mutant
+                        # dominated the battery's runtime)
+                        ast = _PRISTINE_AST.get(name)
+                        if ast is None:
+                            from tests.jsinterp import Parser, tokenize
+
+                            ast = Parser(
+                                tokenize((VIEWER_JS / name).read_text())
+                            ).parse_program()
+                            _PRISTINE_AST[name] = ast
+                        interp.load_ast(ast)
             except Exception as e:  # parse/eval error at load: CI fails -> killed
                 return f"load: {type(e).__name__}"
             env = interp.global_env.vars

@@ -1245,7 +1245,12 @@ class Interp:
         """Parse + execute top-level declarations of a module source.
         Statements execute directly in the global env (the generic block
         path would scope module bindings into a discarded child env)."""
-        ast = Parser(tokenize(source)).parse_program()
+        self.load_ast(Parser(tokenize(source)).parse_program())
+
+    def load_ast(self, ast):
+        """Execute a pre-parsed program (ASTs are pure data — execution
+        never mutates nodes — so one parse can serve many interpreters;
+        the mutation battery reuses pristine-module parses this way)."""
         for stmt in ast[1]:
             self.exec(stmt, self.global_env)
 

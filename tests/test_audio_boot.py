@@ -221,3 +221,60 @@ def test_audio_unsupported_context_is_graceful(tmp_path):
     assert not browser.audio_contexts
     _space(browser)
     session.tm.images.shutdown()
+
+def test_track_end_schedules_final_chunk_and_drains_tail(tmp_path):
+    """End-of-track parity with the device callback's end-drain
+    (stream.rs fill: ending at reached_end truncates audibly): the chunk
+    flagged ended carries the LAST real frames and must be (a) scheduled
+    and (b) left to play out — the poll-driven setPlaying(false) must not
+    flush the scheduled tail (review finding: the old pump dropped the
+    final chunk, then flushed ~0.35 s of tail)."""
+    from thesia_tpu.engine.session import EngineSession
+    from thesia_tpu.io.wav import encode_wav_f32
+
+    rng = np.random.default_rng(7)
+    n = int(SR * 0.3)  # 0.3 s: ends within a few pump bursts
+    wav = rng.uniform(-0.5, 0.5, (1, n)).astype(np.float32)
+    media = tmp_path / "short.wav"
+    media.write_bytes(encode_wav_f32(wav, SR))
+    session = EngineSession(settings_dir=tmp_path / "cfg")
+    browser = FakeBrowser(
+        session, (VIEWER / "index.html").read_text(), media_paths=[media]
+    )
+    interp = Interp()
+    browser.install(interp)
+    for name in ("api.js", "freqscale.js", "caches.js", "axes.js",
+                 "viewport.js", "applogic.js", "audioplayer.js", "overview.js",
+                 "app.js"):
+        interp.load((VIEWER / "js" / name).read_text())
+    sel = browser.doc["querySelector"]("#media-list")
+    sel["value"] = str(media)
+    browser.dispatch_event(sel, "change")
+    assert session.settings_settled(timeout=180)
+    session.tm.images.drain()
+
+    _space(browser)
+    # the first pump burst (4 pulls x 4096 frames) can consume the whole
+    # 0.3 s track synchronously — isPlaying may already be false here
+    assert browser.audio_contexts, "no AudioContext was created"
+    ctx = browser.audio_contexts[-1]
+    browser.advance(2000)  # pump to the end; polls deliver isPlaying=false
+
+    assert session.player.state()["isPlaying"] is False  # track ran out
+    sched = ctx["_scheduled"]
+    assert sched, "nothing scheduled"
+    # (a) every track frame was scheduled — the final (ended) chunk too;
+    # the server zero-pads the final fill to the pull size, so scheduled
+    # audio is the FULL track followed by silence
+    total = int(sum(rec["frames"] for rec in sched))
+    assert total >= n, f"scheduled {total} frames of {n}"
+    mono = np.concatenate([_lanes_to_array(rec)[:, 0] for rec in sched])
+    vol = np.float32(session.player.playback.volume)
+    np.testing.assert_array_equal(mono[:n], np.clip(wav[0] * vol, -1.0, 1.0))
+    assert not mono[n:].any(), "post-end padding must be silence"
+    # (b) nothing was stop()ed: the tail drains, onended reaps naturally
+    assert all(rec["stoppedAt"] is None for rec in sched)
+    # and the pump stopped pulling (no busy-loop against an ended server)
+    st = interp.global_env.vars["audio"]["_state"]
+    assert st["running"] is False
+    session.tm.images.shutdown()

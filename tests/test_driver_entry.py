@@ -199,3 +199,30 @@ def test_bench_single_stage_fault_preserves_all_other_fields():
         if val is None and k != "multitrack_mixed_sr_x_realtime"
     ]
     assert not missing, (missing, doc)
+
+
+def test_run_stage_timeout_restores_env_and_flags_taint():
+    """An abandoned stage never runs its finally-block env restore: the
+    harness must restore the snapshot itself and flag the artifact (review
+    finding — a wedged cold_shape left THESIA_PRECOMPILE=1 for every later
+    'clean' timing)."""
+    import bench
+
+    bench._ABANDONED.clear()
+    os.environ["THESIA_STAGE_ENV_PROBE"] = "before"
+
+    def wedge():
+        os.environ["THESIA_STAGE_ENV_PROBE"] = "polluted"
+        os.environ["THESIA_STAGE_ENV_NEW"] = "zombie"
+        time.sleep(60)
+
+    try:
+        v, e = bench._run_stage("wedge_env", wedge, budget_s=0.8)
+        assert v is None and "abandoned" in e
+        assert os.environ["THESIA_STAGE_ENV_PROBE"] == "before"
+        assert "THESIA_STAGE_ENV_NEW" not in os.environ
+        assert "wedge_env" in bench._ABANDONED
+    finally:
+        bench._ABANDONED.clear()
+        os.environ.pop("THESIA_STAGE_ENV_PROBE", None)
+        os.environ.pop("THESIA_STAGE_ENV_NEW", None)

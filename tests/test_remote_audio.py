@@ -291,3 +291,67 @@ async def _service_pcm(tmp_path, samples_dir):
         assert r.status == 400
     finally:
         await client.close()
+
+def test_detach_in_off_mode_restores_off():
+    """output='off' deployments must stay off after a browser client leaves:
+    detach tears the on-demand engine down instead of installing a local
+    output stream the operator never asked for (review finding)."""
+    sr = 48000
+    store = {0: (np.zeros(sr, np.float32), 1, sr, 1.0)}
+    p = Player(_tracks(store), output="off")
+    assert p.output_engine is None
+    p.attach_remote_audio(sr, 2)
+    assert p.remote_attached()
+    p.detach_remote_audio()
+    assert p.output_engine is None  # wall-clock sink only, as configured
+    assert not p.remote_attached()
+    # the wall-clock position path still works after the teardown
+    p.max_sec = 1.0
+    p.set_track(0, 0.0)
+    p.resume()
+    time.sleep(0.03)
+    p.tick()
+    assert p.playback.position_sec() > 0.0
+
+
+def test_stale_fallback_in_off_mode_restores_off():
+    sr = 48000
+    store = {0: (np.zeros(2 * sr, np.float32), 1, sr, 2.0)}
+    p = Player(_tracks(store), output="off")
+    p.attach_remote_audio(sr, 2)
+    p.max_sec = 2.0
+    p.set_track(0, 0.0)
+    p.resume()
+    p.pull_pcm(480)
+    handle = p.output_engine.handle
+    handle.last_pull_monotonic -= REMOTE_STALE_SEC + 1.0
+    anchor_before = p._anchor
+    p.tick()
+    assert p.output_engine is None  # no local stream in 'off' mode
+    assert p._anchor >= anchor_before  # wall-clock re-anchored (no jump)
+    # a second attach works again from scratch
+    cfg = p.attach_remote_audio(sr, 2)
+    assert cfg["sampleRate"] == sr and p.remote_attached()
+
+
+def test_closed_remote_handle_pull_raises():
+    """A detach racing an in-flight client pull loop: once the handle is
+    closed its pulls must raise instead of silently double-advancing the
+    position alongside the new device's callback (review finding)."""
+    sr = 48000
+    store = {0: (np.zeros(sr, np.float32), 1, sr, 1.0)}
+    p, _ = _player_with_remote(store)
+    p.set_track(0, 0.0)
+    handle = p.output_engine.handle
+    assert isinstance(handle, RemoteStreamHandle)
+    assert handle.config.sample_rate == sr  # header rate comes from here
+    p.detach_remote_audio()  # rebuild closes the remote handle
+    with pytest.raises(ValueError):
+        handle.pull(480)
+
+
+def test_failed_attach_rolls_back_off_mode():
+    p = Player(_tracks({}), output="off")
+    with pytest.raises(ValueError):
+        p.attach_remote_audio(1000, 2)  # below any real context rate
+    assert p.output_engine is None  # still 'off', no half-built engine

@@ -119,6 +119,11 @@ class Player:
         self.error = ""
         self.lock = threading.Lock()
         self._engine = None
+        # True when attach_remote_audio built the engine on demand for a
+        # browser client in output="off" mode: detach must then tear the
+        # engine back down instead of silently converting the deployment's
+        # explicit "off" into a live local output stream
+        self._engine_from_attach = False
         mode = output or os.environ.get("THESIA_AUDIO_OUTPUT", "auto")
         if mode != "off":
             try:
@@ -179,11 +184,19 @@ class Player:
             # output mode "off": create the engine on demand for the client
             self._engine = OutputEngine(self.playback, self.lock, device=device)
             self._engine.ensure_stream(self.requested_sr)
+            self._engine_from_attach = True
         else:
             self._engine.set_device(device)
         cfg = self._engine.config
         if cfg is None:
-            raise ValueError(f"remote audio stream build failed: {self._engine.error}")
+            err = self._engine.error
+            if self._engine_from_attach:
+                # roll the on-demand engine back: a failed attach must leave
+                # output="off" exactly as it was
+                self._engine.shutdown()
+                self._engine = None
+                self._engine_from_attach = False
+            raise ValueError(f"remote audio stream build failed: {err}")
         return {
             "sampleRate": cfg.sample_rate,
             "channels": cfg.channels,
@@ -194,7 +207,16 @@ class Player:
         from .stream import RemoteOutputDevice, default_output_device
 
         engine = self._engine
-        if engine is not None and isinstance(engine.device, RemoteOutputDevice):
+        if engine is None or not isinstance(engine.device, RemoteOutputDevice):
+            return
+        if self._engine_from_attach:
+            # restore the deployment's explicit output="off": wall-clock
+            # sink only, no local stream the operator never asked for
+            self._engine = None
+            self._engine_from_attach = False
+            self._anchor = time.monotonic()  # wall-clock sink takes over
+            engine.shutdown()
+        else:
             engine.set_device(default_output_device())
 
     def remote_attached(self) -> bool:
@@ -223,9 +245,11 @@ class Player:
             position_sec = self.playback.position_sec()
             version = self.playback.cursor_version
             playing = self.playback.is_playing
-        cfg = engine.config
+        # header rate comes from the HANDLE that produced the PCM, not
+        # engine.config: a detach/staleness fallback racing this pull swaps
+        # engine.config to the local device's rate mid-flight
         return encode_pcm_chunk(
-            data, cfg.sample_rate, position_sec, version, playing,
+            data, handle.config.sample_rate, position_sec, version, playing,
             engine.source.reached_end,
         )
 

@@ -192,6 +192,7 @@ class RemoteStreamHandle(StreamHandle):
         self._config = config
         self._callback = callback
         self._error: Optional[str] = None
+        self._closed = False
         self._pull_lock = threading.Lock()  # serialize pipelined pulls
         self.last_pull_monotonic = time.monotonic()
 
@@ -199,9 +200,22 @@ class RemoteStreamHandle(StreamHandle):
     def error(self) -> Optional[str]:
         return self._error
 
+    @property
+    def config(self) -> StreamConfig:
+        """The stream's own config: pull_pcm stamps chunk headers from the
+        handle, not the engine, so a concurrent detach/rebuild (which swaps
+        engine.config to the local device's rate) can't mislabel in-flight
+        PCM with the wrong sample rate."""
+        return self._config
+
     def pull(self, n_frames: int) -> np.ndarray:
         """(n_frames, channels) in the device sample format (f32)."""
         with self._pull_lock:
+            if self._closed:
+                # a detach / staleness fallback closed this stream; the new
+                # device's callback owns the position now — a late pull must
+                # not advance it a second time
+                raise ValueError("remote audio stream detached")
             self.last_pull_monotonic = time.monotonic()
             try:
                 block = self._callback(
@@ -213,7 +227,10 @@ class RemoteStreamHandle(StreamHandle):
                 raise
 
     def close(self) -> None:
-        pass  # nothing to stop: the client paces, no thread exists
+        # no thread to stop (the client paces) — but mark closed so a pull
+        # racing the close can't keep advancing the shared position
+        with self._pull_lock:
+            self._closed = True
 
 
 class RemoteOutputDevice(OutputDevice):
@@ -577,3 +594,17 @@ class OutputEngine:
                 except Exception:
                     pass
                 self._handle = None
+
+    def shutdown(self) -> None:
+        """Tear the engine down for good (detach of an on-demand remote
+        engine in output='off' mode): close the stream AND clear the config
+        so is_active()/config can't report a live output that no longer
+        exists."""
+        with self._rebuild_lock:
+            if self._handle is not None:
+                try:
+                    self._handle.close()
+                except Exception:
+                    pass
+                self._handle = None
+            self._config = None

@@ -18,9 +18,14 @@
 //  * seek/track switch: the wire chunk carries cursor_version
 //    (reference: stream.rs:110 reset_for_cursor) — on a bump, everything
 //    scheduled is pre-seek audio: stop it and restart the frontier;
-//  * pause/end: the server flags isPlaying/ended in each chunk; pulling
-//    stops immediately (a paused server returns silence and does not
-//    advance the position, so a late pull is harmless).
+//  * pause: the server flags isPlaying in each chunk; pulling stops and
+//    the poll-driven setPlaying(false) silences what was scheduled (a
+//    paused server returns silence and does not advance the position, so
+//    a late pull is harmless);
+//  * end: the chunk flagged ended carries the track's LAST real frames —
+//    it is scheduled, pulling stops, and the scheduled tail drains to
+//    completion instead of being flushed (drainEnd; mirrors the device
+//    callback's end-drain in stream.rs fill()).
 
 import { api } from "./api.js";
 import * as L from "./applogic.js";
@@ -43,10 +48,12 @@ export function createAudioPlayer(opts = {}) {
     nextStartTime: 0,
     seenVersion: null,
     scheduled: [], // live AudioBufferSourceNodes, flushed on seek/pause
+    drainEnd: false, // let the scheduled tail play out after track end
     pulls: 0, // diagnostics / tests
   };
 
   function flushScheduled() {
+    st.drainEnd = false; // anything flushed, the end-tail included, is gone
     for (const src of st.scheduled) {
       try {
         src.stop();
@@ -93,14 +100,22 @@ export function createAudioPlayer(opts = {}) {
           flushScheduled(); // pre-seek audio must not play (stream.rs:110)
         }
         st.seenVersion = chunk.cursorVersion;
-        if (!chunk.isPlaying) {
-          st.running = false; // paused or ended server-side
-          break;
-        }
-        scheduleChunk(chunk);
+        // The final fill of a track flags isPlaying=false AND ended=true in
+        // the same chunk that carries the last real frames (player.pull_pcm)
+        // — it must be scheduled or the end is audibly truncated, defeating
+        // the fill()'s own end-drain.  A pure pause chunk (isPlaying=false,
+        // no ended) is silence and is not scheduled.
+        if (chunk.isPlaying || chunk.ended) scheduleChunk(chunk);
         n -= 1;
         if (chunk.ended) {
+          // Track ran out: stop pulling but let the scheduled tail play —
+          // the poll-driven setPlaying(false) must not flush it.
+          st.drainEnd = true;
           st.running = false;
+          break;
+        }
+        if (!chunk.isPlaying) {
+          st.running = false; // paused server-side (poll will silence us)
           break;
         }
       }
@@ -148,6 +163,7 @@ export function createAudioPlayer(opts = {}) {
   function setPlaying(isPlaying) {
     if (!st.ctx || st.unsupported) return;
     if (isPlaying) {
+      st.drainEnd = false;
       if (!st.attached) {
         // a pump failure detached us (transient fetch error / server
         // restart); re-attaching needs no user gesture — the context
@@ -159,7 +175,12 @@ export function createAudioPlayer(opts = {}) {
       }
     } else {
       st.running = false;
-      flushScheduled(); // pause silences immediately, like a device stream
+      // end-of-track (drainEnd): the scheduled tail is real audio — let
+      // onended reap it.  The flag persists across the repeated poll-driven
+      // setPlaying(false) calls and clears on the next play or flush.
+      if (!st.drainEnd) {
+        flushScheduled(); // pause silences immediately, like a device stream
+      }
     }
   }
 
