@@ -355,3 +355,61 @@ def test_failed_attach_rolls_back_off_mode():
     with pytest.raises(ValueError):
         p.attach_remote_audio(1000, 2)  # below any real context rate
     assert p.output_engine is None  # still 'off', no half-built engine
+
+
+def test_threaded_pull_vs_detach_attach_churn():
+    """Hammer pull_pcm from two threads while a third churns
+    attach/detach/seek: every pull either returns a well-formed chunk or
+    raises ValueError (detached) — never a wrong-rate header, never a
+    crash, and the position only moves forward between seeks."""
+    import threading
+
+    sr = 48000
+    store = {0: (np.zeros(30 * sr, np.float32), 1, sr, 30.0)}
+    p, _ = _player_with_remote(store)
+    p.max_sec = 30.0
+    p.set_track(0, 0.0)
+    p.resume()
+    stop = threading.Event()
+    failures: list = []
+
+    def puller():
+        while not stop.is_set():
+            try:
+                d = _decode(p.pull_pcm(512))
+            except ValueError:
+                continue  # detached mid-pull: the documented outcome
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"pull: {type(e).__name__}: {e}")
+                return
+            if d["sr"] not in (44100, 48000) or d["ch"] != 2 or d["n"] != 512:
+                failures.append(f"malformed chunk: {d['sr']} {d['ch']} {d['n']}")
+                return
+
+    def churner():
+        rng = np.random.default_rng(5)
+        while not stop.is_set():
+            try:
+                r = rng.random()
+                if r < 0.4:
+                    p.attach_remote_audio(int(rng.choice([44100, 48000])), 2)
+                elif r < 0.7:
+                    p.detach_remote_audio()
+                else:
+                    p.seek(float(rng.uniform(0, 20)))
+            except ValueError:
+                pass  # attach during teardown etc.
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"churn: {type(e).__name__}: {e}")
+                return
+
+    threads = [threading.Thread(target=puller) for _ in range(2)]
+    threads.append(threading.Thread(target=churner))
+    for t in threads:
+        t.start()
+    time.sleep(2.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=10)
+        assert not t.is_alive(), "worker wedged"
+    assert not failures, failures[:3]

@@ -59,7 +59,42 @@ async def _fuzz(tmp_path, samples_dir, deferred=False):
         async def worker(seed):
             wrng = np.random.default_rng(seed)
             for _ in range(40):
-                op = wrng.integers(0, 8)
+                op = wrng.integers(0, 12)
+                if op == 8:
+                    # remote-audio churn: concurrent attaches (latest wins),
+                    # pulls racing detaches (must 400, never 500), seeks
+                    # racing pulls (cursor-version bumps mid-stream)
+                    r = await client.post("/player/attach_pcm", json={
+                        "sampleRate": int(wrng.choice([44100, 48000])),
+                        "channels": 2})
+                    if r.status >= 500:
+                        bad.append(("attach_pcm", None, r.status, await r.text()))
+                    await asyncio.sleep(0)
+                    continue
+                if op == 9:
+                    r = await client.post("/player/pcm", json={
+                        "frames": int(wrng.choice([512, 4096]))})
+                    if r.status >= 500:
+                        bad.append(("pcm", None, r.status, await r.text()))
+                    await asyncio.sleep(0)
+                    continue
+                if op == 10:
+                    r = await client.post("/player/detach_pcm", json={})
+                    if r.status >= 500:
+                        bad.append(("detach_pcm", None, r.status, await r.text()))
+                    await asyncio.sleep(0)
+                    continue
+                if op == 11:
+                    name, body = (
+                        ("resume_player", {}) if wrng.random() < 0.4
+                        else ("pause_player", {}) if wrng.random() < 0.5
+                        else ("seek_player", {"sec": float(wrng.uniform(0, 2))})
+                    )
+                    r = await client.post(f"/api/{name}", json=body)
+                    if r.status >= 500:
+                        bad.append((name, body, r.status, await r.text()))
+                    await asyncio.sleep(0)
+                    continue
                 if op == 0:
                     name, body = "set_spec_setting", {"specSetting": {
                         "winMillisec": float(wrng.choice([20.0, 40.0])),
