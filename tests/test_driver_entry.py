@@ -104,6 +104,7 @@ def test_bench_emits_json_when_backend_dead():
             "JAX_PLATFORMS": "definitely_not_a_platform",
             "THESIA_BENCH_PROBE_BUDGET": "20",
             "THESIA_BENCH_FAST": "1",
+            "THESIA_BENCH_CPU_FALLBACK": "0",  # keep this test probe-focused
         },
         timeout=300,
     )
@@ -226,3 +227,30 @@ def test_run_stage_timeout_restores_env_and_flags_taint():
         bench._ABANDONED.clear()
         os.environ.pop("THESIA_STAGE_ENV_PROBE", None)
         os.environ.pop("THESIA_STAGE_ENV_NEW", None)
+
+
+def test_cpu_fallback_merges_marked_numbers(monkeypatch):
+    """A dead device backend still yields driver-visible evidence: the
+    fallback child's non-null fields land under 'cpu_fallback' with an
+    explicit backend marker, never merged into the (null) TPU fields."""
+    import bench
+
+    canned = json.dumps({
+        "metric": "stft_mel_raster_realtime_factor_48k_stereo",
+        "value": 12.3, "unit": "x_realtime_per_chip", "vs_baseline": 0.123,
+        "spec_tile_p50_ms": 1.5, "long1h_add_s": None, "error": None,
+    })
+
+    class P:
+        stdout = "[bench] noise\n" + canned + "\n"
+        returncode = 0
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: P())
+    monkeypatch.delenv("THESIA_BENCH_CPU_FALLBACK", raising=False)
+    fb = bench._cpu_fallback_numbers()
+    assert fb["value"] == 12.3 and fb["spec_tile_p50_ms"] == 1.5
+    assert "long1h_add_s" not in fb and "metric" not in fb
+    assert "cpu" in fb["backend"] and "NOT comparable" in fb["backend"]
+
+    monkeypatch.setenv("THESIA_BENCH_CPU_FALLBACK", "0")
+    assert bench._cpu_fallback_numbers() is None
