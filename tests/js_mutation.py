@@ -3,12 +3,14 @@
 VERDICT r4 weak #5: the differential harness (real JS through
 tests/jsinterp.py vs the Python twins) had only anecdotal evidence of what
 it can catch.  This module auto-generates semantic mutations of the pure
-twinned modules (applogic.js, freqscale.js) — operator flips, boundary
-<->(<=) swaps, min/max swaps, floor/ceil swaps, logic flips, constant
-nudges — applies each to the REAL source, and runs the full differential
-case battery (tests/test_js_execution.CASES, 800+ cases) against the
-unmutated twins as the oracle.  A mutation is KILLED when any case
-mismatches or errors (a parse error counts: it would fail CI outright).
+twinned modules (applogic.js, freqscale.js, axes.js, viewport.js,
+caches.js) — operator flips, boundary <->(<=) swaps, min/max swaps,
+floor/ceil swaps, logic flips, constant nudges — applies each to the REAL
+source, and runs the full differential case battery
+(tests/test_js_execution.CASES, 800+ cases, plus the axes/viewport/caches
+module batteries) against the unmutated twins as the oracle.  A mutation
+is KILLED when any case mismatches or errors (a parse error counts: it
+would fail CI outright).
 
 tests/test_mutation_battery.py runs the whole pool every suite run and
 pins a curated must-kill set (tests/goldens/js_mutants.json, regenerate
@@ -20,7 +22,7 @@ from __future__ import annotations
 import pathlib
 
 VIEWER_JS = pathlib.Path(__file__).resolve().parent.parent / "thesia_tpu" / "viewer" / "js"
-FILES = ("applogic.js", "freqscale.js")
+FILES = ("applogic.js", "freqscale.js", "axes.js", "viewport.js", "caches.js")
 
 # (from, to, guard) — guard(src, i) -> bool: the occurrence at i is a real
 # code token of this operator (not part of a longer operator)
@@ -91,15 +93,63 @@ def _occurrences(src: str, frm: str, guard) -> list[int]:
     return out
 
 
+# Scopes judged by the pure differential batteries.  Drawing/DOM code in
+# axes.js and viewport.js executes under the headless boot harness
+# (tests/test_app_boot.py — too heavy to run per-mutant); mutating it here
+# would only measure coverage this battery was never meant to provide.
+# Files absent from this map are pure end to end and fully in scope.
+PURE_SCOPES = {
+    "axes.js": ("TIME_TICK_SIZE", "AMP_TICK_NUM", "FREQ_TICK_NUM",
+                "DB_TICK_NUM", "tickScale", "timeTickParams"),
+    "viewport.js": ("specLevels", "waveLevel", "_specKey", "_waveKey"),
+}
+
+
+def _scope_spans(src: str, names) -> list[tuple[int, int]]:
+    """Character spans of the named function/method bodies or const arrays
+    (balanced-delimiter scan; our sources keep braces balanced in strings)."""
+    import re
+
+    spans = []
+    for name in names:
+        m = re.search(
+            rf"^(?:export\s+)?(?:async\s+)?function {re.escape(name)}\("
+            rf"|^\s{{2}}{re.escape(name)}\("
+            rf"|^(?:export\s+)?const {re.escape(name)} = \[",
+            src,
+            re.M,
+        )
+        if not m:
+            raise AssertionError(f"pure scope {name} not found — update PURE_SCOPES")
+        open_ch = "[" if src[m.end() - 1] == "[" else "{"
+        close_ch = "]" if open_ch == "[" else "}"
+        j = src.find(open_ch, m.start())
+        depth = 0
+        for k in range(j, len(src)):
+            if src[k] == open_ch:
+                depth += 1
+            elif src[k] == close_ch:
+                depth -= 1
+                if depth == 0:
+                    spans.append((m.start(), k + 1))
+                    break
+    return spans
+
+
 def candidate_sites() -> list[dict]:
-    """Every mutable site in the twinned pure modules, deterministically
+    """Every mutable site in the twinned pure modules (restricted to the
+    battery-judged scopes for files with DOM/canvas code), deterministically
     ordered.  `context` pins the exact source line so the must-kill fixture
     detects drift after edits (re-curate rather than silently skip)."""
     sites = []
     for fname in FILES:
         src = (VIEWER_JS / fname).read_text()
+        scopes = PURE_SCOPES.get(fname)
+        spans = _scope_spans(src, scopes) if scopes else None
         for frm, to, guard in MUTATORS:
             for k, i in enumerate(_occurrences(src, frm, guard)):
+                if spans is not None and not any(a <= i < b for a, b in spans):
+                    continue
                 sites.append(
                     {
                         "file": fname,
@@ -208,6 +258,19 @@ def battery_kills(overrides: dict[str, str], timeout_s: float = 10.0) -> str | N
                         raise
                     except Exception as e:
                         return f"{name}: {type(e).__name__}"
+            # axes/viewport/caches differentials — the same batteries the
+            # suite runs, so mutants of those modules are killable too
+            for bname, battery in (
+                ("axes", lambda: tj.axes_battery(interp)),
+                ("viewport", lambda: tj.viewport_battery(interp, n=40)),
+                ("caches", lambda: tj.caches_battery(interp, steps=150)),
+            ):
+                try:
+                    battery()
+                except _MutantHang:
+                    raise
+                except Exception as e:
+                    return f"battery {bname}: {type(e).__name__}"
     except _MutantHang:
         return "hang: infinite loop"
     # constants are compared against the twins too (test_constants_equal)

@@ -610,7 +610,12 @@ def test_js_delete_operator_semantics():
     assert _norm(i.global_env.vars["probe"]()) == [True, True, True, 3.0]
 
 
-def test_js_tick_tables_and_lookup(interp):
+# The three module batteries are plain functions over an interp so the
+# mutation kill-check (tests/js_mutation.battery_kills) can run the exact
+# same differentials against mutated axes.js/viewport.js/caches.js.
+
+def axes_battery(interp):
+    """Tick tables + tickScale lookup + timeTickParams vs the twins."""
     g = interp.global_env.vars
     for js_name, table in [
         ("TIME_TICK_SIZE", twin.TIME_TICK_SIZE),
@@ -630,10 +635,6 @@ def test_js_tick_tables_and_lookup(interp):
                 assert got is None or got is UNDEF
             else:
                 assert _norm(got) == [float(exp[0]), float(exp[1])], (js_name, v)
-
-
-def test_js_time_tick_params(interp):
-    g = interp.global_env.vars
     for pps in (0.0001, 0.001, 0.5, 5.7, 100.0, 384000.0, 1e6):
         got = g["timeTickParams"](float(pps))
         exp = twin.tick_scale(twin.TIME_TICK_SIZE, pps)
@@ -644,18 +645,20 @@ def test_js_time_tick_params(interp):
                                   "labelInterval": float(exp[1])}
 
 
-def test_js_viewport_lod_math(interp):
+def viewport_battery(interp, n=120, seed=7701):
+    """LOD selection + wave level vs the twins on a seeded random sweep."""
+    rng = _np.random.default_rng(seed)
     g = interp.global_env.vars
     vp = g["TrackViewport"].construct(["0_0"])
-    for _ in range(120):
-        w = float(_rng.integers(100, 500000))
-        sec = float(_rng.uniform(1, 4000))
-        h = float(_rng.integers(64, 1024))
-        sr = float(_rng.choice([8000, 16000, 22050, 44100, 48000]))
-        pps = float(10 ** _rng.uniform(-2, 5.6))
-        dpr = float(_rng.choice([1.0, 1.5, 2.0]))
-        frac = float(_rng.uniform(0.1, 1.0))
-        view_h = float(_rng.integers(40, 400))
+    for _ in range(n):
+        w = float(rng.integers(100, 500000))
+        sec = float(rng.uniform(1, 4000))
+        h = float(rng.integers(64, 1024))
+        sr = float(rng.choice([8000, 16000, 22050, 44100, 48000]))
+        pps = float(10 ** rng.uniform(-2, 5.6))
+        dpr = float(rng.choice([1.0, 1.5, 2.0]))
+        frac = float(rng.uniform(0.1, 1.0))
+        view_h = float(rng.integers(40, 400))
         vp["metadata"] = {"spectrogramWidth": w, "trackSec": sec,
                           "spectrogramHeight": h, "sampleRate": sr}
         js_lv = _norm(_method(interp, vp, "specLevels", pps, view_h, frac))
@@ -664,20 +667,41 @@ def test_js_viewport_lod_math(interp):
             w, sec, h, pps, view_h, frac, js_lv, (lx, ly))
         js_wl = _method(interp, vp, "waveLevel", pps, dpr)
         assert float(js_wl) == float(twin.wave_level(sr, pps, dpr)), (sr, pps, dpr)
+        # revision-scoped cache keys (a wrong key serves stale tiles)
+        srev = int(rng.integers(0, 50))
+        wrev = int(rng.integers(0, 50))
+        md = {"spectrogramRevision": float(srev), "waveformRevision": float(wrev)}
+        lx, ly = int(rng.integers(0, 6)), int(rng.integers(0, 4))
+        tx, ty = int(rng.integers(0, 9)), int(rng.integers(0, 3))
+        got_sk = _method(interp, vp, "_specKey", md,
+                         float(lx), float(ly), float(tx), float(ty))
+        assert got_sk == twin.spec_key("0_0", srev, lx, ly, tx, ty), got_sk
+        lvl, ti = int(rng.integers(0, 12)), int(rng.integers(0, 20))
+        got_wk = _method(interp, vp, "_waveKey", md, float(lvl), float(ti))
+        assert got_wk == twin.wave_key("0_0", wrev, lvl, ti), got_wk
 
 
-def test_js_lru_cache_differential(interp):
-    """Random op tape through the REAL caches.js LruByteCache and the twin:
+def caches_battery(interp, steps=400, seed=7702):
+    """Seeded op tape through the REAL caches.js LruByteCache and the twin:
     identical hit/miss answers, byte accounting, and eviction order."""
+    rng = _np.random.default_rng(seed)
     g = interp.global_env.vars
+    # shared budget constants feed the real app caches (caches.js exports)
+    assert float(g["SPEC_TILE_CACHE_BYTES"]) == float(twin.SPEC_TILE_CACHE_BYTES)
+    assert float(g["WAVE_TILE_CACHE_BYTES"]) == float(twin.WAVE_TILE_CACHE_BYTES)
     js_cache = g["LruByteCache"].construct([500.0])
     py_cache = twin.LruByteCache(500)
     keys = [f"k{i}" for i in range(12)]
-    for step in range(400):
-        op = _rng.integers(5)
-        k = keys[int(_rng.integers(len(keys)))]
+    for step in range(steps):
+        op = rng.integers(6)
+        if op == 5:
+            if step % 97 == 0:  # rare full invalidation, like a reload
+                _method(interp, js_cache, "clear")
+                py_cache.clear()
+            continue
+        k = keys[int(rng.integers(len(keys)))]
         if op == 0:
-            nbytes = float(_rng.integers(1, 200))
+            nbytes = float(rng.integers(1, 200))
             _method(interp, js_cache, "set", k, f"v{step}", nbytes)
             py_cache.set(k, f"v{step}", int(nbytes))
         elif op == 1:
@@ -691,7 +715,7 @@ def test_js_lru_cache_differential(interp):
             _method(interp, js_cache, "delete", k)
             py_cache.delete(k)
         else:
-            pred_keep = f"k{int(_rng.integers(len(keys)))}"
+            pred_keep = f"k{int(rng.integers(len(keys)))}"
             _method(interp, js_cache, "retain",
                     lambda key, _i=None: key != pred_keep)
             py_cache.retain(lambda key: key != pred_keep)
@@ -701,6 +725,18 @@ def test_js_lru_cache_differential(interp):
     _method(interp, js_cache, "clear")
     py_cache.clear()
     assert float(js_cache["bytes"]) == 0.0 and py_cache.bytes == 0
+
+
+def test_js_tick_tables_and_lookup(interp):
+    axes_battery(interp)
+
+
+def test_js_viewport_lod_math(interp):
+    viewport_battery(interp)
+
+
+def test_js_lru_cache_differential(interp):
+    caches_battery(interp)
 
 
 def test_js_cache_key_formats(interp):

@@ -94,6 +94,17 @@ def wave_level(sample_rate, px_per_sec, dpr):
     return max(0, math.ceil(math.log2(samples_per_px)))
 
 
+def spec_key(id_ch_str, spectrogram_revision, lx, ly, tx, ty):
+    """viewport.js _specKey — revision-scoped tile cache key (a wrong key
+    serves stale tiles across settings changes)."""
+    return f"{id_ch_str}:{spectrogram_revision}:{lx}:{ly}:{tx}:{ty}"
+
+
+def wave_key(id_ch_str, waveform_revision, level, ti):
+    """viewport.js _waveKey."""
+    return f"{id_ch_str}:{waveform_revision}:{level}:{ti}"
+
+
 def crossfade_weights(elapsed_ms):
     """Equal-power (old_alpha, new_alpha) at `elapsed_ms` into the fade;
     the fade ends at CROSSFADE_MS."""
