@@ -511,6 +511,82 @@ CASES = {
     ],
 }
 
+# Boundary/epsilon cases targeting measured mutation-battery survivors
+# (tests/goldens/js_mutants.json): each kills a specific mutant class that
+# the base batteries missed — exact-equality boundaries, epsilon guards
+# exercised below the nudged value, round-half fractions, asymmetric
+# neighborhoods.  Most remaining survivors trace to equivalent mutants:
+# clamp-at-boundary no-ops (winMillisecCommit limits, zoomFreqRangeAt
+# edge clamps, colorbarColorIndex's defensive Math.min) and guards
+# unreachable under the data contract (bins always full triplets).
+CASES["overviewCursorState"] += [
+    (4.0, 0.005, 1.0, 100.0),    # lensStartX=round(0.5): floor-flip changes zone
+    (97.0, 0.005, 1.0, 100.0),   # lensEndX=round(100.5): right-edge boundary
+]
+CASES["ampRangeFromBins"] += [
+    # 3 triplets: index arithmetic i*3+1 vs i/3+1 diverges past i=0
+    ([[-0.5, 0.5, 0.0, -1.2, 2.5, 0.1, -3.0, 0.9, 0.0]],),
+]
+CASES["overviewWavePoints"] += [
+    # amp span far below the 1e-2 nudge but above 1e-8
+    ([-0.5, 0.5, 0.0, -0.2, 0.3, 0.1],
+     {"y": 6.0, "height": 18.0, "gainHeight": 6.0}, 300.0, [0.0, 0.001], False),
+]
+CASES["calcLimiterGainEnvelopes"] += [
+    ([0.9, 0.8, 0.7, 1.0], 8.0, 10.0, [0.999, 1.0]),  # tiny gain span
+    ([0.5], 4.0, 10.0, [0.5, 1.0]),                    # single-point i2==i
+    ([0.9, 0.8], 1.0, 10.0, [0.5, 1.0]),               # width < len aliasing
+    ([0.7, 0.6, 0.9, 0.5, 0.4, 0.8, 0.3, 0.95], 3.0, 10.0, [0.3, 1.0]),
+]
+CASES["freqZoomScrollTop"] += [
+    (160.0, 200.0, 100.0, 600.0, 4.0),   # contentMiddle/base = 2.5: floor vs ceil
+    (0.004, 0.01, 0.05, 0.1, 4.0),       # baseHeight below the 1e-2 nudge
+    (160.0, 200.0, 5000.0, 600.0, 2.0),  # rowIndex clamps: min/max flips differ
+]
+CASES["calcScrollTopAtCursor"] += [
+    # gap between rows: contentY < rowTop branch (its +/- arithmetic)
+    ([0.0, 400.0, 800.0], 160.0, 160.0, 120.0, 300.0, 0.0, 0.0),
+    # baseHeight below the 1e-2 nudge: offsetRatio guard
+    ([0.0], 1.0, 0.004, 120.0, 0.002, 0.0, 0.0),
+]
+CASES["selectSecAutoScroll"] += [
+    (1e-6, 0.0, 5.0, 10.0, 1000.0, 100.0),  # |diff| EXACTLY the 1e-6 deadband
+    (6.0, 5.0, 5.0, 5.5, 1000.0, 100.0),    # newStartSec lands EXACTLY on selectSec
+]
+CASES["selectTrack"] += [
+    ([3, 5], 5, 3, [3, 5, 7], {}),  # multi-selection plain click on a member
+]
+CASES["selectAllTracks"] += [
+    ([5, 7, 9], [3, 5, 7]),  # same length, different membership
+]
+CASES["selectAfterRemoveTracks"] += [
+    ([3, 5, 7, 9], [3, 9], [5], 5),  # asymmetric neighbors: +i vs -i differ
+]
+CASES["normalizePxPerSec"] += [
+    (1e-5, 0.0, 1e6, 0.001),      # floor guard below the 1e-2 nudge
+    (10.0, 0.0, 1e-6, 1000.0),    # maxTrackSec - startSec EXACTLY 1e-6
+]
+CASES["normalizeStartSec"] += [
+    (95.0, 1e-5, 100.0, 1e-4),    # pxPerSec below the 1e-2 nudge moves the bound
+]
+CASES["updateLensParams"] += [
+    # startSec EXACTLY at FIT_TOLERANCE_SEC: <= boundary decides isFit
+    ({"startSec": 1e-6, "pxPerSec": 1.0}, {}, 100.0, 1000.0),
+    # width EXACTLY (maxTrackSec - FIT_TOLERANCE)*pxPerSec: >= boundary
+    ({"startSec": 0.0, "pxPerSec": 4.0}, {}, 2.0, (2.0 - 1e-6) * 4.0),
+]
+CASES["classifyWheel"] += [
+    ({"deltaX": 5.0, "deltaY": 5.0, "shiftKey": False, "ctrlKey": False,
+      "altKey": False}, False),  # equal magnitudes: strict < decides the axis
+]
+CASES["overviewDragAnchor"] += [
+    # asymmetric grab: anchor fraction 2.0 != the 0.5 both old cases produced
+    ("inlens", 300.0, 1000.0, 100.0, 10.0, 10.0),
+]
+CASES["clampMaxHz"] += [
+    (12000.0, 0.0, 12000.0),  # maxHz EXACTLY maxTrackHz: strict > decides
+]
+
 _CONSTANTS = [
     name for name, v in T.TWINNED.items() if isinstance(v, (int, float))
 ]
