@@ -261,6 +261,7 @@ def battery_kills(overrides: dict[str, str], timeout_s: float = 10.0) -> str | N
             # axes/viewport/caches differentials — the same batteries the
             # suite runs, so mutants of those modules are killable too
             for bname, battery in (
+                ("freqscale", lambda: tj.freqscale_battery(interp)),
                 ("axes", lambda: tj.axes_battery(interp)),
                 ("viewport", lambda: tj.viewport_battery(interp, n=40)),
                 ("caches", lambda: tj.caches_battery(interp, steps=150)),

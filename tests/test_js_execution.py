@@ -586,6 +586,12 @@ CASES["overviewDragAnchor"] += [
 CASES["clampMaxHz"] += [
     (12000.0, 0.0, 12000.0),  # maxHz EXACTLY maxTrackHz: strict > decides
 ]
+CASES["freqHzToPos"] += [
+    # hz EXACTLY at the mel knee (1000 Hz): the log branch yields 15.0,
+    # the linear branch 14.999999999999998 — a >= flip at the knee is a
+    # 2-ulp error this case pins
+    ("Mel", 1000.0, 300, 100.0, 8000.0, 12000.0),
+]
 
 _CONSTANTS = [
     name for name, v in T.TWINNED.items() if isinstance(v, (int, float))
@@ -690,6 +696,28 @@ def test_js_delete_operator_semantics():
 # mutation kill-check (tests/js_mutation.battery_kills) can run the exact
 # same differentials against mutated axes.js/viewport.js/caches.js.
 
+def freqscale_battery(interp):
+    """freqscale.js mel<->hz vs the twin_app twins, pinning the EXACT knee:
+    melFromHz(1000.0) must take the log branch (15.0, not the linear
+    14.999999999999998) and melToHz(15.0) the exp branch (1000.0, not
+    1000.0000000000001) — a >= flip at either knee is otherwise invisible
+    through the downstream (1-rel) position math."""
+    g = interp.global_env.vars
+    for hz in (0.0, 1.0, 500.0, 999.999, 1000.0, 1000.001, 4000.0, 24000.0):
+        assert float(g["melFromHz"](hz)) == float(T.mel_from_hz(hz)), hz
+    for mel in (0.0, 7.5, 14.999, 15.0, 15.001, 40.0):
+        assert float(g["melToHz"](mel)) == float(T.mel_to_hz(mel)), mel
+    for hz, mx in ((0.0, 8000.0), (1000.0, 8000.0), (440.0, 440.0), (5.0, 0.0)):
+        for scale in ("Mel", "Linear"):
+            assert float(g["relativeFreqPos"](hz, mx, scale)) == float(
+                T.relative_freq_pos(hz, mx, scale)
+            ), (hz, mx, scale)
+
+
+def test_js_freqscale_knee(interp):
+    freqscale_battery(interp)
+
+
 def axes_battery(interp):
     """Tick tables + tickScale lookup + timeTickParams vs the twins."""
     g = interp.global_env.vars
@@ -743,6 +771,11 @@ def viewport_battery(interp, n=120, seed=7701):
             w, sec, h, pps, view_h, frac, js_lv, (lx, ly))
         js_wl = _method(interp, vp, "waveLevel", pps, dpr)
         assert float(js_wl) == float(twin.wave_level(sr, pps, dpr)), (sr, pps, dpr)
+        # pxPerSec*2*dpr EXACTLY sr/2: the >= near-per-sample gate decides
+        vp["metadata"] = {"spectrogramWidth": w, "trackSec": sec,
+                          "spectrogramHeight": h, "sampleRate": 48000.0}
+        js_b = _method(interp, vp, "waveLevel", 12000.0, 1.0)
+        assert float(js_b) == float(twin.wave_level(48000.0, 12000.0, 1.0))
         # revision-scoped cache keys (a wrong key serves stale tiles)
         srev = int(rng.integers(0, 50))
         wrev = int(rng.integers(0, 50))
@@ -801,6 +834,14 @@ def caches_battery(interp, steps=400, seed=7702):
     _method(interp, js_cache, "clear")
     py_cache.clear()
     assert float(js_cache["bytes"]) == 0.0 and py_cache.bytes == 0
+    # bytes EXACTLY at budget: the <= eviction gate must keep both entries
+    _method(interp, js_cache, "set", "xa", "va", 300.0)
+    _method(interp, js_cache, "set", "xb", "vb", 200.0)
+    py_cache.set("xa", "va", 300)
+    py_cache.set("xb", "vb", 200)
+    assert float(js_cache["bytes"]) == float(py_cache.bytes) == 500.0
+    js_keys = interp._call_method(js_cache["map"], "keys", [])
+    assert js_keys == py_cache.keys() == ["xa", "xb"]
 
 
 def test_js_tick_tables_and_lookup(interp):
