@@ -1056,13 +1056,17 @@ def js_to_string(v) -> str:
 
 
 def js_to_fixed(x: float, digits: int) -> str:
-    d = Decimal(x)
-    scaled = d * (10 ** digits)
+    # ECMA-262 21.1.3.3: NaN -> "NaN"; |x| >= 1e21 falls back to ToString;
+    # otherwise the SIGN SPLITS OFF FIRST (step 6) and ties on the magnitude
+    # pick the larger n — (-2.5).toFixed(0) is "-3" even though
+    # Math.round(-2.5) is -2.  Negative dust keeps the sign ("-0.0"); -0
+    # itself does not (-0 < 0 is false -> "0.0").
+    if math.isnan(x) or abs(x) >= 1e21:
+        return js_number_to_string(x)
+    sign = "-" if x < 0 else ""
+    scaled = Decimal(abs(x)) * (10 ** digits)
     n = int((scaled + Decimal("0.5")).to_integral_value(rounding="ROUND_FLOOR"))
-    # JS keeps the sign when a negative rounds to zero: (-0.04).toFixed(1)
-    # is "-0.0" (but (-0).toFixed(1) is "0.0")
-    sign = "-" if (n < 0 or (n == 0 and x < 0)) else ""
-    s = str(abs(n)).rjust(digits + 1, "0")
+    s = str(n).rjust(digits + 1, "0")
     return f"{sign}{s[:-digits]}.{s[-digits:]}" if digits else f"{sign}{s}"
 
 
@@ -1099,10 +1103,39 @@ def js_to_precision(x: float, p: int) -> str:
     return f"{v:.{max(frac, 0)}f}"
 
 
+def _js_math_floor(x: float) -> float:
+    # ECMA-262 Math.floor: NaN/±inf pass through; Math.floor(-0) is -0
+    if not math.isfinite(x):
+        return x
+    r = float(math.floor(x))
+    return -0.0 if r == 0 and math.copysign(1.0, x) < 0 else r
+
+
+def _js_math_ceil(x: float) -> float:
+    # Math.ceil: results that land on zero from below keep the sign
+    # (Math.ceil(-0.5) is -0)
+    if not math.isfinite(x):
+        return x
+    r = float(math.ceil(x))
+    return -0.0 if r == 0 and (x < 0 or math.copysign(1.0, x) < 0) else r
+
+
+def _js_math_round(x: float) -> float:
+    # Math.round: half toward +inf — but NOT floor(x+0.5): the float add
+    # rounds 0.49999999999999994 up to 1.0, while the spec compares the
+    # MATHEMATICAL fraction (answer 0).  Negative inputs rounding to zero
+    # keep the sign (Math.round(-0.5) is -0).
+    if not math.isfinite(x):
+        return x
+    f = math.floor(x)
+    r = float(f + 1 if x - f >= 0.5 else f)
+    return -0.0 if r == 0 and (x < 0 or math.copysign(1.0, x) < 0) else r
+
+
 _MATH = {
-    "floor": lambda x: float(math.floor(x)),
-    "ceil": lambda x: float(math.ceil(x)),
-    "round": lambda x: float(math.floor(x + 0.5)),
+    "floor": _js_math_floor,
+    "ceil": _js_math_ceil,
+    "round": _js_math_round,
     "abs": abs,
     "sqrt": lambda x: math.sqrt(x) if x >= 0 else math.nan,
     "exp": math.exp,
@@ -1827,8 +1860,12 @@ class Interp:
                 obj.extend(args)
                 return float(len(obj))
             if name == "join":
+                # ECMA-262 Array.prototype.join: null/undefined elements
+                # render as the EMPTY string, not "null"/"undefined"
                 sep = args[0] if args else ","
-                return sep.join(js_to_string(x) for x in obj)
+                return sep.join(
+                    "" if x is None or x is UNDEF else js_to_string(x) for x in obj
+                )
             if name == "reduce":
                 acc = args[1]
                 for i, x in enumerate(obj):

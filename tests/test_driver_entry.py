@@ -94,14 +94,27 @@ def _last_json_line(stdout: str) -> dict:
     return json.loads(payload[0])
 
 
-def test_bench_emits_json_when_backend_dead():
+def test_bench_emits_json_when_backend_dead(tmp_path):
     """A dead backend must degrade to an error artifact, not a lost one:
     the JSON line still prints (null metrics + error field) and the
-    process exits 0 so the driver parses it."""
+    process exits 0 so the driver parses it.
+
+    Deadness is simulated by shadowing `jax` on the probe subprocess's
+    PYTHONPATH (import raises), NOT via JAX_PLATFORMS: this image's axon
+    sitecustomize force-registers the backend with jax.config.update, so a
+    bogus platform env var is silently overridden and — when the tunnel is
+    healthy — the probe would succeed and run the real bench (observed:
+    this test measured 68x on the shared TPU before the fix)."""
+    (tmp_path / "jax.py").write_text(
+        "raise RuntimeError('simulated dead backend: tunnel outage')\n"
+    )
+    pythonpath = os.pathsep.join(
+        [str(tmp_path)] + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+    )
     p = _run(
         "import runpy; runpy.run_path('bench.py', run_name='__main__')",
         {
-            "JAX_PLATFORMS": "definitely_not_a_platform",
+            "PYTHONPATH": pythonpath,
             "THESIA_BENCH_PROBE_BUDGET": "20",
             "THESIA_BENCH_FAST": "1",
             "THESIA_BENCH_CPU_FALLBACK": "0",  # keep this test probe-focused

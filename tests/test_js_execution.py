@@ -515,10 +515,20 @@ CASES = {
 # (tests/goldens/js_mutants.json): each kills a specific mutant class that
 # the base batteries missed — exact-equality boundaries, epsilon guards
 # exercised below the nudged value, round-half fractions, asymmetric
-# neighborhoods.  Most remaining survivors trace to equivalent mutants:
-# clamp-at-boundary no-ops (winMillisecCommit limits, zoomFreqRangeAt
-# edge clamps, colorbarColorIndex's defensive Math.min) and guards
-# unreachable under the data contract (bins always full triplets).
+# neighborhoods.  The 20 survivors that remain after three passes (96.5%
+# kill) are all EQUIVALENT mutants, verified by hand:
+#   - loop bounds `i < arr.length` -> `<=`: the extra iteration reads
+#     undefined, every comparison against it is false, behavior unchanged;
+#   - clamp-at-boundary no-ops (`lo < 0 {hi -= lo; lo = 0}` at lo === 0,
+#     winMillisec/sec floors at their exact limits, freqShiftDrag's slide
+#     clamps at equality);
+#   - dead code: calcLimiterGainEnvelopes' `i2 === i` recovery (the inner
+#     scan always advances), waveLevel's `samplesPerPx <= 2` (the
+#     near-per-sample >= gate already fired for everything <= 4), the lens
+#     strict-< zone bounds shadowed by the preceding <= zone;
+#   - calcScrollTopAtCursor's row-bottom `<=`: at exact equality the
+#     next-row gap branch lands on the algebraically identical value
+#     (newContentY = contentY + (i+1)(nh - bh) either way).
 CASES["overviewCursorState"] += [
     (4.0, 0.005, 1.0, 100.0),    # lensStartX=round(0.5): floor-flip changes zone
     (97.0, 0.005, 1.0, 100.0),   # lensEndX=round(100.5): right-edge boundary
@@ -591,6 +601,57 @@ CASES["freqHzToPos"] += [
     # the linear branch 14.999999999999998 — a >= flip at the knee is a
     # 2-ulp error this case pins
     ("Mel", 1000.0, 300, 100.0, 8000.0, 12000.0),
+]
+CASES["zoomFreqRangeAt"] += [
+    # lo lands EXACTLY on the 1e-9 full-range epsilon (1/1e9 == float 1e-9,
+    # and 1e-9 + (1 - 1e-9) == 1.0 so the hi>1 clamp stays out of the way):
+    # the <= at the null-reset gate decides
+    ([1.0, 1e9], 1e9, "Linear", 1.0, 0.0),
+    # hi lands EXACTLY on 1 - 1e-9 (power-of-2 maxHz keeps hz/maxHz exact):
+    # the >= side of the same gate
+    ([0.0, (1.0 - 1e-9) * 2.0**30], 2.0**30, "Linear", 1.0, 0.0),
+]
+CASES["selectAfterRemoveTracks"] += [
+    # nearest survivor is strictly FORWARD of the pivot and differs from
+    # newTrackIds[0]: a backward-only walk (the +i -> -i mutant) falls
+    # through to the wrong fallback
+    ([2, 1, 4], [4, 1], [2], 2),
+]
+CASES["ampRangeFromBins"] += [
+    # ragged tail (len % 3 != 0): floor(n/3) is the spec; ceil reads past
+    # the final triplet (undefined -> NaN poisons the range)
+    ([[0.0, 0.0, 0.0, -2.5]],),
+]
+CASES["overviewWavePoints"] += [
+    # ragged tail again, through the polygon path (point count = 2*floor(n/3))
+    ([-0.5, 0.5, 0.0, -1.5, 1.5, 0.1, 0.7],
+     {"y": 6.0, "height": 18.0, "gainHeight": 6.0}, 300.0, [-1.5, 1.5], False),
+]
+CASES["overviewCursorState"] += [
+    # lensEndX = round(100.5) with an EXACT .5 (201 * 0.5; the earlier
+    # 1.005*100 case rounded to 100.49999999999999 and killed nothing):
+    # JS round-half-up vs floor moves the right-edge hit zone by 1px
+    (97.5, 0.0, 201.0, 0.5),
+]
+CASES["freqZoomScrollTop"] += [
+    # baseHeight BELOW the 1e-8 epsilon: the rowIndex divisor (max guard)
+    # and the offset divisor finally differ, breaking the algebraic
+    # cancellation (result == newHeight*contentMiddle/baseHeight for ANY
+    # rowIndex when they match) that hides every rowIndex mutant at
+    # ordinary heights
+    (1e-9, 0.1, 5e-9, 1e-7, 10.0),
+    # same regime with the rowCount-1 clamp biting (rowIndex 20 -> 9)
+    (1e-9, 0.1, 1.5e-7, 1e-7, 10.0),
+]
+CASES["colorbarColorIndex"] += [
+    # negative cursor y (drag above the bar): the only input region where
+    # the defensive Math.min(colormapLength - 1, ...) clamp actually bites
+    (-47.0, 48.0, 258.0),
+]
+CASES["selectSecAutoScroll"] += [
+    # selectSec EXACTLY at the view edges: both in-view <=/>= bounds decide
+    (5.0, 0.0, 5.0, 10.0, 1000.0, 100.0),
+    (5.0, 0.0, 1.0, 5.0, 1000.0, 100.0),
 ]
 
 _CONSTANTS = [
@@ -842,6 +903,24 @@ def caches_battery(interp, steps=400, seed=7702):
     assert float(js_cache["bytes"]) == float(py_cache.bytes) == 500.0
     js_keys = interp._call_method(js_cache["map"], "keys", [])
     assert js_keys == py_cache.keys() == ["xa", "xb"]
+    # disposal guards: a falsy value must short-circuit (an &&->|| flip
+    # reads .bitmap off null in the if CONDITION, outside the try), and a
+    # present bitmap.close must be invoked exactly once (an ===->!== flip
+    # silently leaks the ImageBitmap)
+    _method(interp, js_cache, "set", "nul", None, 10.0)
+    _method(interp, js_cache, "delete", "nul")
+    py_cache.set("nul", None, 10)
+    py_cache.delete("nul")
+    closed = []
+    _method(interp, js_cache, "set", "bm",
+            {"bitmap": {"close": lambda: closed.append(1)}}, 10.0)
+    _method(interp, js_cache, "delete", "bm")
+    py_cache.set("bm", object(), 10)
+    py_cache.delete("bm")
+    assert closed == [1], f"bitmap.close not invoked on disposal: {closed}"
+    # the 510-byte excursion evicted oldest-first (xa) on BOTH sides
+    assert float(js_cache["bytes"]) == float(py_cache.bytes) == 200.0
+    assert interp._call_method(js_cache["map"], "keys", []) == py_cache.keys() == ["xb"]
 
 
 def test_js_tick_tables_and_lookup(interp):

@@ -644,11 +644,17 @@ def test_lufs_label():
 
 
 def test_js_to_fixed_tie_semantics():
-    # JS toFixed picks the LARGER candidate on exact decimal ties
+    # ECMA-262 21.1.3.3: the sign splits off FIRST (step 6a), THEN exact
+    # decimal ties on the magnitude pick the larger n — so -0.25 rounds to
+    # "-0.3", NOT "-0.2" (engines format the unsigned significand and
+    # prepend the sign).  Cross-pinned in tests/test_jsinterp_spec.py.
     assert T._js_to_fixed(0.25, 1) == "0.3"
-    assert T._js_to_fixed(-0.25, 1) == "-0.2"
+    assert T._js_to_fixed(-0.25, 1) == "-0.3"
+    assert T._js_to_fixed(-2.5, 0) == "-3"  # diverges from Math.round(-2.5) == -2
     assert T._js_to_fixed(1.005, 2) == "1.00"  # 1.005 is below the tie in binary
     assert T._js_to_fixed(2.5, 0) == "3"
+    assert T._js_to_fixed(-0.04, 1) == "-0.0"  # negative dust keeps the sign
+    assert T._js_to_fixed(-0.0, 1) == "0.0"  # -0 itself does not
 
 
 def test_js_round_semantics():

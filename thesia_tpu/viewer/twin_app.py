@@ -45,19 +45,32 @@ _LINEAR_MEL_STEP = 200.0 / 3.0
 _LOGSTEP = math.log(6.4) / 27.0
 
 
-def _js_round(x: float) -> int:
-    """JS Math.round: half-toward-+infinity."""
-    return math.floor(x + 0.5)
+def _js_round(x: float):
+    """JS Math.round: half-toward-+infinity.  NOT floor(x + 0.5): the float
+    add rounds 0.49999999999999994 up to 1.0 while the spec compares the
+    mathematical fraction (tests/test_jsinterp_spec.py pins the interp side;
+    this twin mirrors it so the differential stays aligned)."""
+    if not math.isfinite(x):
+        return x
+    f = math.floor(x)
+    return f + 1 if x - f >= 0.5 else f
 
 
 def _js_to_fixed(x: float, digits: int) -> str:
-    """JS Number.prototype.toFixed: nearest decimal, ties toward +inf."""
-    d = Decimal(x)  # exact binary value
-    scaled = d * (10 ** digits)
-    # n = floor(scaled + 0.5) implements "closest n, ties pick larger"
+    """ECMA-262 Number.prototype.toFixed (21.1.3.3): the sign splits off
+    FIRST (step 6), then ties on the magnitude pick the larger n — so
+    (-2.5).toFixed(0) is "-3" even though Math.round(-2.5) is -2, and
+    negative dust keeps its sign ((-0.04).toFixed(1) is "-0.0").  Pinned
+    against hand-written spec values in tests/test_jsinterp_spec.py."""
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "Infinity" if x > 0 else "-Infinity"
+    if abs(x) >= 1e21:
+        return _js_num_str(x)
+    sign = "-" if x < 0 else ""
+    scaled = Decimal(abs(x)) * (10 ** digits)
     n = int((scaled + Decimal("0.5")).to_integral_value(rounding="ROUND_FLOOR"))
-    sign = "-" if n < 0 else ""
-    n = abs(n)
     s = str(n).rjust(digits + 1, "0")
     if digits:
         return f"{sign}{s[:-digits]}.{s[-digits:]}"
