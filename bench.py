@@ -266,6 +266,21 @@ def bench_long_track_interactive(minutes: float | None = None):
     session.set_db_range(90.0)
     range_change_s = time.perf_counter() - t0
     session.tm.images.drain()
+    # incremental apply (round 5): a second track added to the LIVE session.
+    # max_sr is unchanged, so this takes the did-the-range-move path — the
+    # deferred apply returns at dispatch instead of holding the write worker
+    # until the new track's spec bounds land on the host; the probe +
+    # conditional requantize settle in background (settings_settled).
+    w2 = synth_stereo(sr, 3.0 if _FAST else 30.0, seed=5)
+    p2 = td / "short.wav"
+    p2.write_bytes(encode_wav_s16(w2, sr))
+    session.add_tracks([1], [str(p2)])
+    t0 = time.perf_counter()
+    session.apply_track_list_changes(defer=True)
+    add2_apply_s = time.perf_counter() - t0
+    settled = session.settings_settled(timeout=_T(600))
+    add2_settled_s = (time.perf_counter() - t0) if settled else -1.0
+    session.tm.images.drain()
     return {
         "long1h_add_s": round(add_s, 2),
         "long1h_apply_s": round(apply_s, 2),
@@ -273,6 +288,8 @@ def bench_long_track_interactive(minutes: float | None = None):
         "long1h_tile_p50_settled_ms": round(settled_p50, 2),
         "long1h_tile_p95_settled_ms": round(settled_p95, 2),
         "long1h_db_range_change_s": round(range_change_s, 3),
+        "long1h_add2_apply_s": round(add2_apply_s, 4),
+        "long1h_add2_apply_settled_s": round(add2_settled_s, 2),
     }
 
 
@@ -624,6 +641,8 @@ _FIELD_ORDER = [
     "long1h_tile_p50_settled_ms",
     "long1h_tile_p95_settled_ms",
     "long1h_db_range_change_s",
+    "long1h_add2_apply_s",
+    "long1h_add2_apply_settled_s",
 ]
 
 

@@ -234,5 +234,14 @@ def test_deferred_settings_churn_soak(tmp_path, monkeypatch):
             assert md["spectrogramWidth"] > 0
             tile = s.get_spectrogram_tile(f"{tid}_0", 0, 0, 0, 0)
             assert len(tile) > 40
+        # range-consistency oracle (round-5 deferred apply): a forced
+        # requantize under the SAME range must not change a byte — any
+        # image a missed/skipped reconcile left at a stale range diverges
+        imgs_settled = {k: np.asarray(v).copy() for k, v in s.tm.spec_imgs.items()}
+        s.set_db_range(s.tm.db_range)
+        imgs_forced = s.tm.spec_imgs
+        assert set(imgs_forced) == set(imgs_settled)
+        for k in imgs_settled:
+            assert np.array_equal(imgs_settled[k], np.asarray(imgs_forced[k])), k
     finally:
         s.tm.images.shutdown()

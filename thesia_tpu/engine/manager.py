@@ -78,6 +78,17 @@ class TrackManager:
         self._last_tracklist: TrackList | None = None
         self._spec_n_ch: dict[int, int] = {}
         self._no_spec_img_ids: set[int] = set()
+        # bumped by every range-affecting image pass: a deferred apply's
+        # background reconcile (apply_track_list_changes_deferred) only acts
+        # if no later pass superseded the range it was probing
+        self._range_epoch = 0
+        # the range the PRE-EXISTING images were last fully quantized under
+        # (("host", (gmin, gmax)) or ("dev", (gmin, gmax) device scalars)).
+        # A deferred apply's probe must compare the NEW range against THIS,
+        # not against the previous range value: two rapid applies would
+        # otherwise compare R1 vs R2 while the old images still sit at R0
+        # (the first reconcile is latest-wins-superseded by the second).
+        self._applied_range = ("host", (math.inf, -math.inf))
         # background AOT compiler for neighbor-settings shapes (VERDICT r2 #4)
         from ..dsp.precompile import ShapeWarmer
 
@@ -101,6 +112,16 @@ class TrackManager:
     def max_db(self) -> float:
         self._sync_range()
         return self._range_host[1]
+
+    @staticmethod
+    def _fetch_range(kind_payload) -> tuple[float, float]:
+        """(gmin, gmax) host floats from an _applied_range snapshot —
+        blocking when the snapshot holds device scalars."""
+        kind, payload = kind_payload
+        if kind == "host":
+            return payload
+        gmin, gmax = payload
+        return float(np.asarray(gmin)), float(np.asarray(gmax))
 
     def _quant_scalars(self):
         """(lo, span) f32 scalars for quantize dispatch — device scalars
@@ -148,6 +169,55 @@ class TrackManager:
         with self.shape_warmer.interactive():
             updated = self._update_spec_imgs(tracklist, force_update_all=False)
         return updated, self.max_sr
+
+    def apply_track_list_changes_deferred(self, tracklist: TrackList):
+        """Apply that returns at dispatch even on the incremental path.
+
+        The synchronous incremental apply (reference: mod.rs:168-230 compares
+        the recomputed global range against the current one on the host)
+        blocks on a device->host fetch of every track's spec bounds — which
+        waits for the async spec compute of whatever was just added (seconds
+        for an hour-long track, all of it holding the write worker).  Here
+        the new global range is composed ON DEVICE (dispatch-only), the
+        fresh tracks are quantized under it immediately, and the
+        did-the-range-move probe is returned as a closure the session runs
+        on a background thread: only when it reports True does a follow-up
+        write requantize the pre-existing tracks (same latest-wins contract
+        as the deferred settings switches).
+
+        Returns (updated_ids, max_sr, probe_info|None); probe_info is
+        (probe_fn, range_epoch, fresh_ids) — None when the pass took a
+        force-style route that left nothing to reconcile."""
+        with self.shape_warmer.interactive():
+            with span("spec.quantize"):
+                updated, probe_info = self._update_spec_imgs_inner(
+                    tracklist, force_update_all=False, defer_range_probe=True
+                )
+        return updated, self.max_sr, probe_info
+
+    def reconcile_range(self, tracklist: TrackList, epoch: int, fresh_ids: set[int]) -> bool:
+        """Requantize the pre-existing tracks under the range a deferred
+        apply computed (its probe reported the range moved).  No-op (False)
+        when any later range pass superseded the epoch — that pass already
+        requantized everything under the then-current range."""
+        if epoch != self._range_epoch:
+            return False
+        ids = [t for t in tracklist.all_ids() if t not in fresh_ids]
+        if not ids:
+            return False
+        with self.shape_warmer.interactive():
+            with span("spec.quantize"):
+                lo, sp = self._quant_scalars()
+                for track_id in sorted(ids):
+                    res = self._ensure_spec(tracklist, track_id)
+                    if res is not None:
+                        self._dispatch_quantize(tracklist, track_id, res, lo, sp)
+                self._evict_specs(keep=set())
+                if self._range_dev is not None:
+                    self._applied_range = ("dev", (self._range_dev[0], self._range_dev[1]))
+                else:
+                    self._applied_range = ("host", self._range_host)
+        return True
 
     def set_setting(self, tracklist: TrackList, setting: SpecSetting) -> None:
         # interactive priority: the warmer's compile RPCs contend with the
@@ -316,14 +386,21 @@ class TrackManager:
         with span("spec.quantize"):
             return self._update_spec_imgs_inner(tracklist, force_update_all)
 
-    def _update_spec_imgs_inner(self, tracklist: TrackList, force_update_all: bool) -> set[int]:
+    def _update_spec_imgs_inner(
+        self, tracklist: TrackList, force_update_all: bool, defer_range_probe: bool = False
+    ):
         """reference: mod.rs:168-230.
 
         Force-update paths (settings/dB-range/colormap changes — everything
         requantizes anyway) compute the global range ON DEVICE and return at
-        dispatch; only the incremental apply path (did adding tracks move
-        the range?) fetches the two scalars to the host for the comparison.
+        dispatch; the synchronous incremental apply path (did adding tracks
+        move the range?) fetches the two scalars to the host for the
+        comparison.  With defer_range_probe the incremental path also stays
+        on device and hands the comparison back as a closure (see
+        apply_track_list_changes_deferred) — the return value is then a
+        (ids, probe_info|None) pair instead of the bare id set.
         """
+        self._range_epoch += 1
         self._last_tracklist = tracklist
         # refresh per-track bounds handles from resident specs (small device
         # arrays, independent of the evictable db_padded)
@@ -342,6 +419,7 @@ class TrackManager:
                 bounds.append(bs[0])
                 spans.append(bs[1])
 
+        probe_info = None
         if force_update_all or sr_changed:
             ids_need_update = set(tracklist.all_ids())
             self._no_spec_img_ids.clear()
@@ -350,9 +428,46 @@ class TrackManager:
                     tuple(bounds), jnp.float32(self.db_range), spans=tuple(spans)
                 )
                 self._range_host = None
+                self._applied_range = ("dev", (self._range_dev[0], self._range_dev[1]))
             else:
                 self._range_dev = None
                 self._range_host = (math.inf, -math.inf)
+                self._applied_range = ("host", self._range_host)
+        elif defer_range_probe:
+            # dispatch-only: new device range now, host comparison later (on
+            # the session's switch pool, off the write lock).  Fresh tracks
+            # are quantized under the NEW range immediately — identical to
+            # what the synchronous path would produce either way; the
+            # pre-existing ones only need requantizing if the probe reports
+            # the range moved.  _applied_range (NOT the previous range
+            # value) is the comparison baseline — it stays at whatever the
+            # existing images were actually quantized under until a full
+            # pass lands, so back-to-back deferred applies can't lose a
+            # move (the first reconcile is superseded by the second).
+            prev_applied = self._applied_range
+            if bounds:
+                new_dev = _global_range_device(
+                    tuple(bounds), jnp.float32(self.db_range), spans=tuple(spans)
+                )
+                self._range_dev, self._range_host = new_dev, None
+            else:
+                new_dev = None
+                self._range_dev, self._range_host = None, (math.inf, -math.inf)
+            ids_need_update = set(self._no_spec_img_ids)
+            self._no_spec_img_ids.clear()
+
+            def probe() -> bool:
+                """Blocks until every spec's bounds are computed; True when
+                the global range moved off what the pre-existing images
+                were quantized under (they are then stale)."""
+                pmin, pmax = TrackManager._fetch_range(prev_applied)
+                if new_dev is None:
+                    nmin, nmax = math.inf, -math.inf
+                else:
+                    nmin, nmax = float(np.asarray(new_dev[0])), float(np.asarray(new_dev[1]))
+                return (nmin, nmax) != (pmin, pmax)
+
+            probe_info = (probe, self._range_epoch, set(ids_need_update))
         else:
             gmin, gmax = math.inf, -math.inf
             for b, (r0, c) in zip(bounds, spans):
@@ -365,6 +480,9 @@ class TrackManager:
             prev_min, prev_max = self.min_db, self.max_db  # syncs device range
             self._range_host = (gmin, gmax)
             self._range_dev = None
+            # moved -> everything requantizes below; unmoved -> images were
+            # already at this exact value: either way they now sit at it
+            self._applied_range = ("host", (gmin, gmax))
             if prev_max != gmax or prev_min != gmin:
                 ids_need_update = set(tracklist.all_ids())
                 self._no_spec_img_ids.clear()
@@ -378,6 +496,8 @@ class TrackManager:
             if res is not None:
                 self._dispatch_quantize(tracklist, track_id, res, lo, span)
         self._evict_specs(keep=set())
+        if defer_range_probe:
+            return ids_need_update, probe_info
         return ids_need_update
 
     @staticmethod

@@ -149,8 +149,10 @@ class EngineSession:
         # picks up the new revision).
         self._spec_switch_lock = threading.Lock()
         self._spec_switch_cond = threading.Condition(self._spec_switch_lock)
-        self._switch_gen = {"spec": 0, "guard": 0, "normalize": 0}
-        self._switch_applied = {"spec": 0, "guard": 0, "normalize": 0}
+        # "range" is the deferred apply_track_list_changes reconcile (the
+        # did-the-global-range-move probe + conditional requantize)
+        self._switch_gen = {"spec": 0, "guard": 0, "normalize": 0, "range": 0}
+        self._switch_applied = {"spec": 0, "guard": 0, "normalize": 0, "range": 0}
         self._spec_switch_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="settings-switch"
         )
@@ -534,16 +536,92 @@ class EngineSession:
 
         self._write(work)
 
-    def apply_track_list_changes(self) -> list[str]:
-        def work():
-            updated_ids, sr = self.tm.apply_track_list_changes(self.tracklist)
-            return self.tracklist.id_ch_tuples_from(sorted(updated_ids)), sr
+    def apply_track_list_changes(self, *, defer: bool | None = None) -> list[str]:
+        """Recompute the global dB range and (re)quantize images after a
+        tracklist change (reference: lib.rs:229-248 / mod.rs:102-230).
 
-        id_ch_tuples, sr = self._write(work)
+        Default (THESIA_DEFER_SETTINGS=1): returns at dispatch.  The
+        incremental did-the-range-move comparison needs the new tracks'
+        spec bounds on the host — which blocks until their async spec
+        compute finishes (seconds for an hour track, all of it holding the
+        write worker).  The manager instead composes the new range on
+        device, quantizes the fresh tracks under it immediately, and this
+        session runs the blocking probe on the switch pool: only when the
+        range actually moved does a follow-up write requantize the
+        pre-existing tracks (revision bump -> the viewer's isComputing
+        poll refetches).  defer=False (and THESIA_DEFER_SETTINGS=0, the
+        test default) keeps the fully synchronous reference semantics."""
+        if defer is None:
+            defer = os.environ.get("THESIA_DEFER_SETTINGS", "1") != "0"
+        if not defer:
+            def work_sync():
+                updated_ids, sr = self.tm.apply_track_list_changes(self.tracklist)
+                return self.tracklist.id_ch_tuples_from(sorted(updated_ids)), sr
+
+            id_ch_tuples, sr = self._write(work_sync)
+            if id_ch_tuples:
+                self.tile_cache.invalidate_spectrogram()
+            self.player.set_sr(sr)
+            return [format_id_ch(i, c) for i, c in id_ch_tuples]
+
+        with self._spec_switch_lock:
+            self._switch_gen["range"] += 1
+            gen = self._switch_gen["range"]
+
+        def work():
+            updated_ids, sr, probe_info = self.tm.apply_track_list_changes_deferred(
+                self.tracklist
+            )
+            return self.tracklist.id_ch_tuples_from(sorted(updated_ids)), sr, probe_info
+
+        try:
+            id_ch_tuples, sr, probe_info = self._write(work)
+        except Exception:
+            self._mark_applied("range", gen)
+            raise
         if id_ch_tuples:
             self.tile_cache.invalidate_spectrogram()
         self.player.set_sr(sr)
+        if probe_info is None:
+            self._mark_applied("range", gen)
+        else:
+            self._spec_switch_pool.submit(self._reconcile_range, gen, probe_info)
         return [format_id_ch(i, c) for i, c in id_ch_tuples]
+
+    def _reconcile_range(self, gen: int, probe_info) -> None:
+        """Background half of the deferred apply: block on the range probe
+        OFF the write lock, then requantize the pre-existing tracks iff the
+        global range moved.  Latest-wins like every deferred switch — a
+        newer apply/init supersedes by generation, any intervening
+        settings/dB-range/colormap pass supersedes by range epoch."""
+        probe, epoch, fresh_ids = probe_info
+        try:
+            if self._superseded("range", gen):
+                return
+            try:
+                moved = probe()
+            except Exception:
+                # can't know -> assume moved; the requantize is idempotent
+                # under the current range and epoch-guarded against churn
+                logging.getLogger(__name__).warning(
+                    "deferred apply range probe failed", exc_info=True
+                )
+                moved = True
+            if moved and not self._superseded("range", gen):
+                def work():
+                    if self._superseded("range", gen):
+                        return False
+                    return self.tm.reconcile_range(self.tracklist, epoch, fresh_ids)
+
+                if self._write(work):
+                    self.tile_cache.invalidate_spectrogram()
+        except Exception:
+            logging.getLogger(__name__).warning(
+                "deferred apply reconcile failed", exc_info=True
+            )
+            self._emit("settings-switch-failed", {"applyTrackListChanges": True})
+        finally:
+            self._mark_applied("range", gen)
 
     def find_id_by_path(self, path: str) -> int:
         found = self.tracklist.find_id_by_path(path)
