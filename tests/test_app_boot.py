@@ -1382,6 +1382,90 @@ def test_overview_refetch_only_when_waveform_revision_bumps(booted):
     assert any(u.startswith("/api/get_waveform_tile") for u in norm_log), norm_log
     set_ui("#norm-type", "Off")
     settle(session)
+    for _ in range(6):
+        browser.advance(500)  # flush the settled re-read before the next test
+
+
+def test_overview_and_colorbar_refetch_after_deferred_switch_lands(booted, monkeypatch):
+    """Deferred-mode race (found by a flake of the test above): the knob
+    handler's refreshAll runs BEFORE the background normalize lands, so
+    overview.setTrack(force) reads the OLD waveformRevision, concludes the
+    bins are unchanged, and skips the download — and updateColorbar reads
+    the pre-switch min/max dB.  Without a settled re-read the overview and
+    colorbar would stay stale forever (only the tile watchdogs re-adopt).
+    Gate the apply to force that ordering deterministically, then assert
+    refreshAll's settle watcher re-fetches bins, gain and colorbar."""
+    import os
+
+    deferred = os.environ.get("THESIA_DEFER_SETTINGS") == "1"
+    interp, browser, session, _media = booted
+    rows_el = _ensure_two_tracks(booted)
+    # select a row so the overview is active
+    info = rows_el["children"][0]["querySelector"](".track-info")
+    browser.dispatch_event(info, "mousedown", {
+        "target": info, "metaKey": False, "ctrlKey": False, "shiftKey": False,
+    })
+    for _ in range(4):
+        browser.advance(500)
+    settle(session)
+    for _ in range(8):
+        browser.advance(500)  # flush earlier settle watchers
+
+    def set_ui(sel_id, value):
+        el = browser.doc["querySelector"](sel_id)
+        el["value"] = value
+        browser.dispatch_event(el, "change")
+        browser.advance(300)  # fire the 250 ms control debounce
+
+    if not deferred:
+        # sync mode: the handler chain blocks until the switch lands, so
+        # the refetch happens inline — the race cannot occur
+        browser.fetch_log.clear()
+        set_ui("#norm-type", "LUFS")
+        assert any(
+            u.startswith("/api/get_waveform_tile") for u in browser.fetch_log
+        ), list(browser.fetch_log)
+        set_ui("#norm-type", "Off")
+        settle(session)
+        return
+
+    import threading
+
+    orig = session._apply_common_switch
+    release = threading.Event()
+
+    def gated(kind, gen, value, deferred_flag):
+        assert release.wait(30)
+        return orig(kind, gen, value, deferred_flag)
+
+    monkeypatch.setattr(session, "_apply_common_switch", gated)
+    browser.fetch_log.clear()
+    set_ui("#norm-type", "LUFS")
+    # the handler chain ran against the PRE-switch engine state: the
+    # overview skipped the bins download (old revision) — the exact race
+    pre_log = list(browser.fetch_log)
+    assert not any(u.startswith("/api/get_waveform_tile") for u in pre_log)
+    monkeypatch.undo()
+    release.set()
+    assert session.settings_settled(timeout=120)
+    session.tm.images.drain()
+    browser.fetch_log.clear()
+    for _ in range(12):
+        browser.advance(500)
+    post_log = list(browser.fetch_log)
+    # the settle watcher re-fetched the overview bins + limiter gain and
+    # the colorbar's min/max dB once the switch landed
+    assert any(u.startswith("/api/get_waveform_tile") for u in post_log), post_log
+    assert "/api/get_limiter_gain" in post_log, post_log
+    assert "/api/get_min_dB" in post_log and "/api/get_max_dB" in post_log
+    # the overview's revision key now matches the engine's applied state
+    ov = g(interp)["overview"]
+    eng_rev = session.get_audio_render_metadata(ov["idChStr"])["waveformRevision"]
+    assert ov["_binsKey"]["revision"] == eng_rev
+    set_ui("#norm-type", "Off")
+    settle(session)
+    for _ in range(6):
+        browser.advance(500)
 
 
 def test_hotkeys_select_all_freq_zoom_and_escape(booted):

@@ -248,7 +248,45 @@ async function refreshAll() {
     await overview.setTrack(state.selectedTrack, true, state.maxSec); // revisions changed
   }
   updateColorbar();
+  // deferred switches return at dispatch: everything this function just
+  // read (row LUFS/guard text, min/max dB, the overview's revision-keyed
+  // bins + limiter gain) is the PRE-switch state whenever the background
+  // apply hasn't landed yet — without a re-read the overview and colorbar
+  // would stay stale forever (the viewport watchdogs only re-adopt tiles).
+  // isComputing is true from the dispatch on, so observing it here is a
+  // reliable "a re-read will be needed" signal.
+  if ([...state.viewports.values()].some((vp) => vp.metadata && vp.metadata.isComputing)) {
+    refreshAppliedWhenSettled();
+  }
   state.needsRedraw = true;
+}
+
+// Re-fetch every applied-state reader once the engine settles (deferred
+// settings/normalize/guard/apply land in the background; metadata reports
+// isComputing until they do).  Latest-wins: a newer schedule supersedes.
+let appliedSettleGen = 0;
+function refreshAppliedWhenSettled() {
+  const first = [...state.viewports.keys()][0];
+  if (!first) return;
+  const gen = ++appliedSettleGen;
+  const poll = async (delay) => {
+    if (gen !== appliedSettleGen) return;
+    const md = await api.getMetadata(first).catch(() => null);
+    if (gen !== appliedSettleGen || !md) return;
+    if (md.isComputing) {
+      setTimeout(() => poll(delay < 1600 ? delay * 1.25 : 2000), delay);
+      return;
+    }
+    await rebuildAllRowInfo();
+    await updateColorbar();
+    if (overview && state.selectedTrack !== null) {
+      // setTrack(force) skips the bins/gain download when the waveform
+      // revision is unchanged — only a landed normalize/guard/reload pays
+      await overview.setTrack(state.selectedTrack, true, state.maxSec);
+    }
+    state.needsRedraw = true;
+  };
+  setTimeout(() => poll(300), 200);
 }
 
 async function updateColorbar() {
@@ -1854,36 +1892,15 @@ async function setupControls() {
     setBlend(0.5);
   };
 
-  // deferred normalize/guard switches return at dispatch (the engine
-  // re-derives tracks in the background); tile revisions are re-adopted by
-  // each viewport's computing watchdog, but the row LUFS/guard text reads
-  // the APPLIED state — re-fetch it once isComputing flips off
-  let infoSettleGen = 0;
-  const refreshRowInfoWhenSettled = () => {
-    const first = [...state.viewports.keys()][0];
-    if (!first) return;
-    const gen = ++infoSettleGen;
-    const poll = async (delay) => {
-      if (gen !== infoSettleGen) return;
-      const md = await api.getMetadata(first).catch(() => null);
-      if (gen !== infoSettleGen || !md) return;
-      if (md.isComputing) {
-        setTimeout(() => poll(delay < 1600 ? delay * 1.25 : 2000), delay);
-        return;
-      }
-      await rebuildAllRowInfo();
-      redraw();
-    };
-    setTimeout(() => poll(300), 200);
-  };
-
+  // deferred normalize/guard switches return at dispatch; refreshAll's
+  // settled re-read (refreshAppliedWhenSettled) refetches the row text,
+  // colorbar and overview bins once the background apply lands
   const applyNormalize = async (target) => {
     await api.setCommonNormalize(target);
     await persistSettings();
     await refreshAll();
     await rebuildAllRowInfo();
     redraw();
-    refreshRowInfoWhenSettled();
   };
   // per-family target memory (Control.tsx:63-68: PeakdB separate, init
   // 0.0; LUFS/RMSdB shared, init -18.0, seeded from the persisted
@@ -1937,7 +1954,6 @@ async function setupControls() {
     await refreshAll();
     await rebuildAllRowInfo();
     redraw();
-    refreshRowInfoWhenSettled();
   };
   // Control.tsx:171-178: guard mode select debounced 250 ms
   const debouncedGuard = debounced(250, applyGuard);
