@@ -40,10 +40,20 @@ def corpus(tmp_path):
     quiet = tmp_path / "quiet.wav"
     loud = tmp_path / "loud.wav"
     quiet2 = tmp_path / "quiet2.wav"  # same content as quiet, distinct file
+    loud2 = tmp_path / "loud2.wav"  # same content as loud, distinct file
+    medium = tmp_path / "medium.wav"
     _write_tone(quiet, 0.1)
     _write_tone(loud, 0.98, hz=1337.0)
     _write_tone(quiet2, 0.1)
-    return {"quiet": str(quiet), "loud": str(loud), "quiet2": str(quiet2)}
+    _write_tone(loud2, 0.98, hz=1337.0)
+    _write_tone(medium, 0.5, hz=777.0)
+    return {
+        "quiet": str(quiet),
+        "loud": str(loud),
+        "quiet2": str(quiet2),
+        "loud2": str(loud2),
+        "medium": str(medium),
+    }
 
 
 def _session(tmp_path, name):
@@ -225,6 +235,140 @@ def test_rapid_double_deferred_apply_keeps_old_rows_fresh(tmp_path, corpus):
     assert d.get_max_db() == s.get_max_db()
     assert d.get_min_db() == s.get_min_db()
     _assert_images_equal(_images(d), _images(s))
+
+
+def test_fresh_only_reconcile_records_applied_range(tmp_path, corpus):
+    """A deferred apply whose reconcile finds NO pre-existing rows (remove
+    the only track + add a new one in the same apply) must still record
+    that the fresh rows were quantized under the new range.  Otherwise a
+    later apply whose new range equals the STALE applied value reports
+    'unmoved' and leaves the first add's rows at a range that was never
+    applied (review finding r5)."""
+    d = _session(tmp_path, "deferred")
+    s = _session(tmp_path, "sync")
+    for sess, defer in ((d, True), (s, False)):
+        sess.add_tracks([0], [corpus["loud"]])
+        sess.apply_track_list_changes(defer=False)  # first apply: force route
+        # same-apply remove+add keeps max_sr unchanged -> incremental route
+        sess.remove_tracks([0])
+        sess.add_tracks([1], [corpus["quiet"]])
+        sess.apply_track_list_changes(defer=defer)  # R0 -> R1, no old rows
+        if defer:
+            assert sess.settings_settled(timeout=60)
+        sess.add_tracks([2], [corpus["loud2"]])  # range back to exactly R0
+        sess.apply_track_list_changes(defer=defer)  # stale probe: "unmoved"
+        if defer:
+            assert sess.settings_settled(timeout=60)
+    assert d.get_max_db() == s.get_max_db()
+    assert d.get_min_db() == s.get_min_db()
+    _assert_images_equal(_images(d), _images(s))
+
+
+def test_superseded_reconcile_chain_requantizes_mixed_rows(tmp_path, corpus):
+    """Apply1 (remove loud, add medium: range R0->R1) quantizes its fresh
+    row under R1 at dispatch; its reconcile is latest-wins-superseded by
+    apply2 (add loud2: range back to exactly R0) before ever running.
+    Apply2's probe sees its new range EQUAL the applied one — but apply1's
+    fresh row still sits at R1, so value-equality proves nothing and the
+    reconcile must run anyway (the _range_mixed invariant, review finding
+    r5)."""
+    d = _session(tmp_path, "deferred")
+    s = _session(tmp_path, "sync")
+    for sess in (d, s):
+        sess.add_tracks([0, 1], [corpus["quiet"], corpus["loud"]])
+        sess.apply_track_list_changes(defer=False)
+
+    gate = threading.Event()
+    d._spec_switch_pool.submit(gate.wait)  # both reconciles queue behind this
+    try:
+        d.remove_tracks([1])
+        d.add_tracks([2], [corpus["medium"]])
+        d.apply_track_list_changes(defer=True)  # R0 -> R1 (medium's range)
+        d.add_tracks([3], [corpus["loud2"]])
+        d.apply_track_list_changes(defer=True)  # back to R0 == applied value
+    finally:
+        gate.set()
+    assert d.settings_settled(timeout=60)
+
+    s.remove_tracks([1])
+    s.add_tracks([2], [corpus["medium"]])
+    s.apply_track_list_changes(defer=False)
+    s.add_tracks([3], [corpus["loud2"]])
+    s.apply_track_list_changes(defer=False)
+
+    assert d.get_max_db() == s.get_max_db()
+    assert d.get_min_db() == s.get_min_db()
+    _assert_images_equal(_images(d), _images(s))
+
+
+def test_reconcile_skips_rows_added_after_dispatch(tmp_path, corpus):
+    """A track added AFTER the deferred apply's dispatch (awaiting its own
+    apply) must not be quantized by the background reconcile: it would get
+    an image under the pre-its-add geometry where sync semantics show the
+    computing placeholder until its own apply."""
+    d = _session(tmp_path, "deferred")
+    d.add_tracks([0], [corpus["quiet"]])
+    d.apply_track_list_changes(defer=False)
+
+    gate = threading.Event()
+    d._spec_switch_pool.submit(gate.wait)
+    try:
+        d.add_tracks([1], [corpus["loud"]])
+        d.apply_track_list_changes(defer=True)  # reconcile queued (moved)
+        d.add_tracks([2], [corpus["quiet2"]])  # NO apply yet
+    finally:
+        gate.set()
+    assert d.settings_settled(timeout=60)
+    # the un-applied add has no image (sync semantics), the applied rows do
+    imgs = _images(d)
+    assert {k[0] for k in imgs} == {0, 1}, sorted(imgs)
+
+    d.apply_track_list_changes(defer=True)
+    assert d.settings_settled(timeout=60)
+    s = _session(tmp_path, "sync")
+    s.add_tracks([0], [corpus["quiet"]])
+    s.apply_track_list_changes(defer=False)
+    s.add_tracks([1], [corpus["loud"]])
+    s.apply_track_list_changes(defer=False)
+    s.add_tracks([2], [corpus["quiet2"]])
+    s.apply_track_list_changes(defer=False)
+    assert d.get_max_db() == s.get_max_db()
+    _assert_images_equal(_images(d), _images(s))
+
+
+def test_concurrent_deferred_applies_end_uniform(tmp_path, corpus):
+    """Two threads race add+apply (the service dispatches commands on a
+    thread pool): whatever the interleaving, once settled every image must
+    sit at the final applied range — gen order is assigned in WRITE order
+    (a pre-write gen with a later write could otherwise carry a superseded
+    epoch and no-op the surviving reconcile).  Oracle: a forced requantize
+    under the same range must not change a byte."""
+    import concurrent.futures
+
+    d = _session(tmp_path, "deferred")
+    d.add_tracks([0], [corpus["quiet"]])
+    d.apply_track_list_changes(defer=False)
+
+    sources = ["loud", "quiet2", "medium", "loud2"]
+    next_id = 1
+    for rnd in range(2):
+        pair = [(next_id + i, corpus[sources[(2 * rnd + i) % 4]]) for i in range(2)]
+        next_id += 2
+
+        def add_apply(arg):
+            tid, path = arg
+            d.add_tracks([tid], [path])
+            d.apply_track_list_changes(defer=True)
+
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            list(ex.map(add_apply, pair))
+        assert d.settings_settled(timeout=120)
+        imgs_settled = _images(d)
+        d.set_db_range(d.tm.db_range)  # forced same-range requantize
+        imgs_forced = _images(d)
+        assert set(imgs_forced) == set(imgs_settled)
+        for k in imgs_settled:
+            assert np.array_equal(imgs_settled[k], imgs_forced[k]), (rnd, k)
 
 
 def test_deferred_apply_first_apply_is_forcelike(tmp_path, corpus):

@@ -89,6 +89,15 @@ class TrackManager:
         # otherwise compare R1 vs R2 while the old images still sit at R0
         # (the first reconcile is latest-wins-superseded by the second).
         self._applied_range = ("host", (math.inf, -math.inf))
+        # True while some image may sit at a range other than _applied_range:
+        # a deferred apply quantizes its FRESH rows under the new (not yet
+        # applied) range at dispatch.  Normally the apply's own reconcile
+        # restores uniformity, but when that reconcile is superseded (a
+        # second apply races in) the probe of the LATER apply must not trust
+        # value-equality with _applied_range alone — review finding r5: add
+        # B (range R0->R1, reconcile superseded) then add C (range back to
+        # R0) reported "unmoved" while B's image still sat at R1.
+        self._range_mixed = False
         # background AOT compiler for neighbor-settings shapes (VERDICT r2 #4)
         from ..dsp.precompile import ShapeWarmer
 
@@ -202,8 +211,20 @@ class TrackManager:
         requantized everything under the then-current range."""
         if epoch != self._range_epoch:
             return False
-        ids = [t for t in tracklist.all_ids() if t not in fresh_ids]
+        # exclude rows that have NO image yet (added after this apply's
+        # dispatch, awaiting their own apply): quantizing them here would
+        # use the pre-their-add max_sr geometry and surface a wrong-range
+        # image where sync semantics show the computing placeholder
+        ids = [
+            t
+            for t in tracklist.all_ids()
+            if t not in fresh_ids and t not in self._no_spec_img_ids
+        ]
         if not ids:
+            # nothing pre-existing to requantize, but the fresh rows WERE
+            # quantized under the current range at dispatch — record that,
+            # or a later probe compares against a range no live image uses
+            self._mark_range_applied()
             return False
         with self.shape_warmer.interactive():
             with span("spec.quantize"):
@@ -213,11 +234,24 @@ class TrackManager:
                     if res is not None:
                         self._dispatch_quantize(tracklist, track_id, res, lo, sp)
                 self._evict_specs(keep=set())
-                if self._range_dev is not None:
-                    self._applied_range = ("dev", (self._range_dev[0], self._range_dev[1]))
-                else:
-                    self._applied_range = ("host", self._range_host)
+                self._mark_range_applied()
         return True
+
+    def confirm_range_unmoved(self, epoch: int) -> None:
+        """Deferred apply's probe reported the range did not move (and no
+        earlier deferred quantize left images mixed): the fresh rows were
+        quantized at the applied value, so all images are uniform again.
+        Runs on the write worker — serialized with every range mutation."""
+        if epoch == self._range_epoch:
+            self._mark_range_applied()
+
+    def _mark_range_applied(self) -> None:
+        """All live images now sit at the current range."""
+        if self._range_dev is not None:
+            self._applied_range = ("dev", (self._range_dev[0], self._range_dev[1]))
+        else:
+            self._applied_range = ("host", self._range_host)
+        self._range_mixed = False
 
     def set_setting(self, tracklist: TrackList, setting: SpecSetting) -> None:
         # interactive priority: the warmer's compile RPCs contend with the
@@ -428,11 +462,10 @@ class TrackManager:
                     tuple(bounds), jnp.float32(self.db_range), spans=tuple(spans)
                 )
                 self._range_host = None
-                self._applied_range = ("dev", (self._range_dev[0], self._range_dev[1]))
             else:
                 self._range_dev = None
                 self._range_host = (math.inf, -math.inf)
-                self._applied_range = ("host", self._range_host)
+            self._mark_range_applied()  # every image requantizes below
         elif defer_range_probe:
             # dispatch-only: new device range now, host comparison later (on
             # the session's switch pool, off the write lock).  Fresh tracks
@@ -445,6 +478,7 @@ class TrackManager:
             # pass lands, so back-to-back deferred applies can't lose a
             # move (the first reconcile is superseded by the second).
             prev_applied = self._applied_range
+            prev_mixed = self._range_mixed
             if bounds:
                 new_dev = _global_range_device(
                     tuple(bounds), jnp.float32(self.db_range), spans=tuple(spans)
@@ -455,11 +489,23 @@ class TrackManager:
                 self._range_dev, self._range_host = None, (math.inf, -math.inf)
             ids_need_update = set(self._no_spec_img_ids)
             self._no_spec_img_ids.clear()
+            if ids_need_update:
+                # fresh rows quantize below under the NEW (unapplied) range:
+                # until this apply's reconcile/confirm lands, images may be
+                # split across two ranges.  The flag makes a LATER apply's
+                # probe reconcile even when its own range value matches
+                # _applied_range (this apply's reconcile may be superseded
+                # before ever running).
+                self._range_mixed = True
 
             def probe() -> bool:
                 """Blocks until every spec's bounds are computed; True when
-                the global range moved off what the pre-existing images
-                were quantized under (they are then stale)."""
+                some image is stale: the global range moved off what the
+                pre-existing images were quantized under, or an earlier
+                superseded apply left images quantized under a range that
+                never became applied (prev_mixed)."""
+                if prev_mixed:
+                    return True
                 pmin, pmax = TrackManager._fetch_range(prev_applied)
                 if new_dev is None:
                     nmin, nmax = math.inf, -math.inf
@@ -477,13 +523,20 @@ class TrackManager:
             # f32 subtraction like the reference's Rust f32 math (and the
             # device range program) — keeps both paths bit-identical
             gmin = max(gmin, float(np.float32(gmax) - np.float32(self.db_range)))
-            prev_min, prev_max = self.min_db, self.max_db  # syncs device range
+            # compare against the range the images were QUANTIZED under —
+            # after a superseded deferred apply the stored range can differ
+            # from the applied one (pure-sync mode: always identical)
+            prev_min, prev_max = self._fetch_range(self._applied_range)
+            # a superseded deferred reconcile can also leave images split
+            # across two ranges — value-equality then proves nothing;
+            # requantize everything
+            was_mixed = self._range_mixed
             self._range_host = (gmin, gmax)
             self._range_dev = None
             # moved -> everything requantizes below; unmoved -> images were
             # already at this exact value: either way they now sit at it
-            self._applied_range = ("host", (gmin, gmax))
-            if prev_max != gmax or prev_min != gmin:
+            self._mark_range_applied()
+            if was_mixed or prev_max != gmax or prev_min != gmin:
                 ids_need_update = set(tracklist.all_ids())
                 self._no_spec_img_ids.clear()
             else:

@@ -564,11 +564,17 @@ class EngineSession:
             self.player.set_sr(sr)
             return [format_id_ch(i, c) for i, c in id_ch_tuples]
 
-        with self._spec_switch_lock:
-            self._switch_gen["range"] += 1
-            gen = self._switch_gen["range"]
+        # the gen is assigned INSIDE the write work: two concurrent applies
+        # must see gen order == write order == range-epoch order, or the
+        # surviving (highest-gen) reconcile can carry a superseded epoch and
+        # no-op while the range moved (review finding r5).  Assigning before
+        # _write leaves a window where the later gen's write runs first.
+        gen_cell: list[int] = []
 
         def work():
+            with self._spec_switch_lock:
+                self._switch_gen["range"] += 1
+                gen_cell.append(self._switch_gen["range"])
             updated_ids, sr, probe_info = self.tm.apply_track_list_changes_deferred(
                 self.tracklist
             )
@@ -577,8 +583,10 @@ class EngineSession:
         try:
             id_ch_tuples, sr, probe_info = self._write(work)
         except Exception:
-            self._mark_applied("range", gen)
+            if gen_cell:
+                self._mark_applied("range", gen_cell[0])
             raise
+        gen = gen_cell[0]
         if id_ch_tuples:
             self.tile_cache.invalidate_spectrogram()
         self.player.set_sr(sr)
@@ -607,11 +615,17 @@ class EngineSession:
                     "deferred apply range probe failed", exc_info=True
                 )
                 moved = True
-            if moved and not self._superseded("range", gen):
+            if not self._superseded("range", gen):
                 def work():
                     if self._superseded("range", gen):
                         return False
-                    return self.tm.reconcile_range(self.tracklist, epoch, fresh_ids)
+                    if moved:
+                        return self.tm.reconcile_range(self.tracklist, epoch, fresh_ids)
+                    # unmoved: the fresh rows were quantized at the applied
+                    # value — record uniformity (write-serialized, cheap) so
+                    # later probes don't reconcile spuriously
+                    self.tm.confirm_range_unmoved(epoch)
+                    return False
 
                 if self._write(work):
                     self.tile_cache.invalidate_spectrogram()
@@ -686,7 +700,8 @@ class EngineSession:
             return gen != self._switch_gen[kind]
 
     def spec_switch_pending(self) -> bool:
-        """True while ANY deferred settings switch (spec/guard/normalize)
+        """True while ANY deferred settings switch (spec/guard/normalize/
+        range — the last is apply_track_list_changes' background reconcile)
         is still queued — the knobs share the isComputing contract."""
         with self._spec_switch_lock:
             return any(
@@ -695,8 +710,9 @@ class EngineSession:
             )
 
     def settings_settled(self, timeout: float | None = None) -> bool:
-        """Block until every queued settings switch (spec/guard/normalize)
-        has been applied (or superseded).  Test/bench synchronization point."""
+        """Block until every queued settings switch (spec/guard/normalize/
+        range — incl. deferred apply_track_list_changes reconciles) has been
+        applied (or superseded).  Test/bench synchronization point."""
         with self._spec_switch_cond:
             return self._spec_switch_cond.wait_for(
                 lambda: all(

@@ -266,15 +266,29 @@ async function refreshAll() {
 // isComputing until they do).  Latest-wins: a newer schedule supersedes.
 let appliedSettleGen = 0;
 function refreshAppliedWhenSettled() {
-  const first = [...state.viewports.keys()][0];
-  if (!first) return;
   const gen = ++appliedSettleGen;
+  const FAILED = Symbol("fetch-failed");
   const poll = async (delay) => {
     if (gen !== appliedSettleGen) return;
-    const md = await api.getMetadata(first).catch(() => null);
-    if (gen !== appliedSettleGen || !md) return;
-    if (md.isComputing) {
+    // poll the LIVE rows each tick: a transient fetch failure must retry
+    // (not abandon the only settle hook mid-switch), a removed row must
+    // not kill the refresh for the remaining rows, and waiting on ALL
+    // rows avoids firing while another row's image stream is still landing
+    const keys = [...state.viewports.keys()];
+    if (!keys.length) return; // no rows left: nothing reads applied state
+    const mds = await Promise.all(
+      keys.map((k) => api.getMetadata(k).catch(() => FAILED))
+    );
+    if (gen !== appliedSettleGen) return;
+    const next = () =>
       setTimeout(() => poll(delay < 1600 ? delay * 1.25 : 2000), delay);
+    if (mds.some((md) => md === FAILED)) {
+      next(); // transient failure: retry with backoff
+      return;
+    }
+    // null = row removed since keys were read: ignore it, judge the rest
+    if (mds.some((md) => md && md.isComputing)) {
+      next();
       return;
     }
     await rebuildAllRowInfo();
